@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd Catalyst built-ins (`zip_with`/`aggregate`/`transform`) —
+  * no Scala UDFs, so the whole similarity pipeline stays inside
+  * whole-stage codegen and never serializes rows out to a closure.
+  *
+  * All math is done in DOUBLE: inputs are cast up front so Spark's
+  * accumulation matches the DuckDB oracle (`::DOUBLE[]`) bit-for-bit at
+  * 4-decimal rounding.
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = {
+    val d = asDouble(a)
+    sqrt(aggregate(d, lit(0.0), (acc, v) => acc + v * v))
+  }
+
+  /** cos(a, b) = a·b / (‖a‖·‖b‖). Callers should precompute and cache one
+    * side's norm when it is reused (see Similarity.bruteForceTopK). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** cos given precomputed norms — avoids recomputing ‖a‖ per pair in
+    * pairwise scans (the norm is computed once per row, joined in). */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+}

@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.facade.MapReduceJob
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -9,7 +12,10 @@ import graft.operators._
   * SQL-expressible one also has a DuckDB `oracleSql` entry with IDENTICAL
   * output column names, canonical ORDER BY, 4-decimal rounding of computed
   * doubles, and BIGINT-matched integer types (FIXTURES.md determinism
-  * rules).
+  * rules). Queries without an oracle entry (noted below) are either
+  * probabilistic (approx_count_distinct, simhash banding, IVF probe) or
+  * not expressible in DuckDB SQL; each of those is pinned by a ScalaTest
+  * spec instead.
   */
 object SparkEntry {
 
@@ -17,7 +23,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Wordcount(spark, "/root/testdata/sf0.001")
 
+  /** Q17 — word count through the RDD MapReduce facade (reference
+    * pipeline: map+combine → first-char partition → sort → group-reduce);
+    * must equal q1_wordcount, so it shares Q1's oracle. */
+  private def q17Facade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, dir).select("text").as[String].rdd
+    MapReduceJob.wordCount(lines, numReducers = 8)
+      .toDF("word", "cnt").orderBy("word")
+  }
+
+  /** Batch sliding window: each event lands in window/slide buckets. */
+  private def q11bSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+      .orderBy("bucket", "event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (SURVEY.md §2C) ---
     "q1_wordcount"        -> (Relational.q1Wordcount _),
     "q2_filter_project"   -> (Relational.q2FilterProject _),
     "q3_join_agg"         -> (Relational.q3JoinAgg _),
@@ -25,26 +50,83 @@ object SparkEntry {
     "q5_hash_agg"         -> (Relational.q5HashAgg _),
     "q6_topk"             -> (Relational.q6TopK _),
     "q7_distinct"         -> (Relational.q7Distinct _),
-    "q7b_approx_distinct" -> (Relational.q7bApproxDistinct _),
+    "q7b_approx_distinct" -> (Relational.q7bApproxDistinct _), // no oracle: HLL sketch value
     "q8_window_rank"      -> (Relational.q8WindowRank _),
     "q9_except"           -> (Relational.q9Except _),
     "q9b_union_count"     -> (Relational.q9bUnionCount _),
     "q10_semi"            -> (Relational.q10Semi _),
     "q10b_anti"           -> (Relational.q10bAnti _),
     "q11_time_bucket"     -> (Relational.q11TimeBucket _),
+    "q11b_sliding"        -> (q11bSliding _),
     "q12_dedup_exact"     -> (Relational.q12DedupExact _),
     "q13_string_scalars"  -> (Relational.q13StringScalars _),
     "q14_date_scalars"    -> (Relational.q14DateScalars _),
     "q15_cosine_topk"     -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q16_rollup"          -> (Relational.q16Rollup _),
-    "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q17_mapreduce_facade" -> (q17Facade _),
+    // --- similarity search ---
+    "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
+    // --- dedup family ---
+    "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
+    "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
+    "dedup_simhash"       -> (Dedup.qSimhash _),   // no oracle: hash-internal banding
+    "dedup_embedding"     -> (Dedup.qEmbeddingNearDup _),
+    "dedup_clusters"      -> (Dedup.qDedupClusters _),
+    // --- text analysis ---
+    "text_token_counts"   -> (TextAnalysis.qTokenCounts _),
+    "text_quality"        -> (TextAnalysis.qQuality _),
+    "text_langid"         -> (TextAnalysis.qLangId _),
+    "text_fingerprint"    -> (TextAnalysis.qFingerprint _),
+    // --- multimodal plumbing ---
+    "mm_media_features"   -> (Multimodal.qMediaFeatures _),
+    // --- streaming ---
+    "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
+    "stream_sessions"     -> (StreamingOps.qSessionWindows _),
   )
 
+  /** Shared n-gram-shingle CTE prefix for the dedup oracles (word
+    * 3-grams, distinct per doc, docs ≥ 3 words). */
+  private val shingleCte =
+    """tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM tok WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (SELECT da, db, c::DOUBLE / (sa.n + sb.n - c) AS j
+      |  FROM common
+      |  JOIN sizes sa ON da = sa.doc_id
+      |  JOIN sizes sb ON db = sb.doc_id)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH $shingleCte
+       |SELECT da AS doc_a, db AS doc_b, round(j, 4) AS jaccard
+       |FROM jac WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  private val q1Sql =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
+
+  private val q11Sql =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Polynomial rolling hash over the character stream, ((31·acc + code)
+    * mod 1e9+7), as a DuckDB expression — mirrors TextAnalysis.fingerprints
+    * and Multimodal.stubDecode. */
+  private def charFoldSql(expr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(1, length($expr) + 1), i -> ascii($expr[i])::BIGINT)),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q1_wordcount" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "q1_wordcount" -> q1Sql,
     "q2_filter_project" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem
         |WHERE l_quantity > 30 AND l_discount < 0.05
@@ -97,10 +179,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
-    "q11_time_bucket" ->
-      """SELECT date_trunc('hour', ts) AS bucket, event_type,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_time_bucket" -> q11Sql,
+    "q11b_sliding" ->
+      """SELECT bucket, event_type, count(*) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS bucket,
+        |         event_type
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q12_dedup_exact" ->
       """SELECT count(*) AS n_before, count(DISTINCT text) AS n_after
         |FROM documents""".stripMargin,
@@ -124,5 +210,91 @@ object SparkEntry {
         |  coalesce(n_name, '(all)') AS n_name, count(*) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q17_mapreduce_facade" -> q1Sql,
+    // --- dedup family: minhash-LSH verifies candidates with EXACT
+    // jaccard and the banding miss-probability at j≥0.8 is ~5e-8, so it
+    // shares the exhaustive-equivalent shared-shingle oracle ---
+    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_minhash_lsh"   -> jaccardPairsSql,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY vid_a, vid_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         |SELECT node AS doc_id, least(node, min(r)) AS canonical_doc_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // --- text analysis ---
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))::BIGINT AS n_subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars, n_tokens,
+        |  round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 4) AS avg_token_len,
+        |  round(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
+        |  round(n_stop::DOUBLE / n_tokens, 4) AS stopword_ratio
+        |FROM (
+        |  SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens,
+        |    len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::BIGINT AS n_punct,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))::BIGINT AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))::DOUBLE / len(w) AS s_en,
+        |  len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und'))::DOUBLE / len(w) AS s_de,
+        |  len(list_filter(w, x -> x = 'el' OR x = 'la' OR x = 'de' OR x = 'y'))::DOUBLE / len(w) AS s_es
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN s_es > s_de AND s_es > s_en THEN 'es'
+        |       WHEN s_de > s_en THEN 'de'
+        |       WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_guess,
+        |  round(greatest(s_en, s_de, s_es), 4) AS lang_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${charFoldSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // --- multimodal: the stub decode is pure integer arithmetic over the
+    // payload bytes, so DuckDB can replay it ---
+    "mm_media_features" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    octet_length(encode(text))::BIGINT AS n_bytes,
+         |    ${charFoldSql("text")} AS checksum
+         |  FROM documents)
+         |SELECT doc_id, n_bytes,
+         |  (n_bytes % 640 + 1)::BIGINT AS stub_width,
+         |  (checksum % 480 + 1)::BIGINT AS stub_height,
+         |  checksum
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // --- streaming (tumbling replays the stream; sessions run the same
+    // operator in batch; both reconstruct in SQL) ---
+    "stream_tumbling" -> q11Sql,
+    "stream_sessions" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        |y AS (SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM y GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -1,0 +1,140 @@
+package graft.facade
+
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
+
+import scala.collection.mutable
+import scala.reflect.ClassTag
+
+/** Reference-faithful partitioner: route by the ASCII value of the key's
+  * first character, modulo the reducer count, with the reference's
+  * `0 → R` remap (its reducers are 1-indexed; Spark partitions are
+  * 0-indexed, so reference reducer i becomes partition i-1).
+  *
+  * Reference: thread_pool.cc:121-134 — `ascii(key[0]) % num_reducers`,
+  * remap at :127-132. Like the reference, this is NOT a general hash (only
+  * the first byte participates), so it skews at scale; it exists to
+  * reproduce the reference's exact output-file assignment. Production jobs
+  * should pass a `HashPartitioner` instead — [[MapReduceJob.run]] takes
+  * any [[org.apache.spark.Partitioner]].
+  */
+class FirstCharPartitioner(numReducers: Int) extends Partitioner {
+  require(numReducers > 0, s"numReducers must be positive: $numReducers")
+  override def numPartitions: Int = numReducers
+  override def getPartition(key: Any): Int = {
+    val s = key.toString
+    require(s.nonEmpty, "FirstCharPartitioner cannot route an empty key " +
+      "(the reference crashes on key.at(0) here too — thread_pool.cc:125)")
+    val m = s.charAt(0).toInt % numReducers
+    (if (m == 0) numReducers else m) - 1
+  }
+  override def equals(other: Any): Boolean = other match {
+    case p: FirstCharPartitioner => p.numPartitions == numPartitions
+    case _ => false
+  }
+  override def hashCode: Int = numPartitions
+}
+
+/** The MapReduce facade: the reference's pipeline —
+  * map + in-map combine → partition → shuffle → sort → group-reduce
+  * (thread_pool.cc: MapFunction :76-110, PartitionFunction :121-134,
+  * SortFunction :199-202, GroupReduceFunction :204-230) — re-expressed
+  * as one RDD chain.
+  *
+  * Design notes for scale (this is what the reference's design could not
+  * do):
+  *   - The in-map combiner is a bounded hash map per partition
+  *     ([[MapReduceJob.run]] `combine` stage), not the reference's
+  *     O(n·distinct) linear-searched parallel arrays. It spills nothing
+  *     itself: it flushes when it reaches `maxCombinerEntries`, keeping
+  *     memory bounded regardless of input size.
+  *   - The shuffle is Spark's (sort-based, spillable, fault-tolerant) —
+  *     the reference's `.tmp`-files-over-NFS shuffle is not ported.
+  *   - `repartitionAndSortWithinPartitions` gives the reducer sorted input
+  *     (reference SortFunction), and the reduce phase streams over groups
+  *     of consecutive equal keys — no per-partition materialization, so a
+  *     single reducer partition larger than memory still works.
+  *
+  * @param mapFn     (K1,V1) → intermediate (K2,V2) pairs (reference MapFunction)
+  * @param reduceFn  key + all values → output values (reference GroupReduceFunction)
+  * @param combineFn optional associative pre-aggregation (reference's in-map
+  *                  combining, thread_pool.cc:90-98)
+  */
+class MapReduceJob[K1, V1, K2: ClassTag: Ordering, V2: ClassTag](
+    mapFn: (K1, V1) => IterableOnce[(K2, V2)],
+    reduceFn: (K2, Iterator[V2]) => IterableOnce[(K2, V2)],
+    combineFn: Option[(V2, V2) => V2] = None,
+    maxCombinerEntries: Int = 1 << 20) extends Serializable {
+
+  def run(input: RDD[(K1, V1)], partitioner: Partitioner): RDD[(K2, V2)] = {
+    val mapped = input.flatMap { case (k, v) => mapFn(k, v) }
+
+    // In-map combine: bounded hash map, flushed on overflow. Emitting
+    // partial sums early is correct because reduceFn re-merges per key.
+    val combined = combineFn match {
+      case None => mapped
+      case Some(merge) => mapped.mapPartitions { it =>
+        new Iterator[(K2, V2)] {
+          private val buf = mutable.HashMap.empty[K2, V2]
+          private var drain: Iterator[(K2, V2)] = Iterator.empty
+          private def fill(): Unit = {
+            while (drain.isEmpty && it.hasNext && buf.size < maxCombinerEntries) {
+              val (k, v) = it.next()
+              buf.update(k, buf.get(k).fold(v)(merge(_, v)))
+            }
+            if (drain.isEmpty && (buf.size >= maxCombinerEntries || !it.hasNext)) {
+              drain = buf.toList.iterator
+              buf.clear()
+            }
+          }
+          def hasNext: Boolean = { fill(); drain.hasNext }
+          def next(): (K2, V2) = { fill(); drain.next() }
+        }
+      }
+    }
+
+    // Reference phases 3-7 (partition, shuffle, sort) in one shuffle; then
+    // a streaming group-reduce over runs of equal keys.
+    combined
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[(K2, V2)] {
+          private var out: Iterator[(K2, V2)] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && in.hasNext) {
+              val key = in.head._1
+              val values = new Iterator[V2] {
+                def hasNext: Boolean =
+                  in.hasNext && in.head._1 == key
+                def next(): V2 = in.next()._2
+              }
+              out = reduceFn(key, values).iterator
+              // reduceFn may not consume every value; drain the run.
+              while (values.hasNext) values.next()
+            }
+          }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (K2, V2) = { advance(); out.next() }
+        }
+      }
+  }
+}
+
+object MapReduceJob {
+  /** Word count through the facade — the reference's one job, end to end.
+    * Tokenization matches MapFunction (thread_pool.cc:87-101): split on
+    * single spaces; the reference's appended trailing `" "`
+    * (thread_pool.cc:58) exists so its last token is counted — `split`
+    * counts it naturally, and empty tokens (which crash the reference's
+    * partitioner) are dropped.
+    */
+  def wordCount(lines: RDD[String], numReducers: Int): RDD[(String, Long)] = {
+    val job = new MapReduceJob[Long, String, String, Long](
+      mapFn = (_, line) => line.split(" ").iterator
+        .filter(_.nonEmpty).map(w => (w, 1L)),
+      reduceFn = (word, counts) => Iterator((word, counts.sum)),
+      combineFn = Some(_ + _))
+    job.run(lines.zipWithIndex().map(_.swap), new FirstCharPartitioner(numReducers))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2B): image/audio/video payloads
+  * are opaque `binary` columns with typed metadata, processed in
+  * partition-sized batches.
+  *
+  * The actual codecs (JPEG decode, resampling, frame extraction) are NOT
+  * in this container, so the decode kernel is a clearly marked
+  * deterministic STUB — but everything Spark-side is real and load-bearing
+  * at scale: the schema, the `Dataset[MediaRecord]` encoder, the
+  * mapPartitions batching (one kernel invocation per partition, not per
+  * row — the same shape a native/py arrow-batch kernel needs), and the
+  * partition sizing story (binary blobs make rows wide; callers size
+  * `spark.sql.files.maxPartitionBytes` down so a partition of blobs still
+  * fits in executor memory).
+  */
+object Multimodal {
+
+  /** An opaque media payload + typed metadata. `bytes` stands in for an
+    * image/audio/video blob; `kind` routes to the right kernel. */
+  case class MediaRecord(id: Long, kind: String, bytes: Array[Byte],
+      sourceUri: String)
+
+  /** Extracted features for one media record. At 100 TB, this struct is
+    * what survives the scan — blobs are dropped as early as possible so
+    * downstream shuffles move metadata, never payloads. */
+  case class MediaFeatures(id: Long, kind: String, nBytes: Long,
+      width: Int, height: Int, checksum: Long)
+
+  /** STUB decode kernel — deterministic fake standing in for an image
+    * decoder (the real one would go here; the container ships no codec
+    * libraries). Derives pseudo-dimensions from the payload so tests and
+    * oracles are reproducible. Marked prominently so nobody mistakes it
+    * for a real decoder. */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, Long) = {
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      checksum = (checksum * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    val width = (bytes.length % 640) + 1
+    val height = (checksum % 480).toInt + 1
+    (width, height, checksum)
+  }
+
+  /** Batched feature extraction: one pass per partition, blobs dropped on
+    * output. This is the seam where a real pipeline swaps in an arrow-batch
+    * / JNI / external-process codec without touching the plan around it. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, checksum) = stubDecode(m.bytes)
+        MediaFeatures(m.id, m.kind, m.bytes.length.toLong, w, h, checksum)
+      }
+    }
+  }
+
+  /** Deterministic frame sampling plumbing: given per-record frame counts,
+    * emit every `stride`-th frame index — the explode/posexplode shape of
+    * video frame extraction, minus the codec. */
+  def sampleFrameIndexes(media: DataFrame, frameCountCol: String,
+      stride: Int): DataFrame =
+    media.withColumn("frame_idx",
+      explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)),
+        lit(stride))))
+
+  /** Query entry: treat each document's text payload as an opaque blob
+    * and run the full binary pipeline over it (encode → Dataset[MediaRecord]
+    * → batched stub decode → features). Oracle-checkable because the stub
+    * is pure integer arithmetic over the bytes. */
+  def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), lit("text").as("kind"),
+        col("text").cast("binary").as("bytes"),
+        concat(lit("synthetic://"), col("source")).as("sourceUri"))
+      .as[MediaRecord]
+    extractFeatures(media).toDF()
+      .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+        col("width").cast("long").as("stub_width"),
+        col("height").cast("long").as("stub_height"),
+        col("checksum"))
+      .orderBy("doc_id")
+  }
+}

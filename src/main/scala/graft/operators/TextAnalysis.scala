@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2B): token
+  * counting, quality scoring, language identification, document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst built-ins (split / filter /
+  * aggregate / transform) — per-row, shuffle-free, embarrassingly parallel:
+  * these are exactly the operators you fan over 100 TB of raw text, so the
+  * plan must be a single WholeStageCodegen scan per query, and it is.
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), w => length(w) > 0)
+
+  /** Whitespace token count per doc, plus a BPE-ish subword count: words
+    * are further split into runs of letters / digits / punctuation (the
+    * usual pre-tokenizer regex shape), approximating what a subword
+    * tokenizer sees. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"))
+        .cast("long").as("n_subword_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality signals per doc: length, token stats, punctuation and
+    * stopword ratios — the standard cheap filters in front of an LLM
+    * training pipeline. */
+  def qualityScores(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    val nPunct = regexp_count(col("text"), lit("[!-/:-@\\[-`{-~]"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round((length(col("text")) - nTok + 1).cast("double") / nTok, 4)
+        .as("avg_token_len"),
+      round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word language ID: scores each candidate language by its
+    * stopword hit-rate and picks the best (ties → 'und'). The marker
+    * lists are tiny and inlined into the plan, so this is one codegen'd
+    * scan — the same shape as a real lexicon-based langid at scale.
+    * The synthetic corpus is English-ish word soup, so 'en' dominates —
+    * the operator's value is the machinery + oracle, not the corpus. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "es" -> Seq("el", "la", "de", "y"))
+    val toks = tokens(col("text"))
+    val scores = markers.map { case (lang, ws) =>
+      lang -> (size(filter(toks, t => t.isin(ws.map(lit): _*)))
+        .cast("double") / size(toks))
+    }
+    val best = scores.foldLeft((lit("und"), lit(0.0))) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
+    }
+    docs.select(col("doc_id"), best._1.as("lang_guess"),
+      round(best._2, 4).as("lang_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Polynomial rolling-hash fingerprint over the character stream:
+    * h = fold(chars, 0, (acc, c) → (31·acc + codepoint(c)) mod 1e9+7).
+    * Deterministic, order-sensitive, and cheap — the per-doc identity for
+    * exact-dup shortcuts and incremental recrawl diffing. Expressed with
+    * aggregate/transform so DuckDB can replay it exactly (list_reduce). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => length(c) > 0)
+    val fp = aggregate(
+      transform(chars, c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+    docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
+  }
+
+  // --- SparkEntry-facing wrappers ---------------------------------------
+
+  def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(s, dir))
+
+  def qQuality(s: SparkSession, dir: String): DataFrame =
+    qualityScores(Tables.documents(s, dir))
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    languageId(Tables.documents(s, dir))
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.documents(s, dir))
+}

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table schema (SURVEY.md §2B):
+  * watermarked tumbling/sliding windows, session windows, and custom
+  * state via mapGroupsWithState.
+  *
+  * Streams are driven by `readStream` over a parquet directory — in
+  * production that is a file/Kafka source with the same schema; locally
+  * the driver's events.parquet replays as a single micro-batch (the
+  * StreamingSpec uses a memory sink + processAllAvailable for synchronous
+  * verification, and SparkEntry exposes a batch-equivalent query whose
+  * oracle checks the same aggregation).
+  */
+object StreamingOps {
+
+  /** events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
+    * only reads as long (see graft.Tables.events). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),   // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events table as a stream. `maxFilesPerTrigger=1` keeps
+    * micro-batches bounded when replaying a directory. */
+  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file stream sources need a directory: stream the sf dir, filtered
+    // down to the events file (in production: a landing directory)
+    s.readStream
+      .schema(eventsFileSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts — the streaming form of Q11.
+    * The 1-hour window keyed by (window, event_type) shuffles once per
+    * micro-batch; the watermark bounds state so this runs forever at any
+    * input rate. */
+  def tumblingCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window variant (each event contributes to window/slide
+    * overlapping windows). */
+  def slidingCounts(events: DataFrame, window_ : String = "2 hours",
+      slide: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  /** Session windows per user: events closer than `gap` merge into one
+    * session. Works identically over a stream (with watermark bounding
+    * state) and over a batch frame — SparkEntry's oracle checks the batch
+    * form against a gaps-and-islands SQL reconstruction. */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  // --- custom state: mapGroupsWithState sessionization -------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  case class SessionUpdate(user_id: Long, session_start: Long, n_events: Long,
+      sum_value: Double, closed: Boolean)
+
+  /** flatMapGroupsWithState sessionizer — the escape hatch for session
+    * semantics session_window can't express (e.g., emit partial updates,
+    * cap session length, carry custom counters). Event-time timeout closes
+    * a session `gapMs` after its last event once the watermark passes. */
+  def statefulSessionize(events: Dataset[Event], gapMs: Long = 600000L)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.start, s.n, s.sum, closed = true))
+          } else {
+            var closed = List.empty[SessionUpdate]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionUpdate(userId, s.start, s.n, s.sum, closed = true)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the local directory
+    * replay and return the final result — used to expose streaming
+    * operators through the batch SparkEntry.queries contract. */
+  def runToBatch(s: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** SparkEntry wrapper: streaming tumbling counts, replayed to a batch
+    * result (same oracle as the batch Q11 family). */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
+    runToBatch(s, tumblingCounts(readEventsStream(s, dir)), s"tumbling_${System.nanoTime()}")
+      .orderBy("bucket", "event_type")
+
+  /** SparkEntry wrapper: batch session windows (same operator streams with
+    * a watermark — see StreamingSpec). */
+  def qSessionWindows(s: SparkSession, dir: String): DataFrame =
+    sessionCounts(graft.Tables.events(s, dir))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** Tiny corpus with planted near-dups:
+    * 1≈2 (one word changed out of 12 → high jaccard),
+    * 3≈4 (identical), 5 unrelated, 6 too short to shingle. */
+  private def corpus: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (5L, "completely different text with nothing shared at all here"),
+    (6L, "too short")).toDF("doc_id", "text")
+
+  test("shingles: distinct word 3-grams; short docs empty") {
+    val sh = Dedup.shingleDocs(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(3L).contains("alpha beta gamma"))
+    assert(sh(3L).size === 6) // 8 words → 6 shingles
+    assert(sh(6L).isEmpty)
+  }
+
+  test("exact ngram jaccard finds planted pairs and nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+    val j34 = Dedup.ngramJaccardPairs(corpus, threshold = 0.4)
+      .filter(col("doc_a") === 3).head.getAs[Double]("jaccard")
+    assert(j34 === 1.0)
+  }
+
+  test("minhash-LSH finds the same pairs as exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(corpus, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("df-cap drops hot shingles from the posting list") {
+    val hot = Seq.tabulate(5)(i => (i.toLong, "same same same same"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.shinglePosting(hot).count()
+    val capped = Dedup.shinglePosting(hot, dfCap = Some(3)).count()
+    assert(uncapped > 0 && capped === 0)
+  }
+
+  test("simhash: identical docs distance 0; near docs close; unrelated far") {
+    val fp = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(3L) === fp(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(5L)))
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.contains((1L, 5L)))
+  }
+
+  test("embedding near-dup finds planted high-cosine pair exactly") {
+    val rng = new scala.util.Random(1)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(v => v + 0.01f) // cosine ≈ 1
+    val rows = (0 until 20).map(i => (i.toLong, vec())) :+
+      (100L, base) :+ (101L, nearDup)
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(emb, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((100L, 101L)))
+  }
+
+  test("connected components: chain 1-2, 2-7 merges into one cluster") {
+    val pairs = Seq((1L, 2L), (2L, 7L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+}

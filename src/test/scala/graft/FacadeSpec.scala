@@ -1,0 +1,83 @@
+package graft
+
+import graft.facade.{FirstCharPartitioner, MapReduceJob}
+import org.scalatest.funsuite.AnyFunSuite
+
+class FacadeSpec extends AnyFunSuite with SparkFixture {
+
+  test("FirstCharPartitioner reproduces reference ascii%R with 0→R remap") {
+    // reference: thread_pool.cc:121-134; reducer i (1-based) = partition i-1
+    val p = new FirstCharPartitioner(4)
+    // 'd' = 100, 100 % 4 = 0 → reference reducer 4 → partition 3
+    assert(p.getPartition("dog") === 3)
+    // 'h' = 104, 104 % 4 = 0 → partition 3
+    assert(p.getPartition("hat") === 3)
+    // 'a' = 97, 97 % 4 = 1 → reducer 1 → partition 0
+    assert(p.getPartition("apple") === 0)
+    // 'c' = 99, 99 % 4 = 3 → reducer 3 → partition 2
+    assert(p.getPartition("cat") === 2)
+    intercept[IllegalArgumentException](p.getPartition(""))
+  }
+
+  test("facade word count equals DataFrame word count on documents") {
+    import spark.implicits._
+    val viaFacade = MapReduceJob.wordCount(
+      Tables.documents(spark, sf0001).select("text").as[String].rdd, 4)
+      .collect().sortBy(_._1)
+    val viaDf = operators.Relational.q1Wordcount(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaFacade.toSeq === viaDf.toSeq)
+  }
+
+  test("facade output is sorted within partitions (reference SortFunction)") {
+    import spark.implicits._
+    val rdd = MapReduceJob.wordCount(
+      Tables.documents(spark, sf0001).select("text").as[String].rdd, 4)
+    val sortedWithin = rdd.mapPartitions { it =>
+      val keys = it.map(_._1).toVector
+      Iterator(keys == keys.sorted)
+    }.collect()
+    assert(sortedWithin.forall(identity))
+    assert(rdd.getNumPartitions === 4)
+  }
+
+  test("property: wordcount(a ++ b) == merge(wordcount(a), wordcount(b))") {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("spark", "map", "reduce", "key", "value", "d", "h")
+    def randLines(): List[String] = List.fill(rng.nextInt(8))(
+      List.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    def wc(lines: List[String]): Map[String, Long] =
+      MapReduceJob.wordCount(spark.sparkContext.parallelize(lines, 2), 3)
+        .collect().toMap
+    (1 to 5).foreach { _ =>
+      val (a, b) = (randLines(), randLines())
+      val merged = (wc(a).toSeq ++ wc(b).toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      assert(wc(a ++ b) === merged)
+    }
+  }
+
+  test("combiner flush does not change results (tiny maxCombinerEntries)") {
+    val lines = Seq("d d d h h x", "d h x x", "y d")
+    val job = new MapReduceJob[Long, String, String, Long](
+      mapFn = (_, l) => l.split(" ").filter(_.nonEmpty).map(w => (w, 1L)),
+      reduceFn = (w, vs) => Iterator((w, vs.sum)),
+      combineFn = Some(_ + _),
+      maxCombinerEntries = 2) // force mid-stream flushes
+    val got = job.run(
+      spark.sparkContext.parallelize(lines, 2).zipWithIndex().map(_.swap),
+      new FirstCharPartitioner(3)).collect().toMap
+    assert(got === Map("d" -> 5L, "h" -> 3L, "x" -> 3L, "y" -> 1L))
+  }
+
+  test("reduceFn that does not drain values still advances groups") {
+    val job = new MapReduceJob[Long, String, String, Long](
+      mapFn = (_, l) => l.split(" ").filter(_.nonEmpty).map(w => (w, 1L)),
+      reduceFn = (w, _) => Iterator((w, -1L))) // ignores the value iterator
+    val got = job.run(
+      spark.sparkContext.parallelize(Seq("a a b b c"), 1)
+        .zipWithIndex().map(_.swap),
+      new FirstCharPartitioner(2)).collect().toMap
+    assert(got === Map("a" -> -1L, "b" -> -1L, "c" -> -1L))
+  }
+}

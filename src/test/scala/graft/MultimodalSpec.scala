@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaFeatures, MediaRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("binary pipeline: encode → batched stub decode → features") {
+    val media = Seq(
+      MediaRecord(1L, "image", Array[Byte](1, 2, 3, 4), "synthetic://a"),
+      MediaRecord(2L, "audio", Array.fill[Byte](700)(7), "synthetic://b"),
+      MediaRecord(3L, "image", Array.emptyByteArray, "synthetic://c"))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).nBytes === 4)
+    assert(feats(2L).width === 700 % 640 + 1) // wraps at the stub's 640 cap
+    assert(feats(3L).nBytes === 0 && feats(3L).checksum === 0)
+    // determinism: same bytes → same features
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f).toMap
+    assert(again === feats)
+  }
+
+  test("stub checksum equals the documented fold") {
+    def fold(bs: Array[Byte]): Long =
+      bs.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    val bytes = "some payload".getBytes("UTF-8")
+    val (_, _, checksum) = Multimodal.stubDecode(bytes)
+    assert(checksum === fold(bytes))
+  }
+
+  test("frame sampling emits stride-spaced indexes") {
+    val media = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")
+    val got = Multimodal.sampleFrameIndexes(media, "n_frames", stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got === Set((1L, 0), (1L, 4), (1L, 8), (2L, 0)))
+  }
+
+  test("features drop the payload column (blobs never reach the shuffle)") {
+    val schema = implicitly[org.apache.spark.sql.Encoder[MediaFeatures]]
+      .schema.fieldNames.toSet
+    assert(!schema.contains("bytes"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("streaming tumbling counts equal the batch time-bucket query") {
+    val streamed = StreamingOps
+      .qStreamTumbling(spark, sf0001)
+      .orderBy("bucket", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Relational.q11TimeBucket(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
+  test("session windows merge within gap and split beyond it") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(5), 1L, "click", 2.0, "{}"),   // within 10m → same session
+      (3L, ts(30), 1L, "click", 3.0, "{}"),  // 25m gap → new session
+      (4L, ts(0), 2L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamingOps.sessionCounts(events).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getLong(2)))
+    assert(got.toSet === Set((1L, 0L, 2L), (1L, 30L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("stateful sessionizer (flatMapGroupsWithState) closes sessions by gap") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      Event(1L, ts(0), 1L, "click", 1.0),
+      Event(2L, ts(5), 1L, "click", 2.0),
+      Event(3L, ts(30), 1L, "click", 3.0)).toDS()
+    // batch run: sessions closed inline (no watermark progression needed
+    // for the closed-by-successor path)
+    val got = StreamingOps.statefulSessionize(events).collect()
+    // first session (minutes 0-5, 2 events, sum 3.0) closes when the
+    // minute-30 event arrives; the open session is retained in state
+    assert(got.map(u => (u.user_id, u.session_start, u.n_events, u.sum_value))
+      .toSet === Set((1L, 0L, 2L, 3.0)))
+  }
+
+  test("sliding windows double-count each event across overlapping windows") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq((1L, ts(61), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)))
+    assert(got.toSet === Set((0L, 1L), (60L, 1L)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "hello, world! it's 42 degrees."),
+    (3L, "a")).toDF("doc_id", "text")
+
+  test("token counts: whitespace and subword") {
+    val r = TextAnalysis.tokenCounts(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) === ((6L, 6L)))
+    // hello , world ! it ' s 42 degrees .  → 10 subword runs, 5 ws tokens
+    assert(r(2L) === ((5L, 10L)))
+    assert(r(3L) === ((1L, 1L)))
+  }
+
+  test("quality: stopword and punct ratios") {
+    val r = TextAnalysis.qualityScores(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("stopword_ratio") === 2.0 / 6) // two 'the'
+    assert(r(2L).getAs[Double]("punct_ratio") === 0.1667) // 5 of 30 chars
+    assert(r(1L).getAs[Double]("avg_token_len") ===
+      math.rint((17.0 / 6) * 10000) / 10000)
+  }
+
+  test("langid: marker words dominate") {
+    val multilingual = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "el perro y la casa de la playa"),
+      (4L, "xylophone quartz")).toDF("doc_id", "text")
+    val r = TextAnalysis.languageId(multilingual).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive, matches manual fold") {
+    def fold(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val r = TextAnalysis.fingerprints(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) === fold("the cat sat on the mat"))
+    val swapped = Seq((9L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val fp9 = TextAnalysis.fingerprints(swapped).head.getLong(1)
+    assert(fp9 !== r(1L))
+  }
+}

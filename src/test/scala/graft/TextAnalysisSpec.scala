@@ -23,8 +23,9 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
   test("quality: stopword and punct ratios") {
     val r = TextAnalysis.qualityScores(docs).collect()
       .map(x => x.getLong(0) -> x).toMap
-    assert(r(1L).getAs[Double]("stopword_ratio") === 2.0 / 6) // two 'the'
-    assert(r(2L).getAs[Double]("punct_ratio") === 0.1667) // 5 of 30 chars
+    // two 'the' of six tokens; qualityScores rounds to 4 decimals
+    assert(r(1L).getAs[Double]("stopword_ratio") === 0.3333)
+    assert(r(2L).getAs[Double]("punct_ratio") === 0.1333) // , ! ' . = 4 of 30 chars
     assert(r(1L).getAs[Double]("avg_token_len") ===
       math.rint((17.0 / 6) * 10000) / 10000)
   }

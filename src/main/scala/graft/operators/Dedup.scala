@@ -10,21 +10,41 @@ import org.apache.spark.sql.functions._
   * reference's surface (SURVEY.md §2B).
   *
   * Scale design (the part that matters at 100 TB):
-  *   - NOTHING here is O(n²) in documents: exact dedup is a hash
-  *     aggregate; exact n-gram Jaccard joins on shared shingles (pairs
-  *     that share no shingle are never materialized); MinHash/SimHash
-  *     prune candidates with LSH banding before any pairwise work.
-  *   - Every shuffle key is (shingle), (band, signature) or (doc pair) —
-  *     all fine-grained, so partitions stay balanced. At web scale the
-  *     shared-shingle join additionally wants a document-frequency cap on
-  *     shingles (drop shingles appearing in >df_max docs: they generate
-  *     quadratic pair blowup and carry no discriminative signal); the cap
-  *     is a parameter here and unit-tested, defaulting to off at sf scale.
-  *   - Connected components for cluster assignment is the iterative
-  *     min-label-propagation join (no driver-side graph), converging in
-  *     O(log n) rounds on near-dup graphs (components are tiny chains).
+  *   - NOTHING here is O(n²) in documents: exact n-gram Jaccard joins on
+  *     shared shingles (pairs that share no shingle are never
+  *     materialized); MinHash/SimHash/hyperplane-LSH prune candidates
+  *     with banding before any pairwise work.
+  *   - Candidate generation shuffles IDS ONLY. Every band/bucket
+  *     self-join carries (band, signature, doc_id) — never the shingle
+  *     arrays or embedding vectors — so the shuffle payload is a few
+  *     bytes per replica instead of the whole document feature set
+  *     amplified once per band. The heavy columns are joined back in
+  *     exactly once per surviving candidate pair for exact verification.
+  *   - The posting-list join has a document-frequency cap ON by default
+  *     ([[DefaultDfCap]]): shingles appearing in more than dfCap docs are
+  *     dropped from candidate generation (they generate quadratic pair
+  *     blowup and carry no discriminative signal — a single hot shingle
+  *     like "the quick brown" is a skew key that stalls a 1000-executor
+  *     shuffle). Dropped shingles are logged. Verification still uses the
+  *     FULL shingle sets, so reported Jaccard values are exact; only
+  *     pairs whose every shared shingle is hot can be missed, and at
+  *     Jaccard ≥ 0.8 such pairs imply > dfCap near-identical docs that
+  *     surface through each other anyway.
+  *   - Connected components for cluster assignment is iterative min-label
+  *     propagation with pointer jumping (label-of-label), pure DataFrame
+  *     joins — no driver-side graph. Pointer jumping makes convergence
+  *     O(log diameter); lineage is truncated with a checkpoint every few
+  *     rounds so plans don't nest unboundedly.
   */
 object Dedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default document-frequency cap for posting-list candidate
+    * generation. At sf0.1 (5k docs) nothing legitimate comes close; at
+    * web scale this is the knob that keeps the shared-shingle join skew
+    * free. */
+  val DefaultDfCap = 128
 
   // ---------------------------------------------------------------------
   // shared building blocks
@@ -47,39 +67,62 @@ object Dedup {
 
   /** Exploded (doc_id, shingle) with an optional document-frequency cap:
     * shingles occurring in more than `dfCap` docs are dropped before the
-    * pair join (standard web-scale guard against quadratic hot keys). */
+    * pair join (standard web-scale guard against quadratic hot keys).
+    * The number of dropped shingles is counted and logged. */
   def shinglePosting(docs: DataFrame, n: Int = 3,
       dfCap: Option[Int] = None): DataFrame = {
     val posting = shingleDocs(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     dfCap.fold(posting) { cap =>
       val hot = posting.groupBy("shingle").count()
-        .filter(col("count") > cap).select("shingle")
+        .filter(col("count") > cap).select("shingle").persist()
+      val nHot = hot.count()
+      if (nHot > 0)
+        log.warn(s"shinglePosting: dropping $nHot hot shingles (df > $cap) " +
+          "from candidate generation; verification still uses full shingle sets")
       posting.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
 
-  /** Exact pairwise Jaccard ≥ threshold via the shared-shingle join:
-    * only doc pairs sharing ≥1 shingle are ever formed. Output
-    * (doc_a, doc_b, jaccard) with doc_a < doc_b. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
-      n: Int = 3, dfCap: Option[Int] = None): DataFrame = {
-    val posting = shinglePosting(docs, n, dfCap)
-    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = posting.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = posting.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("n_common") / (col("na") + col("nb") - col("n_common")))
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+    * Narrow joins bring the per-doc shingle COUNTS in first and prune
+    * pairs whose best-possible Jaccard (|min|/|max|, reached when the
+    * smaller set is contained in the larger) is already below the
+    * threshold; only survivors get the full shingle arrays joined in for
+    * the exact intersection. Output (doc_a, doc_b, jaccard), doc_a<doc_b. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val pruned = cands
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * threshold)
+      .select("doc_a", "doc_b")
+    pruned
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact pairwise Jaccard ≥ threshold via the shared-shingle join:
+    * only doc pairs sharing ≥1 (non-hot) shingle are ever formed, as
+    * bare id pairs; Jaccard is then verified exactly on the full shingle
+    * sets. Output (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+      n: Int = 3, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    val posting = shinglePosting(docs, n, dfCap)
+    val a = posting.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = posting.select(col("doc_id").as("doc_b"), col("shingle"))
+    val cands = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, shingleDocs(docs, n), threshold)
   }
 
   // ---------------------------------------------------------------------
@@ -96,8 +139,8 @@ object Dedup {
       rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature per doc, banded for LSH. Returns
-    * (doc_id, shingles, bands: array<struct<band:int, sig:bigint>>).
+  /** MinHash band signatures per doc: (doc_id, band: int, sig: bigint) —
+    * and nothing else, so the LSH self-join below shuffles only ids.
     *
     * The signature is computed per-row from the doc's shingle hash set
     * (xxhash64 folded to 31 bits) by a single Scala function — no
@@ -138,32 +181,25 @@ object Dedup {
     shingleDocs(docs, n)
       .withColumn("shingleHashes",
         transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("bandSigs", sign(col("shingleHashes")))
-      .select(col("doc_id"), col("shingles"), posexplode(col("bandSigs")))
+      .select(col("doc_id"), posexplode(sign(col("shingleHashes"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
 
-  /** MinHash-LSH near-dup pairs: band-bucket join for candidates, then
-    * EXACT Jaccard verification on the candidates' shingle sets (so the
-    * output equals [[ngramJaccardPairs]] up to the negligible LSH miss
-    * probability — which is why both share one oracle). */
+  /** MinHash-LSH near-dup pairs: ids-only band-bucket join for
+    * candidates, then EXACT Jaccard verification on the candidates' full
+    * shingle sets (so the output equals [[ngramJaccardPairs]] up to the
+    * negligible LSH miss probability — which is why both share one
+    * oracle). The 32 band replicas carry (band, sig, doc_id) = 20 bytes,
+    * not the shingle arrays. */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
       n: Int = 3, numPerm: Int = 128, bands: Int = 32): DataFrame = {
     val banded = minhashBands(docs, n, numPerm, bands)
-      .select(col("doc_id"), col("shingles"), col("band"), col("sig"))
-    val l = banded.select(col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a"), col("band"), col("sig"))
-    val r = banded.select(col("doc_id").as("doc_b"),
-      col("shingles").as("sh_b"), col("band"), col("sig"))
-    l.join(r, Seq("band", "sig"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    val cands = l.join(r, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("n_common") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, shingleDocs(docs, n), threshold)
   }
 
   // ---------------------------------------------------------------------
@@ -201,24 +237,27 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Pigeonhole blocking: split the 64-bit fingerprint into
     * (maxHamming+1) bands — any pair within distance maxHamming agrees
-    * exactly on ≥1 band, so the band join finds all of them; the cheap
-    * xor/bit_count verification removes false positives. No O(n²). */
+    * exactly on ≥1 band, so the ids-only band join finds all of them; the
+    * cheap xor/bit_count verification on the rejoined fingerprints
+    * removes false positives. No O(n²). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
     val sh = simhash(docs)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("key",
+    val banded = sh.select(col("doc_id"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"),
+      col("simhash"))
+      .select(col("doc_id"), col("band"),
         expr(s"shiftrightunsigned(simhash, band * $width)")
-          .bitwiseAND(lit((1L << width) - 1)))
-    val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"),
-      col("band"), col("key"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"),
-      col("band"), col("key"))
-    l.join(r, Seq("band", "key"))
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    val cands = l.join(r, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
@@ -230,11 +269,12 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Near-duplicate vectors by cosine ≥ threshold, via random-hyperplane
-    * LSH: bands of `rowsPerBand` sign-bits; pairs colliding in ≥1 band are
-    * verified with exact cosine. At cos ≥ 0.95 (bit-flip prob ≈ 0.10),
-    * 32 bands × 8 bits miss with prob ≈ (1−0.9⁸)³² ≈ 2e-8 — and exact
-    * verification removes all false positives, so the output matches the
-    * exhaustive oracle. */
+    * LSH: bands of `rowsPerBand` sign-bits; pairs colliding in ≥1 band
+    * are found with an ids-only bucket join, then verified with exact
+    * cosine on the rejoined vectors. At cos ≥ 0.95 (bit-flip prob ≈
+    * 0.10), 32 bands × 8 bits miss with prob ≈ (1−0.9⁸)³² ≈ 2e-8 — and
+    * exact verification removes all false positives, so the output
+    * matches the exhaustive oracle. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
       bands: Int = 32, rowsPerBand: Int = 8, dim: Int = 64): DataFrame = {
     val rng = new scala.util.Random(42)
@@ -255,16 +295,18 @@ object Dedup {
       }
     }
     val banded = embeddings
-      .select(col("vec_id"), col("embedding"),
-        posexplode(sketch(col("embedding"))))
+      .select(col("vec_id"), posexplode(sketch(col("embedding"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val l = banded.select(col("vec_id").as("vid_a"),
-      col("embedding").as("emb_a"), col("band"), col("key"))
-    val r = banded.select(col("vec_id").as("vid_b"),
-      col("embedding").as("emb_b"), col("band"), col("key"))
-    l.join(r, Seq("band", "key"))
+    val l = banded.select(col("vec_id").as("vid_a"), col("band"), col("key"))
+    val r = banded.select(col("vec_id").as("vid_b"), col("band"), col("key"))
+    val cands = l.join(r, Seq("band", "key"))
       .filter(col("vid_a") < col("vid_b"))
-      .select("vid_a", "vid_b", "emb_a", "emb_b").distinct()
+      .select("vid_a", "vid_b").distinct()
+    cands
+      .join(embeddings.select(col("vec_id").as("vid_a"),
+        col("embedding").as("emb_a")), "vid_a")
+      .join(embeddings.select(col("vec_id").as("vid_b"),
+        col("embedding").as("emb_b")), "vid_b")
       .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("vid_a"), col("vid_b"), round(col("cos"), 4).as("cos_sim"))
@@ -276,38 +318,61 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Connected components over a near-dup pair list by iterative min-label
-    * propagation (pure DataFrame joins — no driver-side graph, no
-    * GraphFrames dependency). Converges when no label changes; near-dup
-    * components are tiny, so this is a handful of rounds of
-    * broadcast-scale joins even when the pair list is huge. Output:
-    * (doc_id, canonical_doc_id = component minimum). */
+    * propagation with pointer jumping (pure DataFrame joins — no
+    * driver-side graph, no GraphFrames dependency). Each round a node
+    * adopts the min of: its label, its neighbors' labels, and its
+    * label's label (the pointer jump — this halves chain lengths every
+    * round, so convergence is O(log diameter), not O(diameter)).
+    * Convergence is detected by the monotonically-decreasing label sum
+    * (one cheap aggregate per round instead of a join); lineage is
+    * truncated with a localCheckpoint every [[CcCheckpointEvery]] rounds
+    * (a real cluster would use reliable `checkpoint()` on HDFS).
+    * Output: (doc_id, canonical_doc_id = component minimum). */
+  private val CcCheckpointEvery = 4
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
+      maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionAll(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .persist()
     var labels = edges.groupBy(col("a").as("node"))
       .agg(least(min(col("b")), first(col("a"))).as("label"))
       .persist()
-    var changed = 1L
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // each node adopts the min label among its own and its neighbors'
-      val neighborLabels = edges
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborLabels, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      // pointer jump: my label L is itself a node; adopt L's label too
+      val labelOfLabel = labels
+        .join(labels.select(col("node").as("label"), col("label").as("llabel")),
+          Seq("label"))
+        .select(col("node"), col("llabel"))
+      val stepped = labels
+        .join(neighborMin, Seq("node"), "left")
+        .join(labelOfLabel, Seq("node"), "left")
+        .select(col("node"), least(
+          col("label"),
+          coalesce(col("nlabel"), col("label")),
+          coalesce(col("llabel"), col("label"))).as("label"))
+      val next =
+        (if (iter % CcCheckpointEvery == CcCheckpointEvery - 1)
+          stepped.localCheckpoint()
+        else stepped).persist()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
     }
+    if (!converged)
+      log.warn(s"connectedComponents: not converged after $maxIter rounds — " +
+        "labels may be non-canonical for components with huge diameter")
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("canonical_doc_id"))
       .orderBy("doc_id")

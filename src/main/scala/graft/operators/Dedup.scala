@@ -65,23 +65,36 @@ object Dedup {
     docs.select(col("doc_id"), grams.as("shingles"))
   }
 
+  /** Drop rows whose `keys` combination occurs in more than `cap` rows —
+    * the web-scale guard against quadratic hot keys in candidate-pair
+    * self-joins. The hot key list is collected to the driver (it must fit
+    * in memory anyway to be broadcast for the anti-join, so collecting
+    * adds no new bound), logged, and anti-joined away. Nothing is left
+    * persisted in the shared session. */
+  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int,
+      what: String): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > cap).drop("count").collect()
+    if (hot.isEmpty) df
+    else {
+      log.warn(s"$what: dropping ${hot.length} hot keys (df > $cap) from " +
+        "candidate generation; verification still sees full feature sets")
+      val schema = org.apache.spark.sql.types.StructType(keys.map(df.schema(_)))
+      val hotDf = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hot: _*), schema)
+      df.join(broadcast(hotDf), keys, "left_anti")
+    }
+  }
+
   /** Exploded (doc_id, shingle) with an optional document-frequency cap:
     * shingles occurring in more than `dfCap` docs are dropped before the
-    * pair join (standard web-scale guard against quadratic hot keys).
-    * The number of dropped shingles is counted and logged. */
+    * pair join (see [[dropHotKeys]]). */
   def shinglePosting(docs: DataFrame, n: Int = 3,
       dfCap: Option[Int] = None): DataFrame = {
     val posting = shingleDocs(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    dfCap.fold(posting) { cap =>
-      val hot = posting.groupBy("shingle").count()
-        .filter(col("count") > cap).select("shingle").persist()
-      val nHot = hot.count()
-      if (nHot > 0)
-        log.warn(s"shinglePosting: dropping $nHot hot shingles (df > $cap) " +
-          "from candidate generation; verification still uses full shingle sets")
-      posting.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }
+    dfCap.fold(posting)(cap =>
+      dropHotKeys(posting, Seq("shingle"), cap, "shinglePosting"))
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
@@ -107,15 +120,14 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact pairwise Jaccard ≥ threshold via the shared-shingle join:
-    * only doc pairs sharing ≥1 (non-hot) shingle are ever formed, as
-    * bare id pairs; Jaccard is then verified exactly on the full shingle
-    * sets. Output (doc_a, doc_b, jaccard) with doc_a < doc_b. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
-      n: Int = 3, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+  /** Unsorted core of [[ngramJaccardPairs]] — consumers that feed the
+    * pairs into a join/aggregate (e.g. connected components) must not pay
+    * for a global sort they immediately destroy. */
+  private[operators] def ngramJaccardCore(docs: DataFrame,
+      threshold: Double = 0.8, n: Int = 3,
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val posting = shinglePosting(docs, n, dfCap)
     val a = posting.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = posting.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -124,6 +136,14 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cands, shingleDocs(docs, n), threshold)
   }
+
+  /** Exact pairwise Jaccard ≥ threshold via the shared-shingle join:
+    * only doc pairs sharing ≥1 (non-hot) shingle are ever formed, as
+    * bare id pairs; Jaccard is then verified exactly on the full shingle
+    * sets. Output (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+      n: Int = 3, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+    ngramJaccardCore(docs, threshold, n, dfCap).orderBy("doc_a", "doc_b")
 
   // ---------------------------------------------------------------------
   // MinHash + LSH
@@ -190,16 +210,27 @@ object Dedup {
     * shingle sets (so the output equals [[ngramJaccardPairs]] up to the
     * negligible LSH miss probability — which is why both share one
     * oracle). The 32 band replicas carry (band, sig, doc_id) = 20 bytes,
-    * not the shingle arrays. */
+    * not the shingle arrays.
+    *
+    * `dfCap` is the same hot-key guard as the n-gram path, applied to
+    * (band, sig) buckets: a bucket holding > dfCap docs is a quadratic
+    * skew key in the self-join. Both candidate paths share one default so
+    * their documented equivalence holds under the same caveat — only
+    * pairs from groups of > dfCap mutually-near docs can be missed, and
+    * those surface through each other's clusters anyway. */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
-      n: Int = 3, numPerm: Int = 128, bands: Int = 32): DataFrame = {
+      n: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val banded = minhashBands(docs, n, numPerm, bands)
-    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    val capped = dfCap.fold(banded)(cap =>
+      dropHotKeys(banded, Seq("band", "sig"), cap, "minhashLshPairs"))
+    val l = capped.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val r = capped.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     val cands = l.join(r, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cands, shingleDocs(docs, n), threshold)
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------------
@@ -332,14 +363,25 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionAll(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    // Materialize the (possibly very expensive) upstream pair pipeline
+    // EXACTLY ONCE before anything references it twice — the edge
+    // symmetrization below reads it through both unionAll branches, and
+    // without this persist+count the whole dedup pipeline would run twice.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).persist()
+    val nPairs = p.count()
+    val empty = p.select(col("a").as("doc_id"), col("b").as("canonical_doc_id"))
+      .limit(0)
+    if (nPairs == 0) { p.unpersist(); return empty }
+    val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
       .persist()
     var labels = edges.groupBy(col("a").as("node"))
       .agg(least(min(col("b")), first(col("a"))).as("label"))
       .persist()
+    // SQL sum over zero rows is null — guard so an (unexpected) empty
+    // label frame converges instead of NPE-ing on compareTo.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -373,9 +415,16 @@ object Dedup {
     if (!converged)
       log.warn(s"connectedComponents: not converged after $maxIter rounds — " +
         "labels may be non-canonical for components with huge diameter")
+    // Eagerly pin the result (localCheckpoint materializes and truncates
+    // lineage), then release every cache this call created so nothing
+    // leaks into the shared session.
+    val result = labels
+      .select(col("node").as("doc_id"), col("label").as("canonical_doc_id"))
+      .localCheckpoint()
+    labels.unpersist()
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("canonical_doc_id"))
-      .orderBy("doc_id")
+    p.unpersist()
+    result.orderBy("doc_id")
   }
 
   // --- SparkEntry-facing query wrappers ---------------------------------
@@ -393,5 +442,5 @@ object Dedup {
     embeddingNearDupPairs(Tables.embeddings(s, dir))
 
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(ngramJaccardPairs(Tables.documents(s, dir)))
+    connectedComponents(ngramJaccardCore(Tables.documents(s, dir)))
 }

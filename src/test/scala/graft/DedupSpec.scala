@@ -83,4 +83,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc === Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("connected components on an empty pair list returns empty, no crash") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.columns.toSeq === Seq("doc_id", "canonical_doc_id"))
+    assert(cc.count() === 0)
+  }
+
+  test("cluster query path on a corpus with no near-dups returns empty") {
+    val loners = Seq(
+      (1L, "completely different text with nothing shared at all here"),
+      (2L, "an entirely unrelated sentence about distant mountain weather"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val cc = Dedup.connectedComponents(Dedup.ngramJaccardPairs(loners))
+    assert(cc.count() === 0)
+  }
 }

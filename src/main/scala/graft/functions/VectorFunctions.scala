@@ -29,13 +29,15 @@ object VectorFunctions {
     sqrt(aggregate(d, lit(0.0), (acc, v) => acc + v * v))
   }
 
-  /** cos(a, b) = a·b / (‖a‖·‖b‖). Callers should precompute and cache one
-    * side's norm when it is reused (see Similarity.bruteForceTopK). */
+  /** cos(a, b) = a·b / (‖a‖·‖b‖), both norms computed in place. When one
+    * side is fixed across the scan, use [[cosineWithNorms]] with that
+    * side's norm precomputed instead. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** cos given precomputed norms — avoids recomputing ‖a‖ per pair in
-    * pairwise scans (the norm is computed once per row, joined in). */
+  /** cos given precomputed norms — avoids recomputing a reused side's norm
+    * per row (see Similarity.bruteForceTopK, which precomputes the query
+    * norm once on the broadcast side). */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 }

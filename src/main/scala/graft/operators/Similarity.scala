@@ -13,72 +13,130 @@ import org.apache.spark.sql.functions._
   *     codegen'd scan over the corpus, TakeOrderedAndProject top-k.
   *     This is the correctness baseline and the oracle-checked Q15.
   *   - [[ivfTopK]]: IVF-style approximate path for scale — corpus is
-  *     bucketed by nearest centroid once (in a real deployment: written
-  *     out partitioned by centroid), queries probe only the closest
-  *     `nprobe` buckets. At 100 TB with C centroids and nprobe≈C/50 the
-  *     scan shrinks 50×; recall is tunable via nprobe.
+  *     assigned to its nearest centroid with a single shuffle-free
+  *     codegen'd scan (centroids ride along as a broadcast literal
+  *     array), queries probe only the closest `nprobe` buckets. At
+  *     100 TB the corpus would be written out partitioned by centroid
+  *     id, making the probe filter a partition-pruned read; recall is
+  *     tunable via nprobe.
   */
 object Similarity {
 
   /** Q15 — exact top-k cosine neighbors of `queryId`. The 1-row query side
-    * is broadcast; the corpus scan stays partition-parallel and the final
-    * orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
-    * driver merges k×P rows — no global sort at any scale). */
+    * is broadcast with its norm precomputed once (so the per-row work is
+    * one dot product + one corpus-row norm); the corpus scan stays
+    * partition-parallel and the final orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merges k×P rows —
+    * no global sort at any scale). */
   def bruteForceTopK(s: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qvec"))
+      .select(col("embedding").as("qvec"), l2Norm(col("embedding")).as("qnorm"))
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+      .withColumn("cos", cosineWithNorms(col("embedding"), col("qvec"),
+        l2Norm(col("embedding")), col("qnorm")))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Driver-side spherical k-means (Lloyd) over an already-normalized
+    * sample. Deterministic: fixed init (every sample.length/c-th point of
+    * the hash-ordered sample) and a fixed iteration count; empty clusters
+    * keep their previous centroid. Output centroids are unit-normalized,
+    * ordered by centroid id. O(sample × c × dim) on the driver — trivial
+    * next to any distributed step. */
+  private def kmeansCentroids(sample: Array[Array[Double]], c: Int,
+      iters: Int = 4): Array[Array[Double]] = {
+    val n = sample.length
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0) v else v.map(_ / norm)
+    }
+    var centroids = Array.tabulate(c)(i => sample((i.toLong * n / c).toInt))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(c, dim)(0.0)
+      val counts = new Array[Int](c)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var i = 0
+        while (i < c) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * centroids(i)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = i }
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(c)(i =>
+        if (counts(i) == 0) centroids(i) else normalize(sums(i)))
+    }
+    centroids
+  }
+
   /** IVF-flat approximate top-k.
     *
-    * Centroids are chosen deterministically (the `numCentroids` lowest
-    * vec_ids) — a stand-in for k-means that keeps the result reproducible
-    * for the driver; the assignment/probe machinery is the part that
-    * matters at scale. Every step is a broadcast join against the
-    * centroid set (tiny) + one shuffle-free scan; no O(n²) pair
-    * materialization anywhere.
+    * Scale shape — no shuffle of the corpus anywhere:
+    *   1. A bounded deterministic sample (hash-ordered TakeOrdered, ~64
+    *      rows per centroid) is collected and clustered on the driver
+    *      with a few spherical k-means rounds.
+    *   2. Centroid ASSIGNMENT is one codegen'd projection: the
+    *      unit-normalized centroids ride along as a literal
+    *      array<array<double>> and each row takes argmax over its dot
+    *      products (‖row‖ is constant per row, so plain dot ranks the
+    *      same as cosine). No crossJoin, no Window, no Exchange.
+    *   3. The PROBE list (the query's nprobe nearest centroids) is
+    *      computed on the driver, so probing is `cid isin (...)` — with
+    *      the corpus written out partitioned by cid this is partition
+    *      pruning, not even a filter scan.
     */
   def ivfTopK(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val centroids = e.orderBy("vec_id").limit(numCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 
-    // Assign every corpus vector to its nearest centroid: broadcast the
-    // centroid table, rank per vec_id, keep rank 1. One scan, no shuffle
-    // of the corpus (window is over vec_id which parquet already spreads).
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("embedding"), col("cvec")))
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("cdist").desc, col("cid"))))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    // -- 1. centroids from a deterministic pseudo-random sample ----------
+    val sampleRows = e
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numCentroids * 64)
+      .collect()
+    val sample = sampleRows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0) v else v.map(_ / norm)
+    }
+    val c = math.min(numCentroids, sample.length)
+    val centroids = kmeansCentroids(sample, c)
 
-    // Probe list for the query: its nprobe nearest centroids.
+    // -- 2. shuffle-free argmax assignment -------------------------------
+    val carr = typedLit(centroids.map(_.toSeq).toSeq)
+    val scores = transform(carr, cv => dot(col("embedding"), cv))
+    val assigned = e
+      .withColumn("scores", scores)
+      .withColumn("cid",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+
+    // -- 3. driver-side probe list + pruned exact search -----------------
     val qvec = e.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qvec"))
-    val probes = centroids.crossJoin(broadcast(qvec))
-      .withColumn("qdist", cosine(col("cvec"), col("qvec")))
-      .orderBy(col("qdist").desc, col("cid"))
-      .limit(nprobe)
-      .select(col("cid"))
-
-    // Search only the probed buckets (broadcast semi join prunes ~all of
-    // the corpus before the expensive cosine).
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+    val probeCids = centroids.zipWithIndex
+      .map { case (cv, i) => (cv.zip(qvec).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (d, i) => (-d, i) }
+      .take(math.min(nprobe, c))
+      .map(_._2)
     assigned
-      .join(broadcast(probes), Seq("cid"), "left_semi")
+      .filter(col("cid").isin(probeCids.map(Int.box): _*))
       .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(qvec))
-      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+      .withColumn("cos",
+        dot(col("embedding"), typedLit(qvec.toSeq)) /
+          (l2Norm(col("embedding")) * lit(qnorm)))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))

@@ -37,6 +37,13 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(ivf === brute)
   }
 
+  test("IVF plan is shuffle-free: no Exchange anywhere in the physical plan") {
+    val plan = Similarity.ivfTopK(spark, sf0001, 0, 5, 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"IVF assignment must not shuffle the corpus:\n$plan")
+  }
+
   test("IVF with partial probing achieves reasonable recall") {
     val brute = Similarity.bruteForceTopK(spark, sf0001, 0, 5)
       .collect().map(_.getLong(0)).toSet

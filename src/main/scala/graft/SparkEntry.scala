@@ -46,14 +46,18 @@ object SparkEntry {
     "q1_wordcount"        -> (Relational.q1Wordcount _),
     "q2_filter_project"   -> (Relational.q2FilterProject _),
     "q3_join_agg"         -> (Relational.q3JoinAgg _),
+    "q3b_left_join"       -> (Relational.q3bLeftJoin _),
+    "q3c_full_join"       -> (Relational.q3cFullJoin _),
     "q4_broadcast_chain"  -> (Relational.q4BroadcastChain _),
     "q5_hash_agg"         -> (Relational.q5HashAgg _),
     "q6_topk"             -> (Relational.q6TopK _),
     "q7_distinct"         -> (Relational.q7Distinct _),
     "q7b_approx_distinct" -> (Relational.q7bApproxDistinct _), // no oracle: HLL sketch value
     "q8_window_rank"      -> (Relational.q8WindowRank _),
+    "q8b_window_lag"      -> (Relational.q8bWindowLag _),
     "q9_except"           -> (Relational.q9Except _),
     "q9b_union_count"     -> (Relational.q9bUnionCount _),
+    "q9c_intersect"       -> (Relational.q9cIntersect _),
     "q10_semi"            -> (Relational.q10Semi _),
     "q10b_anti"           -> (Relational.q10bAnti _),
     "q11_time_bucket"     -> (Relational.q11TimeBucket _),
@@ -63,7 +67,12 @@ object SparkEntry {
     "q14_date_scalars"    -> (Relational.q14DateScalars _),
     "q15_cosine_topk"     -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q16_rollup"          -> (Relational.q16Rollup _),
+    "q16b_cube"           -> (Relational.q16bCube _),
+    "q16c_grouping_sets"  -> (Relational.q16cGroupingSets _),
     "q17_mapreduce_facade" -> (q17Facade _),
+    "q18_range_join"      -> (Relational.q18RangeJoin _),
+    "q18b_theta_band"     -> (Relational.q18bThetaBand _),
+    "q20_json_scalars"    -> (Relational.q20JsonScalars _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     // --- dedup family ---
@@ -135,6 +144,21 @@ object SparkEntry {
       """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q3b_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 4) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q3c_full_join" ->
+      """SELECT coalesce(c.nk, s.nk) AS n_nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |ON c.nk = s.nk
+        |ORDER BY n_nationkey""".stripMargin,
     "q4_broadcast_chain" ->
       """SELECT r_name, count(*) AS n_customers
         |FROM customer
@@ -160,6 +184,13 @@ object SparkEntry {
         |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q8b_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 4) AS delta_prev,
+        |  max(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS peak3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q9_except" ->
       """SELECT c_custkey FROM (
         |  SELECT c_custkey FROM customer
@@ -171,6 +202,12 @@ object SparkEntry {
         |  SELECT c_custkey AS k FROM customer
         |  UNION ALL
         |  SELECT o_custkey AS k FROM orders)""".stripMargin,
+    "q9c_intersect" ->
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
     "q10_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -210,7 +247,37 @@ object SparkEntry {
         |  coalesce(n_name, '(all)') AS n_name, count(*) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q16b_cube" ->
+      """SELECT coalesce(r_name, '(all)') AS r_name,
+        |  coalesce(n_name, '(all)') AS n_name, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q16c_grouping_sets" ->
+      """SELECT coalesce(r_name, '(all)') AS r_name,
+        |  coalesce(n_name, '(all)') AS n_name, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name)) ORDER BY 1, 2""".stripMargin,
     "q17_mapreduce_facade" -> q1Sql,
+    "q18_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q18b_theta_band" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p00_100k', 0.0, 100000.0), ('p100k_200k', 100000.0, 200000.0),
+        |  ('p200k_300k', 200000.0, 300000.0), ('p300k_400k', 300000.0, 400000.0),
+        |  ('p400k_up', 400000.0, 1e18))
+        |SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q20_json_scalars" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
+        |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // --- dedup family: minhash-LSH verifies candidates with EXACT
     // jaccard and the banding miss-probability at j≥0.8 is ~5e-8, so it
     // shares the exhaustive-equivalent shared-shingle oracle ---

@@ -194,4 +194,155 @@ object Relational {
         coalesce(col("n_name"), lit("(all)")).as("n_name"),
         col("n"))
       .orderBy("r_name", "n_name")
+
+  /** Q16b — CUBE over the same join: every grouping combination including
+    * the n_name-only slices rollup cannot produce. Same "(all)" sentinel
+    * convention as Q16. */
+  def q16bCube(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("r_name"),
+        coalesce(col("n_name"), lit("(all)")).as("n_name"),
+        col("n"))
+      .orderBy("r_name", "n_name")
+
+  /** Q16c — explicit GROUPING SETS ((r_name),(n_name)): only the two
+    * single-dimension slices, no grand total, no cross product. */
+  def q16cGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("r_name"),
+        coalesce(col("n_name"), lit("(all)")).as("n_name"),
+        col("n"))
+      .orderBy("r_name", "n_name")
+
+  // ---------------------------------------------------------------------
+  // Outer joins, set ops, window frames, theta joins, JSON scalars —
+  // SURVEY.md §2B items first exercised in round 4.
+  // ---------------------------------------------------------------------
+
+  /** Q3b — LEFT OUTER join: every customer, order count and spend
+    * (0 for customers with no orders). Same shuffle shape as Q3; the
+    * outer side adds no extra exchange. */
+  def q3bLeftJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** Q3c — FULL OUTER join of two pre-aggregated sides (customers and
+    * suppliers per nation). Pre-aggregating before the join keeps the
+    * outer join's shuffle at |nations|, not |customers| — the 100 TB
+    * pattern for outer-joining two fact summaries. The using-join
+    * coalesces the key across sides. */
+  def q3cFullJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nk"), "full_outer")
+      .select(
+        col("nk").as("n_nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Q8b — lag + frame window: per customer in order-date order, the
+    * delta to the previous order and the max over a 3-row trailing frame.
+    * One shuffle on o_custkey serves both window functions; delta is a
+    * single IEEE subtraction and max is order-insensitive, so the values
+    * are bit-stable across engines (no float-association hazard). */
+  def q8bWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("delta_prev",
+        round(col("o_totalprice") - lag("o_totalprice", 1, 0.0).over(w), 4))
+      .withColumn("peak3",
+        max("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "delta_prev", "peak3")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q9c — INTERSECT: customer keys that also appear in orders (plans as
+    * a distinct + left-semi — one shuffle per side on the key, same as
+    * EXCEPT). */
+  def q9cIntersect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select("c_custkey")
+      .intersect(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** Q18 — range self-join on events: pairs of events from the same user
+    * within 1 minute of each other, counted per user.
+    *
+    * NOT a nested-loop join: each left event is replicated to its own
+    * time bucket and the next (bucket width = the range window), the join
+    * is a plain equi-join on (user_id, bucket), and the exact range
+    * predicate filters the candidates. Replication factor is a constant 2
+    * regardless of data size — at 100 TB this stays a single hash
+    * shuffle, where a theta join would be a cross product. */
+  def q18RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winMicros = 60L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+    val a = ev.select(col("user_id"), col("tus").as("t_a"),
+      explode(array(expr(s"tus div $winMicros"),
+        expr(s"tus div $winMicros") + 1)).as("bucket"))
+    val b = ev.select(col("user_id"), col("tus").as("t_b"),
+      expr(s"tus div $winMicros").as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("t_b") > col("t_a") &&
+        col("t_b") <= col("t_a") + winMicros)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** Q18b — theta (non-equi) join: orders banded by price against a tiny
+    * literal band table. Plans as BroadcastNestedLoopJoin — the correct
+    * physical strategy when one side is a handful of rows; the fact side
+    * streams through codegen without any shuffle before the aggregate. */
+  def q18bThetaBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("p00_100k", 0.0, 100000.0),
+      ("p100k_200k", 100000.0, 200000.0),
+      ("p200k_300k", 200000.0, 300000.0),
+      ("p300k_400k", 300000.0, 400000.0),
+      ("p400k_up", 400000.0, 1e18)).toDF("band", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** Q20 — JSON scalars: extract `$.k` from the events.props JSON string
+    * and aggregate per event type. get_json_object is a codegen'd
+    * built-in; the whole query is one scan + one agg shuffle. */
+  def q20JsonScalars(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+        max("k").as("max_k"), sum("k").as("sum_k"))
+      .orderBy("event_type")
 }

@@ -80,6 +80,78 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(grand === Tables.nation(spark, sf0001).count())
   }
 
+  test("q3b left join keeps every customer; orderless customers count 0") {
+    val rows = Relational.q3bLeftJoin(spark, sf0001)
+    assert(rows.count() === Tables.customer(spark, sf0001).count())
+    val anti = Relational.q10bAnti(spark, sf0001).count()
+    assert(rows.filter(col("n_orders") === 0).count() === anti)
+  }
+
+  test("q3c full outer covers the union of both sides' nation keys") {
+    val rows = Relational.q3cFullJoin(spark, sf0001)
+    val nations = Tables.customer(spark, sf0001).select("c_nationkey")
+      .union(Tables.supplier(spark, sf0001).select("s_nationkey"))
+      .distinct().count()
+    assert(rows.count() === nations)
+    assert(rows.agg(sum("n_cust")).head.getLong(0) ===
+      Tables.customer(spark, sf0001).count())
+  }
+
+  test("q8b lag: first order per customer has delta = its own price") {
+    val rows = Relational.q8bWindowLag(spark, sf0001)
+    // lag default is 0.0, so the first row's delta equals o_totalprice
+    val first = rows.orderBy("o_custkey", "o_orderkey").limit(1).head
+    assert(first.getAs[Double]("peak3") >= first.getAs[Double]("o_totalprice"))
+    assert(rows.filter(col("peak3") < col("o_totalprice")).count() === 0)
+  }
+
+  test("q9c intersect equals the semi-join customer set") {
+    assert(Relational.q9cIntersect(spark, sf0001).count() ===
+      Relational.q10Semi(spark, sf0001).count())
+  }
+
+  test("q16b cube row count = rollup rows + n_name-only slices") {
+    val cube = Relational.q16bCube(spark, sf0001).count()
+    val rollup = Relational.q16Rollup(spark, sf0001).count()
+    val nNames = Tables.nation(spark, sf0001).select("n_name")
+      .distinct().count()
+    assert(cube === rollup + nNames)
+    val gsets = Relational.q16cGroupingSets(spark, sf0001).count()
+    val rNames = Tables.region(spark, sf0001).select("r_name")
+      .distinct().count()
+    assert(gsets === rNames + nNames)
+  }
+
+  test("q18 range join matches a direct theta-join recount, no nested loop") {
+    val got = Relational.q18RangeJoin(spark, sf0001)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must be a bucketed equi-join:\n$plan")
+    // direct (quadratic) recount on the tiny sf for semantics
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val expected = ev.as("a")
+      .join(ev.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("b.t") > col("a.t") && col("b.t") <= col("a.t") + 60000000L)
+      .count()
+    assert(got.agg(sum("n_pairs")).head.getLong(0) === expected)
+  }
+
+  test("q18b theta band join plans as broadcast nested loop and covers all orders") {
+    val got = Relational.q18bThetaBand(spark, sf0001)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$plan")
+    assert(got.agg(sum("n")).head.getLong(0) ===
+      Tables.orders(spark, sf0001).count())
+  }
+
+  test("q20 json scalars: k bounds sane, rows cover all events") {
+    val rows = Relational.q20JsonScalars(spark, sf0001)
+    assert(rows.agg(sum("n")).head.getLong(0) ===
+      Tables.events(spark, sf0001).count())
+    assert(rows.filter(col("min_k") > col("max_k")).count() === 0)
+  }
+
   test("q2/q5 plans: filters push to parquet scan; agg is partial+final") {
     val q2Plan = Relational.q2FilterProject(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -4,8 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE bare JSON line (plus a copy at
-  * `SPARK_GRAFT_BENCH_OUT`, default `bench_out.json` in the CWD, so the
-  * result is parseable even when a build tool prefixes stdout).
+  * `SPARK_GRAFT_BENCH_OUT`, default `target/bench_out.json` — a
+  * gitignored path, so runs never dirty the working tree).
+  *
+  * Queries run in sorted-name order after an untimed warm-up pass
+  * (disable with SPARK_GRAFT_WARMUP=0), so per-query timings are
+  * comparable across rounds — without this, JIT/cache context varies
+  * with map iteration order and per-query deltas under ~2× are noise.
   *
   * Failures are reported explicitly under `"failed"` and excluded from
   * the total — a broken query must never read as a 0-second speedup.
@@ -22,12 +27,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Dev aid: SPARK_GRAFT_ONLY=substr1,substr2 restricts the run to
-    // queries whose name contains any of the substrings (full run default).
+    // queries whose name contains any of the substrings (full run default);
+    // the selection is recorded in the JSON so partial runs self-identify.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.isEmpty || only.exists(name.contains)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (name, _) => only.isEmpty || only.exists(name.contains)
+    }
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    if (warmup) selected.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -52,12 +62,16 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
+    val onlyJson = only.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val total = timings.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_failed":${failed.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
     println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
+    val outPath = java.nio.file.Paths.get(out)
+    Option(outPath.getParent)
+      .foreach(p => java.nio.file.Files.createDirectories(p))
+    java.nio.file.Files.writeString(outPath, json + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

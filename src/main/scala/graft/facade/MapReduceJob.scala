@@ -122,6 +122,65 @@ class MapReduceJob[K1, V1, K2: ClassTag: Ordering, V2: ClassTag](
 }
 
 object MapReduceJob {
+
+  /** Write reducer output in the reference's final layout
+    * (thread_pool.cc:232-242): one text file `<job>-<reducerID>.out` per
+    * reducer partition, lines `key value\n`, reducer IDs 1-based
+    * (reference reducer i = Spark partition i-1, matching
+    * [[FirstCharPartitioner]]). Each task writes its own partition's file
+    * directly — the same shape as the reference, where every reducer
+    * writes its own `.out` — and truncates any existing file first
+    * (CleanExistingFile, thread_pool.cc:245-256). Files go through
+    * java.io against a shared filesystem; at cluster scale the same
+    * per-partition write pattern targets the distributed FS client
+    * (this is exactly what `rdd.saveAsTextFile` does internally, with
+    * part-NNNNN names instead of the reference's). */
+  def writeReferenceLayout[K2, V2](rdd: RDD[(K2, V2)], outDir: String,
+      jobName: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val f = new java.io.File(outDir, s"$jobName-${pid + 1}.out")
+      val w = new java.io.PrintWriter(
+        new java.io.BufferedWriter(new java.io.FileWriter(f, false)))
+      try it.foreach { case (k, v) => w.print(s"$k $v\n") }
+      finally w.close()
+      Iterator.single(pid)
+    }.count() // force the write job
+  }
+
+  /** Parse the reference's locality config — `chunkID nodeID` pairs —
+    * including its out-of-range fold `nodeID %= workers` with
+    * `0 → workers` (ReadLocalityConfigFile, thread_pool.cc:3-19,
+    * fold at :11-14). */
+  def parseLocalityConfig(lines: IterableOnce[String],
+      workers: Int): Seq[(Int, Int)] =
+    lines.iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+      val parts = l.split("\\s+")
+      val chunk = parts(0).toInt
+      var node = parts(1).toInt
+      if (node > workers) {
+        node %= workers
+        if (node == 0) node = workers
+      }
+      (chunk, node)
+    }.toSeq
+
+  /** Input RDD carrying the reference's INTENDED locality semantics:
+    * chunk c prefers the host of its configured node, consumed by Spark's
+    * delay scheduling. This models what GetNextDataAndRemove was meant to
+    * do (thread_pool.cc:28-44 — greedy match of a chunk's nodeID to the
+    * requesting rank); the reference call-site bug that degrades it to
+    * FIFO (mapreduce.cc:160 passes the jobtracker's own rank) is
+    * deliberately not ported. Chunk IDs are 1-based like the reference's. */
+  def inputWithLocality[T: ClassTag](sc: org.apache.spark.SparkContext,
+      chunks: Seq[T], locality: Seq[(Int, Int)],
+      hostOf: Int => String): RDD[T] = {
+    val byChunk = locality.toMap
+    sc.makeRDD(chunks.zipWithIndex.map { case (c, i) =>
+      (c, byChunk.get(i + 1).map(n => Seq(hostOf(n))).getOrElse(Seq.empty))
+    })
+  }
+
   /** Word count through the facade — the reference's one job, end to end.
     * Tokenization matches MapFunction (thread_pool.cc:87-101): split on
     * single spaces; the reference's appended trailing `" "`

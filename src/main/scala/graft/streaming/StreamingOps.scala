@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming over the `events` table schema (SURVEY.md §2B):
   * watermarked tumbling/sliding windows, session windows, and custom
   * state via mapGroupsWithState.
@@ -127,21 +129,70 @@ object StreamingOps {
       }
   }
 
-  /** Run a streaming DataFrame to completion against the local directory
-    * replay and return the final result — used to expose streaming
-    * operators through the batch SparkEntry.queries contract. */
-  def runToBatch(s: SparkSession, streamed: DataFrame, name: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory").queryName(name).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
-  }
+  /** SparkEntry wrapper: streaming tumbling counts in APPEND mode — the
+    * actual scale path, where the watermark prunes state and each window
+    * is emitted exactly once when it finalizes (the previous harness ran
+    * complete-mode, which re-emits the whole result every batch and never
+    * prunes state — a driver-memory scale-killer).
+    *
+    * Replay mechanics: the events file is copied into a temp landing
+    * directory as batch 1; a single sentinel row 30 days past the last
+    * real event lands as batch 2 and advances the watermark beyond every
+    * real window end; the engine's watermark-advance no-data batch then
+    * emits all finalized windows to the sink. The sentinel's own window
+    * never closes, so the append output is exactly the real windows. */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = Files.createTempDirectory("graft_stream_replay")
+    val evCopy = tmp.resolve("00_events.parquet")
+    Files.copy(Paths.get(dir, "events.parquet"), evCopy,
+      StandardCopyOption.REPLACE_EXISTING)
 
-  /** SparkEntry wrapper: streaming tumbling counts, replayed to a batch
-    * result (same oracle as the batch Q11 family). */
-  def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
-    runToBatch(s, tumblingCounts(readEventsStream(s, dir)), s"tumbling_${System.nanoTime()}")
+    val maxNanos = s.read.schema(eventsFileSchema).parquet(evCopy.toString)
+      .agg(max("ts")).head.getLong(0)
+    val sentinelNanos = maxNanos + 30L * 86400L * 1000000000L
+    val sentinelDir = tmp.resolve("sentinel_out")
+    s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        -1L, sentinelNanos, -1L, "__sentinel__", 0.0, null)),
+      eventsFileSchema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+    val sentinelPart = Files.list(sentinelDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val sentinelFile = tmp.resolve("01_sentinel.parquet")
+    Files.move(sentinelPart, sentinelFile)
+    // deterministic batch order: the file source processes older files
+    // first, so the real events strictly precede the sentinel
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(evCopy, FileTime.fromMillis(now - 60000))
+    Files.setLastModifiedTime(sentinelFile, FileTime.fromMillis(now))
+
+    val stream = s.readStream.schema(eventsFileSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"tumbling_${System.nanoTime()}"
+    val q = tumblingCounts(stream).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the emitting no-data batch can commit just after
+      // processAllAvailable returns — wait for a stable non-zero count
+      var prev = -1L
+      var cur = s.table(name).count()
+      var polls = 0
+      while ((cur == 0 || cur != prev) && polls < 40) {
+        prev = cur; Thread.sleep(250); cur = s.table(name).count(); polls += 1
+      }
+    } finally q.stop()
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    s.table(name).filter(col("event_type") =!= "__sentinel__")
       .orderBy("bucket", "event_type")
+  }
 
   /** SparkEntry wrapper: batch session windows (same operator streams with
     * a watermark — see StreamingSpec). */

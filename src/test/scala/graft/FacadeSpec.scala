@@ -41,6 +41,44 @@ class FacadeSpec extends AnyFunSuite with SparkFixture {
     assert(rdd.getNumPartitions === 4)
   }
 
+  test("reference-layout sink writes <job>-<reducerID>.out as 'key value' lines") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_facade_out")
+    val rdd = MapReduceJob.wordCount(
+      Tables.documents(spark, sf0001).select("text").as[String].rdd, 3)
+    MapReduceJob.writeReferenceLayout(rdd, out.toString, "wc")
+    val files = out.toFile.listFiles().map(_.getName).sorted
+    assert(files.toSeq === Seq("wc-1.out", "wc-2.out", "wc-3.out"))
+    val p = new FirstCharPartitioner(3)
+    val total = files.map { f =>
+      val lines = scala.io.Source.fromFile(new java.io.File(out.toFile, f))
+        .getLines().toVector
+      val reducerId = f.stripPrefix("wc-").stripSuffix(".out").toInt
+      val keys = lines.map(_.split(" ")(0))
+      // reference format: `key value\n`, routed by first char, key-sorted
+      assert(lines.forall(_.split(" ").length === 2))
+      assert(keys.forall(k => p.getPartition(k) === reducerId - 1))
+      assert(keys === keys.sorted)
+      lines.map(_.split(" ")(1).toLong).sum
+    }.sum
+    val expected = operators.Relational.q1Wordcount(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+    assert(total === expected)
+    out.toFile.listFiles().foreach(_.delete()); out.toFile.delete()
+  }
+
+  test("locality config parse folds out-of-range nodes; RDD carries hints") {
+    // reference thread_pool.cc:11-14: node > workers → node %= workers, 0→workers
+    val parsed = MapReduceJob.parseLocalityConfig(
+      Seq("1 1", "2 5", "3 3", "4 6"), workers = 3)
+    assert(parsed === Seq((1, 1), (2, 2), (3, 3), (4, 3)))
+    val rdd = MapReduceJob.inputWithLocality(
+      spark.sparkContext, Seq("c1", "c2", "c3", "c4"), parsed,
+      n => s"host$n")
+    val hints = rdd.partitions.map(p => rdd.preferredLocations(p)).toSeq
+    assert(hints === Seq(Seq("host1"), Seq("host2"), Seq("host3"), Seq("host3")))
+  }
+
   test("property: wordcount(a ++ b) == merge(wordcount(a), wordcount(b))") {
     val rng = new scala.util.Random(7)
     val vocab = Vector("spark", "map", "reduce", "key", "value", "d", "h")

@@ -64,6 +64,7 @@ object SparkEntry {
     "q11b_sliding"        -> (q11bSliding _),
     "q12_dedup_exact"     -> (Relational.q12DedupExact _),
     "q13_string_scalars"  -> (Relational.q13StringScalars _),
+    "q13b_math_scalars"   -> (Relational.q13bMathScalars _),
     "q14_date_scalars"    -> (Relational.q14DateScalars _),
     "q15_cosine_topk"     -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q16_rollup"          -> (Relational.q16Rollup _),
@@ -72,7 +73,10 @@ object SparkEntry {
     "q17_mapreduce_facade" -> (q17Facade _),
     "q18_range_join"      -> (Relational.q18RangeJoin _),
     "q18b_theta_band"     -> (Relational.q18bThetaBand _),
+    "q19_asof_join"       -> (Relational.q19AsofJoin _),
     "q20_json_scalars"    -> (Relational.q20JsonScalars _),
+    "q21_array_scalars"   -> (Relational.q21ArrayScalars _),
+    "q22_map_scalars"     -> (Relational.q22MapScalars _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     // --- dedup family ---
@@ -231,6 +235,13 @@ object SparkEntry {
       """SELECT length(p_name) AS name_len, count(*) AS cnt,
         |  min(lower(substring(p_name, 1, 5))) AS sample_prefix
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13b_math_scalars" ->
+      """SELECT l_orderkey % 7 AS k, count(*) AS n,
+        |  sum(floor(l_extendedprice))::BIGINT AS sum_floor_price,
+        |  sum(ceil(l_discount * 100))::BIGINT AS sum_ceil_disc,
+        |  round(sum(sqrt(l_quantity)), 4) AS sum_sqrt_qty,
+        |  round(max(abs(l_extendedprice - l_quantity * 1000)), 4) AS max_absdiff
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_date_scalars" ->
       """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
         |  count(*) AS n_orders
@@ -272,12 +283,36 @@ object SparkEntry {
         |SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q19_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS v_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, v.v_id AS view_event_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q20_json_scalars" ->
       """SELECT event_type, count(*) AS n,
         |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
         |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
         |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_array_scalars" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id, len(w)::BIGINT AS n_words,
+        |  array_to_string(list_sort(w)[1:3], ' ') AS first3_sorted,
+        |  list_contains(w, 'the') AS has_the
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q22_map_scalars" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id, len(list_distinct(w))::BIGINT AS n_distinct_words,
+        |  len(list_filter(w, x -> x = 'the'))::BIGINT AS tf_the
+        |FROM t ORDER BY doc_id""".stripMargin,
     // --- dedup family: minhash-LSH verifies candidates with EXACT
     // jaccard and the banding miss-probability at j≥0.8 is ~5e-8, so it
     // shares the exhaustive-equivalent shared-shingle oracle ---

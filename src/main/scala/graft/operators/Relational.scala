@@ -345,4 +345,93 @@ object Relational {
       .agg(count(lit(1)).as("n"), min("k").as("min_k"),
         max("k").as("max_k"), sum("k").as("sum_k"))
       .orderBy("event_type")
+
+  /** Q19 — AS-OF join: each purchase event matched to the user's most
+    * recent view event at or before it.
+    *
+    * Spark has no asof-join operator; the scale-correct composition is
+    * the union + running-`last` window ("merge as-of"): tag both sides,
+    * interleave them in (user, time) order with views sorting before
+    * purchases at equal timestamps (the "at or before" tie), and carry
+    * the latest view forward. ONE shuffle on user_id total (pinned by
+    * the spec) — an equi-join-per-row formulation would shuffle both
+    * sides and then need a per-row top-1, and a theta join would be
+    * quadratic. Ties among views at the same (user, ts) are resolved
+    * inside the same window sort (ascending v_id → `last` picks the max
+    * id), so no separate dedup aggregation — and no second shuffle —
+    * is needed. */
+  def q19AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("p_id"),
+        col("event_id").as("v_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+        lit(null).cast("long").as("v_id"))
+    // views first within a timestamp so a same-instant view matches
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("v_id").isNull, col("v_id"), col("p_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_v_id", last("v_id", ignoreNulls = true).over(w))
+      .withColumn("last_v_ts",
+        last(when(col("v_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("p_id").isNotNull && col("last_v_id").isNotNull)
+      .select(
+        col("p_id").as("event_id"),
+        col("user_id"),
+        col("last_v_id").as("view_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("last_v_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Q13b — math scalars (abs/floor/ceil/sqrt/mod) over lineitem.
+    * Deliberately built from exact operations: floor/ceil sums are
+    * integral (exact in double up to 2⁵³), abs-max is order-insensitive,
+    * sqrt is IEEE-correctly-rounded in both engines — no libm functions
+    * (ln/exp) whose last-ulp behavior could differ across engines. */
+  def q13bMathScalars(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy((col("l_orderkey") % 7).as("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice"))).cast("long").as("sum_floor_price"),
+        sum(ceil(col("l_discount") * 100)).cast("long").as("sum_ceil_disc"),
+        round(sum(sqrt(col("l_quantity"))), 4).as("sum_sqrt_qty"),
+        round(max(abs(col("l_extendedprice") - col("l_quantity") * 1000)), 4)
+          .as("max_absdiff"))
+      .orderBy("k")
+
+  /** Q21 — array scalars over the tokenized documents: size, sorted
+    * slice, membership. Everything stays inside codegen'd higher-order
+    * functions on one scan. */
+  def q21ArrayScalars(s: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), " "), x => length(x) > 0)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        array_join(slice(sort_array(words), 1, 3), " ").as("first3_sorted"),
+        array_contains(words, "the").as("has_the"))
+      .orderBy("doc_id")
+  }
+
+  /** Q22 — map scalars: per-document term-frequency map built with
+    * map_from_entries, probed with element_at. The oracle reconstructs
+    * the same OUTPUT with list operations — DuckDB's map semantics
+    * differ, which is exactly why the contract compares values, not
+    * plans. */
+  def q22MapScalars(s: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), " "), x => length(x) > 0)
+    val entries = transform(array_distinct(words),
+      w => struct(w.as("key"),
+        size(filter(words, x => x === w)).as("value")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), map_from_entries(entries).as("tf"))
+      .select(
+        col("doc_id"),
+        size(col("tf")).cast("long").as("n_distinct_words"),
+        coalesce(element_at(col("tf"), "the"), lit(0)).cast("long").as("tf_the"))
+      .orderBy("doc_id")
+  }
 }

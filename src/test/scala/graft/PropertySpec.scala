@@ -1,0 +1,81 @@
+package graft
+
+import graft.facade.{FirstCharPartitioner, MapReduceJob}
+import graft.operators.Dedup
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based suite (SURVEY.md §5 item 3): randomized inputs checked
+  * against independent driver-side oracles. Seeded, so failures are
+  * reproducible. */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(Seed(42L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Path-compressed union-find — the independent oracle for the
+    * DataFrame connected-components operator. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.groupBy(find).flatMap { case (_, ns) =>
+      val m = ns.min
+      ns.map(_ -> m)
+    }
+  }
+
+  test("property: connectedComponents equals driver-side union-find") {
+    val genEdges = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))).map(_.take(20))
+    check(Prop.forAll(genEdges) { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    }, n = 8)
+  }
+
+  test("property: facade wordcount distributes over corpus concatenation") {
+    val vocab = Gen.oneOf("spark", "map", "reduce", "d", "h", "x", "key")
+    val genLines = Gen.listOf(
+      Gen.listOf(vocab).map(_.take(10).mkString(" "))).map(_.take(8))
+    def wc(lines: List[String]): Map[String, Long] =
+      MapReduceJob.wordCount(
+        spark.sparkContext.parallelize(lines, 2), numReducers = 3)
+        .collect().toMap
+    check(Prop.forAll(genLines, genLines) { (a, b) =>
+      val merged = (wc(a).toSeq ++ wc(b).toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      wc(a ++ b) == merged
+    }, n = 6)
+  }
+
+  test("property: first-char partitioner matches the reference formula") {
+    val genKey = Gen.alphaNumStr.suchThat(_.nonEmpty)
+    val genR = Gen.choose(1, 9)
+    check(Prop.forAll(genKey, genR) { (key, r) =>
+      // reference thread_pool.cc:121-134: ascii % R, 0 → R, 1-indexed
+      val m = key.charAt(0).toInt % r
+      val reference1Based = if (m == 0) r else m
+      new FirstCharPartitioner(r).getPartition(key) == reference1Based - 1
+    }, n = 50)
+  }
+}

@@ -136,14 +136,15 @@ object StreamingOps {
     * prunes state — a driver-memory scale-killer).
     *
     * Replay mechanics: the events file is copied into a temp landing
-    * directory as batch 1; a single sentinel row 30 days past the last
-    * real event lands as batch 2 and advances the watermark beyond every
-    * real window end; the engine's watermark-advance no-data batch then
-    * emits all finalized windows to the sink. The sentinel's own window
-    * never closes, so the append output is exactly the real windows. */
+    * directory together with a single sentinel row 30 days past the last
+    * real event. The initial watermark is 0, so the whole directory can
+    * replay as ONE micro-batch with nothing late-dropped; at its end the
+    * watermark advances past every real window end and the engine's
+    * no-data batch emits all finalized windows to the sink. The
+    * sentinel's own window never closes, so the append output is exactly
+    * the real windows. */
   def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.nio.file.attribute.FileTime
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Files.createTempDirectory("graft_stream_replay")
     val evCopy = tmp.resolve("00_events.parquet")
@@ -163,14 +164,8 @@ object StreamingOps {
       .find(_.toString.endsWith(".parquet")).get
     val sentinelFile = tmp.resolve("01_sentinel.parquet")
     Files.move(sentinelPart, sentinelFile)
-    // deterministic batch order: the file source processes older files
-    // first, so the real events strictly precede the sentinel
-    val now = System.currentTimeMillis()
-    Files.setLastModifiedTime(evCopy, FileTime.fromMillis(now - 60000))
-    Files.setLastModifiedTime(sentinelFile, FileTime.fromMillis(now))
 
     val stream = s.readStream.schema(eventsFileSchema)
-      .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet")
       .parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -184,8 +179,8 @@ object StreamingOps {
       var prev = -1L
       var cur = s.table(name).count()
       var polls = 0
-      while ((cur == 0 || cur != prev) && polls < 40) {
-        prev = cur; Thread.sleep(250); cur = s.table(name).count(); polls += 1
+      while ((cur == 0 || cur != prev) && polls < 100) {
+        prev = cur; Thread.sleep(100); cur = s.table(name).count(); polls += 1
       }
     } finally q.stop()
     Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())

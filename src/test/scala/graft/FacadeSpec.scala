@@ -79,6 +79,30 @@ class FacadeSpec extends AnyFunSuite with SparkFixture {
     assert(hints === Seq(Seq("host1"), Seq("host2"), Seq("host3"), Seq("host3")))
   }
 
+  test("ReferenceCli: reference argv surface end to end on a text file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli")
+    val input = dir.resolve("in.txt")
+    // trailing spaces per README.md:9 of the reference; counts unaffected
+    java.nio.file.Files.writeString(input,
+      "d d h \nh x d \ny \nd h \n")
+    val loc = dir.resolve("loc.txt")
+    java.nio.file.Files.writeString(loc, "1 1\n2 2\n")
+    val out = dir.resolve("out")
+    // chunk_size 2 → 2 chunks; delay 0 ignored
+    graft.facade.ReferenceCli.main(Array(
+      "wcjob", "3", "0", input.toString, "2", loc.toString, out.toString))
+    val byFile = out.toFile.listFiles().map(_.getName).sorted
+    assert(byFile.toSeq === Seq("wcjob-1.out", "wcjob-2.out", "wcjob-3.out"))
+    val counts = byFile.flatMap { f =>
+      scala.io.Source.fromFile(new java.io.File(out.toFile, f)).getLines()
+        .map { l => val Array(w, c) = l.split(" "); w -> c.toLong }
+    }.toMap
+    assert(counts === Map("d" -> 4L, "h" -> 3L, "x" -> 1L, "y" -> 1L))
+    out.toFile.listFiles().foreach(_.delete())
+    Seq(out, input, loc).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    java.nio.file.Files.deleteIfExists(dir)
+  }
+
   test("property: wordcount(a ++ b) == merge(wordcount(a), wordcount(b))") {
     val rng = new scala.util.Random(7)
     val vocab = Vector("spark", "map", "reduce", "key", "value", "d", "h")

@@ -203,6 +203,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       Tables.lineitem(spark, sf0001).count())
   }
 
+  test("salted equi-join equals the plain join on skewed data") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a tail
+    val large = (Seq.fill(900)(1L) ++ (2L to 101L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "label")
+    val salted = operators.Skew.saltedEquiJoin(large, small, "k", salts = 8)
+      .select("k", "payload", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val plain = large.join(small, "k")
+      .select("k", "payload", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.length === 902) // 900 hot + keys 2 and 3
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("q2/q5 plans: filters push to parquet scan; agg is partial+final") {
     val q2Plan = Relational.q2FilterProject(spark, sf0001)
       .queryExecution.executedPlan.toString

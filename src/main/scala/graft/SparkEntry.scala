@@ -50,6 +50,7 @@ object SparkEntry {
     "q3c_full_join"       -> (Relational.q3cFullJoin _),
     "q4_broadcast_chain"  -> (Relational.q4BroadcastChain _),
     "q5_hash_agg"         -> (Relational.q5HashAgg _),
+    "q5b_percentiles"     -> (Relational.q5bPercentiles _),
     "q6_topk"             -> (Relational.q6TopK _),
     "q7_distinct"         -> (Relational.q7Distinct _),
     "q7b_approx_distinct" -> (Relational.q7bApproxDistinct _), // no oracle: HLL sketch value
@@ -77,6 +78,7 @@ object SparkEntry {
     "q20_json_scalars"    -> (Relational.q20JsonScalars _),
     "q21_array_scalars"   -> (Relational.q21ArrayScalars _),
     "q22_map_scalars"     -> (Relational.q22MapScalars _),
+    "q23_pivot"           -> (Relational.q23Pivot _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     // --- dedup family ---
@@ -177,6 +179,12 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q5b_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q6_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -313,6 +321,15 @@ object SparkEntry {
         |SELECT doc_id, len(list_distinct(w))::BIGINT AS n_distinct_words,
         |  len(list_filter(w, x -> x = 'the'))::BIGINT AS tf_the
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q23_pivot" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+        |  count(*) FILTER (c_mktsegment = 'BUILDING') AS building,
+        |  count(*) FILTER (c_mktsegment = 'FURNITURE') AS furniture,
+        |  count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS household,
+        |  count(*) FILTER (c_mktsegment = 'MACHINERY') AS machinery
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // --- dedup family: minhash-LSH verifies candidates with EXACT
     // jaccard and the banding miss-probability at j≥0.8 is ~5e-8, so it
     // shares the exhaustive-equivalent shared-shingle oracle ---

@@ -346,6 +346,39 @@ object Relational {
         max("k").as("max_k"), sum("k").as("sum_k"))
       .orderBy("event_type")
 
+  /** Q5b — exact percentiles (median / p90) of l_quantity per return
+    * flag. Spark's `percentile` and DuckDB's `quantile_cont` both use
+    * linear interpolation, and l_quantity is integral, so the values are
+    * exact across engines. (percentile_approx is the 100 TB operator —
+    * like approx_count_distinct it is sketch-valued, so the EXACT form is
+    * the oracle-checked one.) */
+  def q5bPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+      .orderBy("l_returnflag")
+
+  /** Q23 — pivot: order counts per year, one column per market segment
+    * (explicit value list keeps the schema static — the form that scales,
+    * since an unlisted pivot needs an extra distinct-values job). Missing
+    * combinations are folded to 0 to match SQL conditional aggregation. */
+  def q23Pivot(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val pivoted = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+    pivoted.select(col("o_year") +:
+      segs.map(sg => coalesce(col(sg), lit(0L)).as(sg.toLowerCase)): _*)
+      .orderBy("o_year")
+  }
+
   /** Q19 — AS-OF join: each purchase event matched to the user's most
     * recent view event at or before it.
     *

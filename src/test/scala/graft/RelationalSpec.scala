@@ -203,6 +203,18 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       Tables.lineitem(spark, sf0001).count())
   }
 
+  test("q5b percentiles ordered and bounded; q23 pivot covers all orders") {
+    val p = Relational.q5bPercentiles(spark, sf0001).collect()
+    p.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2)) // p50 <= p90
+      assert(r.getDouble(3) <= r.getDouble(1) && r.getDouble(2) <= r.getDouble(4))
+    }
+    val piv = Relational.q23Pivot(spark, sf0001)
+    val segTotal = piv.columns.filterNot(_ == "o_year")
+      .map(c => piv.agg(sum(c)).head.getLong(0)).sum
+    assert(segTotal === Tables.orders(spark, sf0001).count())
+  }
+
   test("salted equi-join equals the plain join on skewed data") {
     import spark.implicits._
     // one hot key (90% of rows) + a tail

@@ -79,6 +79,8 @@ object SparkEntry {
     "q21_array_scalars"   -> (Relational.q21ArrayScalars _),
     "q22_map_scalars"     -> (Relational.q22MapScalars _),
     "q23_pivot"           -> (Relational.q23Pivot _),
+    "q24_scalar_subquery" -> (Relational.q24ScalarSubquery _),
+    "q25_correlated_exists" -> (Relational.q25CorrelatedExists _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     // --- dedup family ---
@@ -321,6 +323,17 @@ object SparkEntry {
         |SELECT doc_id, len(list_distinct(w))::BIGINT AS n_distinct_words,
         |  len(list_filter(w, x -> x = 'the'))::BIGINT AS tf_the
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q24_scalar_subquery" ->
+      """SELECT count(*) AS n_above, round(avg(o_totalprice), 4) AS avg_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    "q25_correlated_exists" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q23_pivot" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year,
         |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,

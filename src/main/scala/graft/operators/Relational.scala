@@ -334,6 +334,35 @@ object Relational {
       .orderBy("band")
   }
 
+  /** Q24 — SQL surface + scalar subquery: the same engine through
+    * `spark.sql`, with an uncorrelated scalar subquery Catalyst plans as
+    * a one-row broadcast. Registered as a temp view per call — cheap,
+    * idempotent. */
+  def q24ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""SELECT count(*) AS n_above,
+             |  round(avg(o_totalprice), 4) AS avg_above
+             |FROM orders_v
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+             |""".stripMargin)
+  }
+
+  /** Q25 — correlated EXISTS subquery with an extra predicate, through
+    * SQL: Catalyst decorrelates it into a left-semi join (same physical
+    * shape as Q10), so the SQL front door pays nothing over the
+    * DataFrame form. */
+  def q25CorrelatedExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""SELECT c_mktsegment, count(*) AS n
+             |FROM customer_v c
+             |WHERE EXISTS (SELECT 1 FROM orders_v o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 400000)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment
+             |""".stripMargin)
+  }
+
   /** Q20 — JSON scalars: extract `$.k` from the events.props JSON string
     * and aggregate per event type. get_json_object is a codegen'd
     * built-in; the whole query is one scan + one agg shuffle. */

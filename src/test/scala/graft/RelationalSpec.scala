@@ -215,6 +215,20 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(segTotal === Tables.orders(spark, sf0001).count())
   }
 
+  test("q24/q25 SQL subqueries: sane bounds, correlated EXISTS = semi join") {
+    val r = Relational.q24ScalarSubquery(spark, sf0001).head
+    assert(r.getLong(0) > 0 && r.getLong(0) <
+      Tables.orders(spark, sf0001).count())
+    val viaSql = Relational.q25CorrelatedExists(spark, sf0001)
+      .agg(sum("n")).head.getLong(0)
+    val viaDf = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    assert(viaSql === viaDf)
+  }
+
   test("salted equi-join equals the plain join on skewed data") {
     import spark.implicits._
     // one hot key (90% of rows) + a tail

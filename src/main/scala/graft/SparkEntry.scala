@@ -99,6 +99,7 @@ object SparkEntry {
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
+    "stream_stream_join"  -> (StreamingOps.qStreamStreamJoin _),
   )
 
   /** Shared n-gram-shingle CTE prefix for the dedup oracles (word
@@ -416,6 +417,13 @@ object SparkEntry {
     // --- streaming (tumbling replays the stream; sessions run the same
     // operator in batch; both reconstruct in SQL) ---
     "stream_tumbling" -> q11Sql,
+    "stream_stream_join" ->
+      """SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND p.user_id = v.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY p_id, v_id""".stripMargin,
     "stream_sessions" ->
       """WITH x AS (SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)

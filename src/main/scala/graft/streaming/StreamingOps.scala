@@ -80,6 +80,40 @@ object StreamingOps {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's views from the preceding hour. Both branches of the one
+    * event stream are watermarked, and the join condition bounds event
+    * time on both sides, so Spark evicts join state once the watermark
+    * passes `p_ts − 1 hour` — bounded state at any input rate, the
+    * canonical streaming-join shape. Inner-join matches emit as soon as
+    * both rows have arrived (no watermark wait), so append mode needs no
+    * sentinel. */
+  def streamStreamIntervalJoin(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("v_id"), col("user_id"))
+  }
+
+  /** SparkEntry wrapper: the interval join run over the events replay,
+    * append mode. */
+  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = streamStreamIntervalJoin(readEventsStream(s, dir))
+    val name = s"ssjoin_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("p_id", "v_id")
+  }
+
   // --- custom state: mapGroupsWithState sessionization -------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

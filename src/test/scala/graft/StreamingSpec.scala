@@ -20,6 +20,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = StreamingOps.qStreamStreamJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf0001)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .join(ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id")),
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("p_id", "v_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session windows merge within gap and split beyond it") {
     def ts(min: Long) = new Timestamp(min * 60000L)
     val events = Seq(

@@ -48,6 +48,7 @@ object SparkEntry {
     "q3_join_agg"         -> (Relational.q3JoinAgg _),
     "q3b_left_join"       -> (Relational.q3bLeftJoin _),
     "q3c_full_join"       -> (Relational.q3cFullJoin _),
+    "q3d_right_join"      -> (Relational.q3dRightJoin _),
     "q4_broadcast_chain"  -> (Relational.q4BroadcastChain _),
     "q5_hash_agg"         -> (Relational.q5HashAgg _),
     "q5b_percentiles"     -> (Relational.q5bPercentiles _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "q7b_approx_distinct" -> (Relational.q7bApproxDistinct _), // no oracle: HLL sketch value
     "q8_window_rank"      -> (Relational.q8WindowRank _),
     "q8b_window_lag"      -> (Relational.q8bWindowLag _),
+    "q8c_window_misc"     -> (Relational.q8cWindowMisc _),
     "q9_except"           -> (Relational.q9Except _),
     "q9b_union_count"     -> (Relational.q9bUnionCount _),
     "q9c_intersect"       -> (Relational.q9cIntersect _),
@@ -199,6 +201,21 @@ object SparkEntry {
         |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q3d_right_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 4) AS total_spent
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q8c_window_misc" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, drnk, quartile FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 5 ORDER BY o_custkey, rn""".stripMargin,
     "q8b_window_lag" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 4) AS delta_prev,

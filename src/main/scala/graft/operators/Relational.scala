@@ -261,6 +261,34 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** Q3d — RIGHT OUTER join (orders ⋈ customer from the orders side):
+    * same result as Q3b's left join with sides flipped, but exercises the
+    * right-outer physical path. */
+  def q3dRightJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"),
+        "right")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** Q8c — ranking-function breadth: row_number / dense_rank / ntile in
+    * one windowed pass. The full (o_totalprice DESC, o_orderkey) ordering
+    * makes every function deterministic under ties. */
+  def q8cWindowMisc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Q8b — lag + frame window: per customer in order-date order, the
     * delta to the previous order and the max over a 3-row trailing frame.
     * One shuffle on o_custkey serves both window functions; delta is a

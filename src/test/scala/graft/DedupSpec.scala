@@ -52,6 +52,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(uncapped > 0 && capped === 0)
   }
 
+  test("hot-shingle fallback path: pairs found via non-hot shingles, exact jaccard") {
+    // shared filler makes its shingles hot (df=5 > cap=4); docs 1 and 2
+    // also share unique content, so their pair survives candidate
+    // generation through non-hot shingles and must be verified on the
+    // FULL shingle sets (filler included) for an exact jaccard value.
+    val filler = "lorem ipsum dolor sit amet consectetur"
+    val corpus = Seq(
+      (1L, s"$filler unique alpha beta gamma delta shared"),
+      (2L, s"$filler unique alpha beta gamma delta shared"),
+      (3L, s"$filler three distinct words here one"),
+      (4L, s"$filler four different tokens again two"),
+      (5L, s"$filler five other terms entirely three"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(corpus, threshold = 0.9,
+      dfCap = Some(4)).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    // identical docs → exact jaccard 1.0 even though filler shingles were
+    // dropped from candidate generation
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+  }
+
   test("simhash: identical docs distance 0; near docs close; unrelated far") {
     val fp = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

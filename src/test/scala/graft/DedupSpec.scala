@@ -105,6 +105,15 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("every dedup operator returns empty on an empty corpus, no crash") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(noDocs).count() === 0)
+    assert(Dedup.minhashLshPairs(noDocs).count() === 0)
+    assert(Dedup.simhashPairs(noDocs).count() === 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairs(noVecs).count() === 0)
+  }
+
   test("connected components on an empty pair list returns empty, no crash") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(pairs)

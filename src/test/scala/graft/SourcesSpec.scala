@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite with SparkFixture {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("csv reader parses valid rows and captures malformed ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("data.csv")
+    java.nio.file.Files.writeString(f,
+      "id,name,score\n1,alpha,0.5\nnot_a_number,beta,oops\n3,gamma,1.25\n")
+    // corrupt-column-only queries require materialized input (see
+    // Sources.corruptRecords doc) — cache as a quarantine step would
+    val df = Sources.csv(spark, f.toString, schema).cache()
+    try {
+      assert(Sources.validRecords(df).count() === 2)
+      val corrupt = Sources.corruptRecords(df).collect()
+      assert(corrupt.length === 1)
+      assert(corrupt.head.getAs[String]("_corrupt").contains("not_a_number"))
+    } finally df.unpersist()
+    java.nio.file.Files.deleteIfExists(f); java.nio.file.Files.deleteIfExists(dir)
+  }
+
+  test("json reader parses valid rows and captures malformed ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json")
+    val f = dir.resolve("data.json")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "alpha", "score": 0.5}
+        |{"id": broken json here
+        |{"id": 3, "name": "gamma", "score": 1.25}
+        |""".stripMargin)
+    val df = Sources.json(spark, f.toString, schema).cache()
+    try {
+      assert(Sources.validRecords(df).count() === 2)
+      assert(Sources.corruptRecords(df).count() === 1)
+    } finally df.unpersist()
+    java.nio.file.Files.deleteIfExists(f); java.nio.file.Files.deleteIfExists(dir)
+  }
+
+  test("partitioned sink lays out by column and scans prune partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part")
+      .resolve("events_by_type").toString
+    Sinks.writePartitioned(
+      Tables.events(spark, sf0001).select("event_id", "event_type", "value"),
+      out, Seq("event_type"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("event_type=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")))
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter not pushed:\n$plan")
+    assert(pruned.count() ===
+      Tables.events(spark, sf0001)
+        .filter(col("event_type") === "purchase").count())
+  }
+}

@@ -215,8 +215,12 @@ object StreamingOps {
       .parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"tumbling_${System.nanoTime()}"
-    val q = tumblingCounts(stream).writeStream
+    // per-query state cardinality, as in qStreamStreamJoin
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try tumblingCounts(stream).writeStream
       .format("memory").queryName(name).outputMode("append").start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
       // the emitting no-data batch can commit just after

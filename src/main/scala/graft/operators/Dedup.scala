@@ -476,6 +476,18 @@ object Dedup {
     val empty = p.select(col("a").as("doc_id"), col("b").as("canonical_doc_id"))
       .limit(0)
     if (nPairs == 0) { p.unpersist(); return empty }
+    // The CC graph (verified near-dup pairs) is orders of magnitude
+    // smaller than the corpus that produced it, and nPairs is now known:
+    // run the iteration's shuffles at a partition count proportional to
+    // the graph (~100k pair rows per partition), not the session default
+    // sized for corpus scans — each round is several joins, and per-
+    // partition fixed costs dominate on a small graph. Restored after.
+    val session = p.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    val ccParts = math.max(1L, math.min(prevParts.toLong,
+      nPairs / 100000L + 1L)).toString
+    session.conf.set("spark.sql.shuffle.partitions", ccParts)
+    try {
     val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
       .persist()
     var labels = edges.groupBy(col("a").as("node"))
@@ -529,6 +541,7 @@ object Dedup {
     edges.unpersist()
     p.unpersist()
     result.orderBy("doc_id")
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // --- SparkEntry-facing query wrappers ---------------------------------

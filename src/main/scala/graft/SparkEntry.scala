@@ -52,6 +52,8 @@ object SparkEntry {
     "q4_broadcast_chain"  -> (Relational.q4BroadcastChain _),
     "q5_hash_agg"         -> (Relational.q5HashAgg _),
     "q5b_percentiles"     -> (Relational.q5bPercentiles _),
+    "q5c_approx_percentiles" -> (Relational.q5cApproxPercentiles _), // no oracle: sketch
+
     "q6_topk"             -> (Relational.q6TopK _),
     "q7_distinct"         -> (Relational.q7Distinct _),
     "q7b_approx_distinct" -> (Relational.q7bApproxDistinct _), // no oracle: HLL sketch value

@@ -419,6 +419,21 @@ object Relational {
         max("l_quantity").as("max_qty"))
       .orderBy("l_returnflag")
 
+  /** Q5c — approximate percentiles via the KLL-style sketch
+    * (percentile_approx): one pass, bounded memory per group — the
+    * operator actually run at 100 TB, with Q5b's exact form carrying the
+    * oracle. Sketch-valued → no oracle entry; RelationalSpec bounds it
+    * against the exact result. */
+  def q5cApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(1000))
+          .as("p90_approx"))
+      .orderBy("l_returnflag")
+
   /** Q23 — pivot: order counts per year, one column per market segment
     * (explicit value list keeps the schema static — the form that scales,
     * since an unlisted pivot needs an extra distinct-values job). Missing

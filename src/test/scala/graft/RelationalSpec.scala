@@ -209,6 +209,13 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(r.getDouble(1) <= r.getDouble(2)) // p50 <= p90
       assert(r.getDouble(3) <= r.getDouble(1) && r.getDouble(2) <= r.getDouble(4))
     }
+    val approx = Relational.q5cApproxPercentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    p.foreach { r =>
+      val (a50, a90) = approx(r.getString(0))
+      assert(math.abs(a50 - r.getDouble(1)) <= 2.0) // sketch within 2 units
+      assert(math.abs(a90 - r.getDouble(2)) <= 2.0)
+    }
     val piv = Relational.q23Pivot(spark, sf0001)
     val segTotal = piv.columns.filterNot(_ == "o_year")
       .map(c => piv.agg(sum(c)).head.getLong(0)).sum

@@ -125,6 +125,20 @@ object StreamingOps {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Drive a streaming frame into a parquet FILE sink — the production
+    * sink (per-batch exactly-once via the sink's transaction log plus the
+    * checkpoint), as opposed to the memory sink the oracle harness uses.
+    * Returns when all available input has been processed. */
+  def runToParquetSink(streamed: DataFrame, path: String,
+      checkpoint: String): Unit = {
+    val q = streamed.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   // --- custom state: mapGroupsWithState sessionization -------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

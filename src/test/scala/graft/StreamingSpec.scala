@@ -20,6 +20,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("parquet file sink: streamed projection equals the batch result") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fsink")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val streamed = StreamingOps.readEventsStream(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    StreamingOps.runToParquetSink(streamed, out, ckpt)
+    val got = spark.read.parquet(out)
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.count() === expected)
+    assert(got.columns.toSet === Set("event_id", "user_id", "value"))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = StreamingOps.qStreamStreamJoin(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *     self-join carries (band, signature, doc_id) — never the shingle
   *     arrays or embedding vectors — so the shuffle payload is a few
   *     bytes per replica instead of the whole document feature set
-  *     amplified once per band. The heavy columns are joined back in
-  *     exactly once per surviving candidate pair for exact verification.
+  *     amplified once per band. For LSH paths the heavy columns are
+  *     joined back in exactly once per surviving candidate pair for
+  *     exact verification; the n-gram path usually needs no heavy join
+  *     at all — the shared-shingle join counts the intersection as a
+  *     by-product, which IS the exact Jaccard whenever the df-cap
+  *     dropped nothing (see [[ngramJaccardCore]]).
   *   - The posting-list join has a document-frequency cap ON by default
   *     ([[DefaultDfCap]]): shingles appearing in more than dfCap docs are
   *     dropped from candidate generation (they generate quadratic pair

@@ -102,11 +102,10 @@ object Dedup {
     * the web-scale guard against quadratic hot keys in candidate-pair
     * self-joins. The hot key list is collected to the driver (it must fit
     * in memory anyway to be broadcast for the anti-join, so collecting
-    * adds no new bound), logged, and anti-joined away. Nothing is left
-    * persisted in the shared session. */
-  /** Like the public variant below, but also reports whether anything was
-    * actually dropped — callers can take an exact fast path when the cap
-    * never fired (the common case below web scale). */
+    * adds no new bound), logged, and anti-joined away; the boolean
+    * reports whether anything was actually dropped, so callers can take
+    * an exact fast path when the cap never fired (the common case below
+    * web scale). Nothing is left persisted in the shared session. */
   private def dropHotKeysTagged(df: DataFrame, keys: Seq[String], cap: Int,
       what: String): (DataFrame, Boolean) = {
     val hot = df.groupBy(keys.map(col): _*).count()
@@ -500,7 +499,7 @@ object Dedup {
     // SQL sum over zero rows is null — guard so an (unexpected) empty
     // label frame converges instead of NPE-ing on compareTo.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false

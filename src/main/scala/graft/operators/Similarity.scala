@@ -124,7 +124,7 @@ object Similarity {
 
     // -- 3. driver-side probe list + pruned exact search -----------------
     val qvec = e.filter(col("vec_id") === queryId)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     val qnorm = math.sqrt(qvec.map(x => x * x).sum)
     val probeCids = centroids.zipWithIndex
       .map { case (cv, i) => (cv.zip(qvec).map { case (a, b) => a * b }.sum, i) }
@@ -132,7 +132,7 @@ object Similarity {
       .take(math.min(nprobe, c))
       .map(_._2)
     assigned
-      .filter(col("cid").isin(probeCids.map(Int.box): _*))
+      .filter(col("cid").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probeCids.map(Int.box)): _*))
       .filter(col("vec_id") =!= queryId)
       .withColumn("cos",
         dot(col("embedding"), typedLit(qvec.toSeq)) /

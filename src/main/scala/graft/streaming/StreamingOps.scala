@@ -211,7 +211,7 @@ object StreamingOps {
       StandardCopyOption.REPLACE_EXISTING)
 
     val maxNanos = s.read.schema(eventsFileSchema).parquet(evCopy.toString)
-      .agg(max("ts")).head.getLong(0)
+      .agg(max("ts")).head().getLong(0)
     val sentinelNanos = maxNanos + 30L * 86400L * 1000000000L
     val sentinelDir = tmp.resolve("sentinel_out")
     s.createDataFrame(

@@ -326,7 +326,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
         |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
-        |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q21_array_scalars" ->
       """WITH t AS (SELECT doc_id,

@@ -25,15 +25,14 @@ import org.apache.spark.sql.functions._
   *     by-product, which IS the exact Jaccard whenever the df-cap
   *     dropped nothing (see [[ngramJaccardCore]]).
   *   - The posting-list join has a document-frequency cap ON by default
-  *     ([[DefaultDfCap]]): shingles appearing in more than dfCap docs are
-  *     dropped from candidate generation (they generate quadratic pair
-  *     blowup and carry no discriminative signal — a single hot shingle
-  *     like "the quick brown" is a skew key that stalls a 1000-executor
-  *     shuffle). Dropped shingles are logged. Verification still uses the
-  *     FULL shingle sets, so reported Jaccard values are exact; only
-  *     pairs whose every shared shingle is hot can be missed, and at
-  *     Jaccard ≥ 0.8 such pairs imply > dfCap near-identical docs that
-  *     surface through each other anyway.
+  *     ([[DefaultDfCap]]): a shingle or LSH bucket appearing in more
+  *     than dfCap docs is a skew key that would generate quadratic pair
+  *     blowup and stall a 1000-executor shuffle. Hot buckets are not
+  *     dropped — they degrade to STAR candidates around the bucket-min
+  *     representative ([[splitHotKeysStar]]): O(bucket) edges that still
+  *     span the bucket, so clusters larger than the cap survive.
+  *     Verification always uses the FULL feature sets, so reported
+  *     Jaccard/cosine values are exact.
   *   - Connected components for cluster assignment is iterative min-label
   *     propagation with pointer jumping (label-of-label), pure DataFrame
   *     joins — no driver-side graph. Pointer jumping makes convergence
@@ -55,30 +54,24 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** (doc_id, shingles: array<string>) — distinct word n-grams per doc.
-    * Docs shorter than n words produce an empty array (kept: they simply
-    * can never match a candidate pair).
+    * Docs shorter than n words (or with null text) produce an empty
+    * array (kept: they simply can never match a candidate pair).
     *
-    * The tokenization is materialized as its own projection BEFORE the
-    * n-gram transform so the lambda body references a bound column.
-    * Higher-order functions evaluate their lambda per element with the
-    * body's subtrees re-evaluated each time — inlining the split/filter
-    * into `slice(...)` makes shingling O(words²) re-tokenizations per
-    * document (measured 25µs/shingle → 0.1µs after this split; Catalyst
-    * keeps the two projections apart because the alias is referenced
-    * more than once and is non-cheap). */
+    * A Scala UDF, deliberately: the declarative formulation
+    * (transform(sequence(...), i => concat_ws/slice over the words
+    * array) + array_distinct) runs through Spark's INTERPRETED lambda
+    * evaluator — higher-order functions are CodegenFallback — and
+    * measured ~40µs per shingle (10s for 260k shingles at sf0.1),
+    * consistently, warm or cold. This primitive-loop UDF produces the
+    * identical output (first-occurrence-ordered distinct n-grams,
+    * single-space tokenization, short docs → empty) 30× faster. Same
+    * trade as the minhash/simhash/hyperplane UDFs: prefer built-ins
+    * until the built-in path demonstrably loses codegen. */
   def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
-    // A Scala UDF, deliberately: the declarative formulation
-    // (transform(sequence(...), i => concat_ws/slice over the words
-    // array) + array_distinct) runs through Spark's INTERPRETED lambda
-    // evaluator — higher-order functions are CodegenFallback — and
-    // measured ~40µs per shingle (10s for 260k shingles at sf0.1),
-    // consistently, warm or cold. This primitive-loop UDF produces the
-    // identical output (first-occurrence-ordered distinct n-grams,
-    // single-space tokenization, short docs → empty) 30× faster. Same
-    // trade as the minhash/simhash/hyperplane UDFs: prefer built-ins
-    // until the built-in path demonstrably loses codegen.
     val shingleUdf = udf { text: String =>
-      val words = text.split(" ").filter(_.nonEmpty)
+      val words =
+        if (text == null) Array.empty[String]
+        else text.split(" ").filter(_.nonEmpty)
       if (words.length < n) Seq.empty[String]
       else {
         val set = new java.util.LinkedHashSet[String]
@@ -124,6 +117,45 @@ object Dedup {
   private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int,
       what: String): DataFrame = dropHotKeysTagged(df, keys, cap, what)._1
 
+  /** Split candidate-generation rows on hot keys (keys occurring in more
+    * than `cap` rows). Cold rows are returned untouched for the normal
+    * self-join. Hot buckets are NOT silently dropped: each is reduced to
+    * a STAR of candidate pairs (bucket-minimum id ↔ every other id in
+    * the bucket) — O(bucket) edges instead of the O(bucket²) a self-join
+    * would generate, so the skew guard still holds, while a group of
+    * more than `cap` mutual near-duplicates (the common web-dedup case)
+    * still yields a spanning edge set: exact verification confirms the
+    * star's edges and connected components recovers the full cluster,
+    * instead of the whole group silently vanishing. The hot-key list is
+    * collected to the driver (it must fit in memory anyway to be
+    * broadcast) and logged. Returns (coldRows, starPairs) where
+    * starPairs has columns (doc_a, doc_b), doc_a < doc_b (the
+    * representative is the bucket minimum). */
+  private def splitHotKeysStar(df: DataFrame, keys: Seq[String],
+      idCol: String, cap: Int, what: String)
+      : (DataFrame, Option[DataFrame]) = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("rep"))
+      .filter(col("cnt") > cap).drop("cnt").collect()
+    if (hot.isEmpty) (df, None)
+    else {
+      log.warn(s"$what: ${hot.length} hot keys (df > $cap) reduced to " +
+        "star candidates around the bucket-min representative; " +
+        "verification still sees full feature sets")
+      val schema = org.apache.spark.sql.types.StructType(
+        keys.map(df.schema(_)) :+ df.schema(idCol).copy(name = "rep"))
+      val hotDf = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hot: _*), schema)
+      val cold = df.join(broadcast(hotDf.select(keys.map(col): _*)),
+        keys, "left_anti")
+      val star = df.join(broadcast(hotDf), keys)
+        .filter(col(idCol) =!= col("rep"))
+        .select(col("rep").as("doc_a"), col(idCol).as("doc_b"))
+        .distinct()
+      (cold, Some(star))
+    }
+  }
+
   /** Exploded (doc_id, shingle) with an optional document-frequency cap:
     * shingles occurring in more than `dfCap` docs are dropped before the
     * pair join (see [[dropHotKeys]]). */
@@ -165,22 +197,25 @@ object Dedup {
     * for a global sort they immediately destroy.
     *
     * The shared-shingle join COUNTS each pair's common shingles as a
-    * by-product of candidate generation. When the df-cap dropped nothing
-    * (knowable on the driver — the hot list is collected either way),
-    * that count IS the exact intersection size, so Jaccard comes straight
-    * from `|A∩B| / (|A|+|B|−|A∩B|)` with two narrow size joins — no
-    * shingle-array rejoin, no array_intersect. Only when hot shingles
-    * were actually dropped is the count a lower bound, and the full
-    * array-verification path runs on the (already counted) candidates. */
+    * by-product of candidate generation. When the df-cap fired on
+    * nothing (knowable on the driver — the hot list is collected either
+    * way), that count IS the exact intersection size, so Jaccard comes
+    * straight from `|A∩B| / (|A|+|B|−|A∩B|)` with two narrow size joins
+    * — no shingle-array rejoin, no array_intersect. Only when hot
+    * shingles actually existed is the count a lower bound; then the full
+    * array-verification path runs on the counted candidates UNIONed with
+    * the hot buckets' star candidates (see [[splitHotKeysStar]]), so
+    * groups of > dfCap near-identical docs still surface. */
   private[operators] def ngramJaccardCore(docs: DataFrame,
       threshold: Double = 0.8, n: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val sh = shingleDocs(docs, n)
     val posting0 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val (posting, anyHot) = dfCap match {
-      case None => (posting0, false)
+    val (posting, star) = dfCap match {
+      case None => (posting0, None)
       case Some(cap) =>
-        dropHotKeysTagged(posting0, Seq("shingle"), cap, "ngramJaccardCore")
+        splitHotKeysStar(posting0, Seq("shingle"), "doc_id", cap,
+          "ngramJaccardCore")
     }
     val a = posting.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = posting.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -193,9 +228,12 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
-    if (anyHot) {
-      // counts are a lower bound → candidates only; verify on full sets
-      verifyJaccard(counted.select("doc_a", "doc_b"), sh, threshold)
+    if (star.isDefined) {
+      // counts are a lower bound → candidates only; add the hot buckets'
+      // star pairs and verify everything on full shingle sets
+      val cands = counted.select("doc_a", "doc_b")
+        .unionAll(star.get).distinct()
+      verifyJaccard(cands, sh, threshold)
     } else {
       val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
       counted
@@ -291,24 +329,32 @@ object Dedup {
     *
     * `dfCap` is the same hot-key guard as the n-gram path, applied to
     * (band, sig) buckets: a bucket holding > dfCap docs is a quadratic
-    * skew key in the self-join. Both candidate paths share one default so
-    * their documented equivalence holds under the same caveat — only
-    * pairs from groups of > dfCap mutually-near docs can be missed, and
-    * those surface through each other's clusters anyway. */
+    * skew key in the self-join. Hot buckets degrade to star candidates
+    * around the bucket minimum ([[splitHotKeysStar]]), so a group of
+    * > dfCap mutual near-dups still yields a verified spanning edge set
+    * (complete clusters via [[connectedComponents]]; the PAIR list for
+    * such a group is the star subset, not all O(group²) pairs — which is
+    * the point of the cap). Both candidate paths share one default so
+    * their documented equivalence holds under the same caveat. */
   /** Unsorted core of [[minhashLshPairs]] — see [[ngramJaccardCore]] for
     * why consumers that join/aggregate the pairs skip the sort. */
   private[operators] def minhashLshCore(docs: DataFrame,
       threshold: Double = 0.8, n: Int = 3, numPerm: Int = 128,
       bands: Int = 32, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val banded = minhashBands(docs, n, numPerm, bands)
-    val capped = dfCap.fold(banded)(cap =>
-      dropHotKeys(banded, Seq("band", "sig"), cap, "minhashLshPairs"))
+    val (capped, star) = dfCap match {
+      case None => (banded, None)
+      case Some(cap) =>
+        splitHotKeysStar(banded, Seq("band", "sig"), "doc_id", cap,
+          "minhashLshCore")
+    }
     val l = capped.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val r = capped.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     // corpus-sized both sides — never broadcast (see ngramJaccardCore)
-    val cands = l.join(r.hint("shuffle_hash"), Seq("band", "sig"))
+    val selfCands = l.join(r.hint("shuffle_hash"), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+    val cands = star.fold(selfCands)(selfCands.unionAll).distinct()
     verifyJaccard(cands, shingleDocs(docs, n), threshold)
   }
 
@@ -324,21 +370,45 @@ object Dedup {
 
   /** 64-bit SimHash per doc over word-unigram features (weight = term
     * frequency): bit k of the fingerprint is the sign of Σ tf(w)·±1 over
-    * bit k of xxhash64(w). Computed per-row, no shuffle. */
+    * bit k of the widened word hash. Computed per-row, no shuffle.
+    *
+    * Tokenization happens INSIDE the UDF (split on single spaces, drop
+    * empties — same as [[shingleDocs]]): the previous declarative
+    * `filter(split(...))` feeding the UDF ran through the interpreted
+    * higher-order-function evaluator per element, and the simhash frame
+    * is evaluated three times per query (banding + two verification
+    * rejoins), which made it the most expensive query in the bench. */
   def simhash(docs: DataFrame): DataFrame = {
-    val fp = udf { words: Seq[String] =>
+    val fp = udf { text: String =>
       val acc = new Array[Long](64)
-      words.groupBy(identity).foreach { case (w, ws) =>
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes2(w.getBytes("UTF-8"),
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            w.getBytes("UTF-8").length, 42).toLong
-        // widen the 32-bit murmur to 64 deterministic bits
-        val h64 = h * 0x9E3779B97F4A7C15L + (w.length.toLong << 32)
-        val tf = ws.size.toLong
-        var k = 0
-        while (k < 64) {
-          acc(k) += (if (((h64 >>> k) & 1L) == 1L) tf else -tf); k += 1
+      if (text != null) {
+        val tf = new java.util.HashMap[String, Long]()
+        val words = text.split(" ")
+        var i = 0
+        while (i < words.length) {
+          val w = words(i)
+          if (w.nonEmpty) {
+            val prev = tf.get(w)
+            tf.put(w, if (prev == null) 1L else prev + 1L)
+          }
+          i += 1
+        }
+        val it = tf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val w = e.getKey
+          val bytes = w.getBytes("UTF-8")
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashUnsafeBytes2(bytes,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              bytes.length, 42).toLong
+          // widen the 32-bit murmur to 64 deterministic bits
+          val h64 = h * 0x9E3779B97F4A7C15L + (w.length.toLong << 32)
+          val t = e.getValue.longValue()
+          var k = 0
+          while (k < 64) {
+            acc(k) += (if (((h64 >>> k) & 1L) == 1L) t else -t); k += 1
+          }
         }
       }
       var out = 0L
@@ -346,8 +416,7 @@ object Dedup {
       while (k < 64) { if (acc(k) > 0) out |= (1L << k); k += 1 }
       out
     }
-    docs.select(col("doc_id"),
-      fp(filter(split(col("text"), " "), w => length(w) > 0)).as("simhash"))
+    docs.select(col("doc_id"), fp(col("text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
@@ -484,14 +553,21 @@ object Dedup {
     // run the iteration's shuffles at a partition count proportional to
     // the graph (~100k pair rows per partition), not the session default
     // sized for corpus scans — each round is several joins, and per-
-    // partition fixed costs dominate on a small graph. Restored after.
-    val session = p.sparkSession
-    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
-    val ccParts = math.max(1L, math.min(prevParts.toLong,
-      nPairs / 100000L + 1L)).toString
-    session.conf.set("spark.sql.shuffle.partitions", ccParts)
-    try {
-    val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+    // partition fixed costs dominate on a small graph. The pinned width
+    // lives in an ISOLATED child session (newSession: shared context,
+    // cache and data, separate SQLConf), so concurrent queries on the
+    // caller's session never observe the reduced setting.
+    val parent = p.sparkSession
+    val parentParts = scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val ccParts = math.max(1L, math.min(parentParts, nPairs / 100000L + 1L))
+    val session = parent.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
+    // Re-root the persisted pair frame in the child session: the scan
+    // reads the parent's cache; everything downstream plans under the
+    // child's conf.
+    val pc = session.createDataFrame(p.rdd, p.schema)
+    val edges = pc.unionAll(pc.select(col("b").as("a"), col("a").as("b")))
       .persist()
     var labels = edges.groupBy(col("a").as("node"))
       .agg(least(min(col("b")), first(col("a"))).as("label"))
@@ -544,7 +620,6 @@ object Dedup {
     edges.unpersist()
     p.unpersist()
     result.orderBy("doc_id")
-    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // --- SparkEntry-facing query wrappers ---------------------------------

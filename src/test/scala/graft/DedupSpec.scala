@@ -73,6 +73,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.head.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("groups larger than the df-cap survive as star edges and full clusters") {
+    // 12 identical docs, cap 8: every shingle and every LSH bucket is
+    // hot, so a drop-only cap would silently lose the whole group (the
+    // round-4 advice case). Star candidates around the bucket-min doc
+    // must span the group on BOTH candidate paths, with exact jaccard.
+    val text = "one two three four five six seven eight nine ten"
+    val dup = Seq.tabulate(12)(i => (i.toLong, text)).toDF("doc_id", "text")
+    for (pairsDf <- Seq(
+        Dedup.ngramJaccardPairs(dup, dfCap = Some(8)),
+        Dedup.minhashLshPairs(dup, dfCap = Some(8)))) {
+      val rows = pairsDf.collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        (1L to 11L).map(i => (0L, i)).toSet)
+      assert(rows.forall(_.getAs[Double]("jaccard") === 1.0))
+      val cc = Dedup.connectedComponents(pairsDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc === (0L to 11L).map(_ -> 0L).toMap)
+    }
+  }
+
   test("simhash: identical docs distance 0; near docs close; unrelated far") {
     val fp = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

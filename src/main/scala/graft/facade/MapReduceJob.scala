@@ -128,22 +128,34 @@ object MapReduceJob {
     * reducer partition, lines `key value\n`, reducer IDs 1-based
     * (reference reducer i = Spark partition i-1, matching
     * [[FirstCharPartitioner]]). Each task writes its own partition's file
-    * directly — the same shape as the reference, where every reducer
-    * writes its own `.out` — and truncates any existing file first
-    * (CleanExistingFile, thread_pool.cc:245-256). Files go through
-    * java.io against a shared filesystem; at cluster scale the same
-    * per-partition write pattern targets the distributed FS client
-    * (this is exactly what `rdd.saveAsTextFile` does internally, with
-    * part-NNNNN names instead of the reference's). */
+    * — the same shape as the reference, where every reducer writes its
+    * own `.out` — replacing any existing file (CleanExistingFile,
+    * thread_pool.cc:245-256).
+    *
+    * Commit protocol: each task attempt writes a private temp file and
+    * atomically renames it into place on success, so a retried or
+    * speculative attempt can never interleave partial writes with
+    * another attempt of the same partition — the last completed attempt
+    * wins with a complete file either way. (This is the minimal form of
+    * the output-committer dance `rdd.saveAsTextFile` does; at cluster
+    * scale the same per-partition pattern targets the distributed FS
+    * client, with part-NNNNN names instead of the reference's.) */
   def writeReferenceLayout[K2, V2](rdd: RDD[(K2, V2)], outDir: String,
       jobName: String): Unit = {
     new java.io.File(outDir).mkdirs()
     rdd.mapPartitionsWithIndex { (pid, it) =>
-      val f = new java.io.File(outDir, s"$jobName-${pid + 1}.out")
+      val ctx = org.apache.spark.TaskContext.get()
+      val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
+      val dir = new java.io.File(outDir)
+      val tmp = new java.io.File(dir, s".$jobName-${pid + 1}.out.$attempt.tmp")
       val w = new java.io.PrintWriter(
-        new java.io.BufferedWriter(new java.io.FileWriter(f, false)))
+        new java.io.BufferedWriter(new java.io.FileWriter(tmp, false)))
       try it.foreach { case (k, v) => w.print(s"$k $v\n") }
       finally w.close()
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, s"$jobName-${pid + 1}.out").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Iterator.single(pid)
     }.count() // force the write job
   }

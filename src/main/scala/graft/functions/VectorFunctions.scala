@@ -31,8 +31,9 @@ object VectorFunctions {
 
   /** cos(a, b) = a·b / (‖a‖·‖b‖) as a native fused-loop Catalyst
     * expression ([[CosineSimilarity]]) — one pass, no intermediate array.
-    * When one side is fixed across the scan, use [[cosineWithNorms]] with
-    * that side's norm precomputed instead. */
+    * Recomputing a broadcast side's norm inside the fused loop costs one
+    * multiply-add per element and stays in codegen, so this is the right
+    * call even when one side is constant across the scan. */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(CosineSimilarity(
@@ -44,10 +45,4 @@ object VectorFunctions {
     * implementation the native expression is spec-pinned against. */
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
-
-  /** cos given precomputed norms — avoids recomputing a reused side's norm
-    * per row (see Similarity.bruteForceTopK, which precomputes the query
-    * norm once on the broadcast side). */
-  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
 }

@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Q15 — exact top-k cosine neighbors of `queryId`. The 1-row query side
-    * is broadcast with its norm precomputed once (so the per-row work is
-    * one dot product + one corpus-row norm); the corpus scan stays
+  /** Q15 — exact top-k cosine neighbors of `queryId`. The 1-row query
+    * side is broadcast; each corpus row pays ONE fused codegen'd loop
+    * (dot + both norms — the native [[CosineSimilarity]] expression, no
+    * intermediate arrays, no interpreted lambdas); the corpus scan stays
     * partition-parallel and the final orderBy+limit plans as
     * TakeOrderedAndProject (per-partition top-k, driver merges k×P rows —
     * no global sort at any scale). */
@@ -32,11 +33,10 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qvec"), l2Norm(col("embedding")).as("qnorm"))
+      .select(col("embedding").as("qvec"))
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", cosineWithNorms(col("embedding"), col("qvec"),
-        l2Norm(col("embedding")), col("qnorm")))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
@@ -125,7 +125,6 @@ object Similarity {
     // -- 3. driver-side probe list + pruned exact search -----------------
     val qvec = e.filter(col("vec_id") === queryId)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
-    val qnorm = math.sqrt(qvec.map(x => x * x).sum)
     val probeCids = centroids.zipWithIndex
       .map { case (cv, i) => (cv.zip(qvec).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (d, i) => (-d, i) }
@@ -134,9 +133,7 @@ object Similarity {
     assigned
       .filter(col("cid").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probeCids.map(Int.box)): _*))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("cos",
-        dot(col("embedding"), typedLit(qvec.toSeq)) /
-          (l2Norm(col("embedding")) * lit(qnorm)))
+      .withColumn("cos", cosine(col("embedding"), typedLit(qvec.toSeq)))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))

@@ -111,18 +111,19 @@ object StreamingOps {
     * anyway, so it is a per-query decision, not a session default): a
     * stream-stream join instantiates four state stores per partition,
     * and at the replay's state size the per-store setup/commit dominates
-    * — 8 partitions measured ~3× faster than 32 with identical output. */
+    * — 8 partitions measured ~3× faster than 32 with identical output.
+    * The pinned width lives in an isolated child session (newSession:
+    * shared context, separate SQLConf), so concurrent queries on the
+    * caller's session never observe it. */
   def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val joined = streamStreamIntervalJoin(readEventsStream(s, dir))
-      val name = s"ssjoin_${System.nanoTime()}"
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(name).orderBy("p_id", "v_id")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val joined = streamStreamIntervalJoin(readEventsStream(child, dir))
+    val name = s"ssjoin_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    child.table(name).orderBy("p_id", "v_id")
   }
 
   /** Drive a streaming frame into a parquet FILE sink — the production
@@ -204,17 +205,21 @@ object StreamingOps {
     * the real windows. */
   def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Per-query state cardinality and the nanos read flag live in an
+    // isolated child session, as in qStreamStreamJoin.
+    val child = s.newSession()
+    child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
     val tmp = Files.createTempDirectory("graft_stream_replay")
     val evCopy = tmp.resolve("00_events.parquet")
     Files.copy(Paths.get(dir, "events.parquet"), evCopy,
       StandardCopyOption.REPLACE_EXISTING)
 
-    val maxNanos = s.read.schema(eventsFileSchema).parquet(evCopy.toString)
+    val maxNanos = child.read.schema(eventsFileSchema).parquet(evCopy.toString)
       .agg(max("ts")).head().getLong(0)
     val sentinelNanos = maxNanos + 30L * 86400L * 1000000000L
     val sentinelDir = tmp.resolve("sentinel_out")
-    s.createDataFrame(
+    child.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
         -1L, sentinelNanos, -1L, "__sentinel__", 0.0, null)),
       eventsFileSchema)
@@ -224,31 +229,27 @@ object StreamingOps {
     val sentinelFile = tmp.resolve("01_sentinel.parquet")
     Files.move(sentinelPart, sentinelFile)
 
-    val stream = s.readStream.schema(eventsFileSchema)
+    val stream = child.readStream.schema(eventsFileSchema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"tumbling_${System.nanoTime()}"
-    // per-query state cardinality, as in qStreamStreamJoin
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try tumblingCounts(stream).writeStream
+    val q = tumblingCounts(stream).writeStream
       .format("memory").queryName(name).outputMode("append").start()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
       // the emitting no-data batch can commit just after
       // processAllAvailable returns — wait for a stable non-zero count
       var prev = -1L
-      var cur = s.table(name).count()
+      var cur = child.table(name).count()
       var polls = 0
       while ((cur == 0 || cur != prev) && polls < 100) {
-        prev = cur; Thread.sleep(100); cur = s.table(name).count(); polls += 1
+        prev = cur; Thread.sleep(100); cur = child.table(name).count(); polls += 1
       }
     } finally q.stop()
     Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
-    s.table(name).filter(col("event_type") =!= "__sentinel__")
+    child.table(name).filter(col("event_type") =!= "__sentinel__")
       .orderBy("bucket", "event_type")
   }
 

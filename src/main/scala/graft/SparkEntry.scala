@@ -98,6 +98,9 @@ object SparkEntry {
     "text_quality"        -> (TextAnalysis.qQuality _),
     "text_langid"         -> (TextAnalysis.qLangId _),
     "text_fingerprint"    -> (TextAnalysis.qFingerprint _),
+    // --- training-batch assembly ---
+    "pack_sequences"      -> (Packing.qPackSequences _),
+    "chunk_documents"     -> (Packing.qChunkDocuments _),
     // --- multimodal plumbing ---
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
     // --- streaming ---
@@ -421,6 +424,30 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${charFoldSql("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // --- training-batch assembly: exact integer arithmetic end to end ---
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t)
+        |SELECT doc_id, n::BIGINT AS n_tokens, (pre // 512)::BIGINT AS bin_id,
+        |  (pre % 512)::BIGINT AS offset_in_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |nc AS (SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE 1 + greatest(n - 8 - 1, 0) // 56 END AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, n, unnest(range(0, n_chunks)) AS i FROM nc)
+        |SELECT doc_id, i::BIGINT AS chunk_id, (i * 56)::BIGINT AS start_token,
+        |  least(i * 56 + 64, n)::BIGINT AS end_token
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     // --- multimodal: the stub decode is pure integer arithmetic over the
     // payload bytes, so DuckDB can replay it ---
     "mm_media_features" ->

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch assembly operators over `documents` — the step between
+  * dedup/filtering and the trainer in an LLM data pipeline (SURVEY.md
+  * §2B extension surface):
+  *
+  *   - [[packSequences]]: concat-then-chunk sequence packing — documents
+  *     in doc_id order are laid head-to-tail into a global token stream
+  *     and cut into fixed-capacity training bins; each doc reports the
+  *     bin and offset where it starts. Needs a GLOBAL running token
+  *     count, which is the interesting part at scale: a bare
+  *     `Window.orderBy` with no partitioning drags the whole corpus into
+  *     ONE partition, so the cumulative sum runs two-level instead —
+  *     order-preserving coarse buckets, a windowed cumsum WITHIN each
+  *     bucket (shuffles once, `buckets`-way parallel), and a
+  *     constant-size bucket-offset table (≤ `buckets` rows) that
+  *     broadcasts back. The only single-partition window in the plan
+  *     covers those ≤ `buckets` rows, never the corpus.
+  *   - [[chunkDocuments]]: sliding context-window splitting — each doc
+  *     longer than `chunkTokens` yields overlapping chunks at stride
+  *     `chunkTokens − overlap`. Pure per-row arithmetic + explode:
+  *     shuffle-free, embarrassingly parallel, one codegen'd scan.
+  *
+  * Both are exact integer arithmetic end to end, so the DuckDB oracle
+  * hash-matches bit for bit. Token counting matches
+  * [[TextAnalysis.tokenCounts]]: split on single spaces, drop empties.
+  */
+object Packing {
+
+  private def nTokens(c: Column): Column =
+    size(filter(split(c, " "), w => length(w) > 0)).cast("long")
+
+  /** (doc_id, n_tokens, bin_id, offset_in_bin): doc's start position in
+    * the packed token stream, cut into bins of `binTokens`. A doc whose
+    * tokens straddle a bin boundary belongs to the bin where it starts
+    * (the concat-then-chunk pretraining convention: the stream is cut
+    * every `binTokens` regardless of doc boundaries). */
+  def packSequences(docs: DataFrame, binTokens: Int = 512,
+      buckets: Int = 64): DataFrame = {
+    require(binTokens > 0 && buckets > 0)
+    val t = docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
+    val mm = t.agg(min("doc_id"), max("doc_id")).head()
+    if (mm.isNullAt(0))
+      return t.select(col("doc_id"), col("n_tokens"),
+        lit(0L).as("bin_id"), lit(0L).as("offset_in_bin")).limit(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // order-preserving coarse bucketing by doc_id value (uniform ranges;
+    // a skew-robust variant would take approxQuantile bounds instead —
+    // same plan shape, the bucket column is the only thing that changes)
+    val bucketed = t.withColumn("bucket",
+      width_bucket(col("doc_id"), lit(lo), lit(hi + 1), lit(buckets)))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPre = bucketed
+      .withColumn("pre_in", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+    // ≤ `buckets` rows: the one global-orderBy window in the plan is
+    // constant-size, not corpus-size
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPre.groupBy("bucket")
+      .agg(sum("n_tokens").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(wB), lit(0L)))
+      .select("bucket", "boff")
+    withPre.join(broadcast(offsets), "bucket")
+      .withColumn("pre", col("boff") + col("pre_in"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"pre div $binTokens").as("bin_id"),
+        (col("pre") % binTokens).as("offset_in_bin"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, chunk_id, start_token, end_token): sliding windows of
+    * `chunkTokens` at stride `chunkTokens − overlap` over each doc's
+    * token positions; a window is emitted iff it is the doc's first or
+    * contributes at least one new token (so `n_chunks = 1 +
+    * ⌊max(n − overlap − 1, 0) / stride⌋` for non-empty docs; empty docs
+    * yield no chunks). end_token is exclusive and clipped to n. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 8): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0: $chunkTokens, $overlap")
+    val stride = chunkTokens - overlap
+    val nChunks = when(col("n_tokens") === 0, lit(0L)).otherwise(
+      expr(s"1 + greatest(n_tokens - $overlap - 1, 0L) div $stride"))
+    docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
+      .withColumn("n_chunks", nChunks)
+      // sequence(0, k-1) DESCENDS for k = 0 (→ [0,-1]); emit an empty
+      // array for chunkless docs so explode drops them instead
+      .withColumn("chunk_id", explode(when(col("n_chunks") > 0,
+        sequence(lit(0L), col("n_chunks") - 1))
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_token"),
+        least(col("chunk_id") * stride + chunkTokens, col("n_tokens"))
+          .as("end_token"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // --- SparkEntry-facing query wrappers ---------------------------------
+
+  def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir))
+
+  def qChunkDocuments(s: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(s, dir))
+}

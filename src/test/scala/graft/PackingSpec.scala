@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // token counts: 3, 5, 0, 2, 4 (split on single spaces, drop empties)
+  private def corpus: DataFrame = Seq(
+    (10L, "a b c"),
+    (11L, "d e f g h"),
+    (12L, ""),
+    (13L, "i j"),
+    (14L, "k l  m n")).toDF("doc_id", "text")
+
+  test("packSequences: global running count cut into bins") {
+    // stream: doc10@0, doc11@3, doc12@8, doc13@8, doc14@10; bin capacity 4
+    val got = Packing.packSequences(corpus, binTokens = 4, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (10L, 3L, 0L, 0L),
+      (11L, 5L, 0L, 3L),
+      (12L, 0L, 2L, 0L),
+      (13L, 2L, 2L, 0L),
+      (14L, 4L, 2L, 2L)))
+  }
+
+  test("packSequences: bucket count does not change the result") {
+    val a = Packing.packSequences(corpus, binTokens = 4, buckets = 1).collect()
+    val b = Packing.packSequences(corpus, binTokens = 4, buckets = 64).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("packSequences: empty corpus yields empty frame with full schema") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Packing.packSequences(empty)
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "bin_id", "offset_in_bin"))
+    assert(got.count() === 0)
+  }
+
+  test("chunkDocuments: stride windows, boundary cases, empty docs dropped") {
+    // chunk 4, overlap 1, stride 3:
+    //   n=3 → 1 chunk [0,3); n=5 → 1+⌊(5-1-1)/3⌋=2 → [0,4),[3,5)
+    //   n=0 → none; n=2 → [0,2); n=4 → 1+⌊(4-2)/3⌋=1 → [0,4)
+    val got = Packing.chunkDocuments(corpus, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (10L, 0L, 0L, 3L),
+      (11L, 0L, 0L, 4L), (11L, 1L, 3L, 5L),
+      (13L, 0L, 0L, 2L),
+      (14L, 0L, 0L, 4L)))
+  }
+
+  test("chunkDocuments: a chunk is emitted only if it adds new tokens") {
+    // n=4 with chunk 4, overlap 2, stride 2: window at 2 would cover
+    // [2,4) ⊂ [0,4) — adds nothing, must not be emitted
+    val one = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = Packing.chunkDocuments(one, chunkTokens = 4, overlap = 2)
+    assert(got.count() === 1)
+    // n=5: window at 2 covers [2,5) — adds token 4, emitted
+    val two = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(Packing.chunkDocuments(two, chunkTokens = 4, overlap = 2)
+      .count() === 2)
+  }
+}

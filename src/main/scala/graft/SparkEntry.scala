@@ -85,6 +85,7 @@ object SparkEntry {
     "q23_pivot"           -> (Relational.q23Pivot _),
     "q24_scalar_subquery" -> (Relational.q24ScalarSubquery _),
     "q25_correlated_exists" -> (Relational.q25CorrelatedExists _),
+    "q26_hash_sample"     -> (Sampling.q26HashSample _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     // --- dedup family ---
@@ -357,6 +358,13 @@ object SparkEntry {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 400000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q26_hash_sample" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |WHERE substring(md5(o_orderkey::VARCHAR), 1, 1)
+        |  IN ('0', '1', '2', '3')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q23_pivot" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year,
         |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,

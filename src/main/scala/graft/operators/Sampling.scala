@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling and corpus-mixing operators — the subset/mixture steps of a
+  * training-data pipeline (SURVEY.md §2B extension surface). Everything
+  * here is per-row and shuffle-free: sampling 100 TB must be a filter in
+  * the scan, never a global operation.
+  */
+object Sampling {
+
+  /** Deterministic cross-engine hash sample: keep rows whose
+    * `md5(decimal string of key)` starts with one of the first `keep16`
+    * hex digits — an exact keep16/16 expected fraction. md5 of the
+    * decimal rendering is engine-portable (DuckDB's md5 produces the
+    * same hex), so the SAME rows are kept everywhere, forever — the
+    * property that makes a training subset reproducible across the
+    * Spark pipeline, ad-hoc DuckDB checks, and reruns. Codegen'd
+    * filter, pushes into the scan. */
+  def hashSample(df: DataFrame, keyCol: String, keep16: Int): DataFrame = {
+    require(keep16 >= 1 && keep16 <= 16, s"keep16 must be 1..16: $keep16")
+    val digits = "0123456789abcdef".take(keep16).map(_.toString)
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 1)
+      .isin(digits: _*))
+  }
+
+  /** Per-stratum Bernoulli sampling (`df.stat.sampleBy`): keeps each row
+    * of stratum `v` with probability `fractions(v)`, deterministic given
+    * the seed. Per-row independent coin flips — no shuffle, no count,
+    * scale-free. The returned sizes are binomial, not exact; use
+    * [[hashSample]] when exact reproducibility of the row SET matters
+    * more than per-stratum rates. */
+  def stratifiedSample[T](df: DataFrame, stratumCol: String,
+      fractions: Map[T, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Weighted corpus mixture: hash-sample each source at `weight16`/16
+    * and union — the dataset-mixing step in front of training (e.g. 12/16
+    * web + 3/16 books + 1/16 code). Sources must share a schema; the
+    * union is a zero-shuffle bag union whose partitions are the
+    * sources' own. */
+  def mixCorpora(sources: Seq[(DataFrame, Int)], keyCol: String): DataFrame = {
+    require(sources.nonEmpty)
+    sources.map { case (df, w) => hashSample(df, keyCol, w) }
+      .reduce(_ unionAll _)
+  }
+
+  // --- SparkEntry-facing query wrappers ---------------------------------
+
+  /** q26 — 4/16 deterministic hash sample of orders, aggregated per
+    * priority class so the oracle checks both membership and totals. */
+  def q26HashSample(s: SparkSession, dir: String): DataFrame =
+    hashSample(Tables.orders(s, dir), "o_orderkey", 4)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy("o_orderpriority")
+}

@@ -40,6 +40,13 @@ object Sources {
     * FileSourceScanExec, not a per-chunk rescan. */
   def text(s: SparkSession, path: String): DataFrame = s.read.text(path)
 
+  /** ORC — the other columnar at-rest format; same pushdown/pruning
+    * behavior as parquet (PushedFilters + ReadSchema in the scan). ORC
+    * files are self-describing, but production reads still declare the
+    * schema to pin evolution and skip footer inference. */
+  def orc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
   /** Rows whose raw record failed to parse. Spark disallows queries that
     * reference ONLY the corrupt column directly over raw files
     * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or

@@ -45,6 +45,20 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     java.nio.file.Files.deleteIfExists(f); java.nio.file.Files.deleteIfExists(dir)
   }
 
+  test("orc roundtrip preserves rows and pushes filters into the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc")
+      .resolve("orders_orc").toString
+    val src = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src.write.orc(out)
+    val back = Sources.orc(spark, out, src.schema)
+    assert(back.count() === src.count())
+    val plan = back.filter(col("o_totalprice") > 100000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice"), s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("partitioned sink lays out by column and scans prune partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft_part")
       .resolve("events_by_type").toString

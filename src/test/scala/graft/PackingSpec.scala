@@ -41,6 +41,20 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
     assert(got.count() === 0)
   }
 
+  test("packSequences plan: corpus cumsum bucket-partitioned, offsets broadcast") {
+    val plan = Packing.packSequences(corpus, binTokens = 4, buckets = 2)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized window must be partitioned by bucket …
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"corpus window not bucket-partitioned:\n$plan")
+    // … the bucket-offset table joins back as a broadcast …
+    assert(plan.contains("BroadcastExchange"), s"offsets not broadcast:\n$plan")
+    // … and the only single-partition exchange is the constant-size
+    // bucket-totals window, never the corpus
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) === 1,
+      s"unexpected single-partition exchanges:\n$plan")
+  }
+
   test("chunkDocuments: stride windows, boundary cases, empty docs dropped") {
     // chunk 4, overlap 1, stride 3:
     //   n=3 → 1 chunk [0,3); n=5 → 1+⌊(5-1-1)/3⌋=2 → [0,4),[3,5)

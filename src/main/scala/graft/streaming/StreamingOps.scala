@@ -126,6 +126,21 @@ object StreamingOps {
     child.table(name).orderBy("p_id", "v_id")
   }
 
+  /** Streaming exact dedup at ingest: drop repeats of `keyCols` arriving
+    * within the watermark window. `dropDuplicatesWithinWatermark` keys
+    * the state store on `keyCols` and — unlike plain `dropDuplicates`,
+    * whose state only grows — evicts each key once the watermark passes
+    * its last-seen event time, so state stays bounded at any input rate.
+    * This is the "dedupe documents as they land" operator that fronts a
+    * training-data ingest pipeline; the batch equivalents (exact hash
+    * dedup through MinHash-LSH clustering) live in
+    * [[graft.operators.Dedup]]. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drive a streaming frame into a parquet FILE sink — the production
     * sink (per-batch exactly-once via the sink's transaction log plus the
     * checkpoint), as opposed to the memory sink the oracle harness uses.

@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .toSet === Set((1L, 0L, 2L, 3.0)))
   }
 
+  test("streaming dedup drops repeats arriving within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new Timestamp(3600000L + min * 60000L)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val dedup = StreamingOps.streamingDedup(
+      mem.toDF().toDF("event_id", "ts"), Seq("event_id"), "1 hour")
+    val name = s"sdedup_${System.nanoTime()}"
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0)), (2L, ts(1)), (3L, ts(2)))
+      q.processAllAvailable()
+      // repeats of 2 and 3 in a later micro-batch, still inside the
+      // watermark → suppressed; 4 is new → emitted
+      mem.addData((2L, ts(3)), (3L, ts(4)), (4L, ts(5)))
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("sliding windows double-count each event across overlapping windows") {
     def ts(min: Long) = new Timestamp(min * 60000L)
     val events = Seq((1L, ts(61), 1L, "click", 1.0, "{}"))

@@ -68,6 +68,28 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }, n = 6)
   }
 
+  test("property: packSequences equals a sequential driver-side fold") {
+    val genDocs = Gen.listOf(Gen.choose(0, 12))
+      .map(_.take(24).zipWithIndex.map { case (nWords, i) =>
+        (i.toLong * 3 + 1, List.fill(nWords)("w").mkString(" "))
+      })
+    check(Prop.forAll(genDocs, Gen.choose(1, 9)) { (docs, binTokens) =>
+      val expected = docs
+        .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, text)) =>
+          val n = text.split(" ").count(_.nonEmpty).toLong
+          (id, n, cum, cum + n)
+        }.drop(1)
+        .map { case (id, n, pre, _) =>
+          (id, n, pre / binTokens, pre % binTokens) }
+      val got = operators.Packing
+        .packSequences(docs.toDF("doc_id", "text"), binTokens, buckets = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      got == expected
+    }, n = 8)
+  }
+
   test("property: first-char partitioner matches the reference formula") {
     val genKey = Gen.alphaNumStr.suchThat(_.nonEmpty)
     val genR = Gen.choose(1, 9)

@@ -17,8 +17,10 @@ object Sampling {
     * decimal rendering is engine-portable (DuckDB's md5 produces the
     * same hex), so the SAME rows are kept everywhere, forever — the
     * property that makes a training subset reproducible across the
-    * Spark pipeline, ad-hoc DuckDB checks, and reruns. Codegen'd
-    * filter, pushes into the scan. */
+    * Spark pipeline, ad-hoc DuckDB checks, and reruns. The predicate is
+    * computed, so it is a codegen'd filter in the scan STAGE (not a
+    * parquet PushedFilter) — per-row work, no shuffle, no state. Rows
+    * with a null key hash to null and are dropped. */
   def hashSample(df: DataFrame, keyCol: String, keep16: Int): DataFrame = {
     require(keep16 >= 1 && keep16 <= 16, s"keep16 must be 1..16: $keep16")
     val digits = "0123456789abcdef".take(keep16).map(_.toString)

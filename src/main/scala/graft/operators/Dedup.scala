@@ -92,30 +92,27 @@ object Dedup {
   }
 
   /** Drop rows whose `keys` combination occurs in more than `cap` rows —
-    * the web-scale guard against quadratic hot keys in candidate-pair
-    * self-joins. The hot key list is collected to the driver (it must fit
-    * in memory anyway to be broadcast for the anti-join, so collecting
-    * adds no new bound), logged, and anti-joined away; the boolean
-    * reports whether anything was actually dropped, so callers can take
-    * an exact fast path when the cap never fired (the common case below
-    * web scale). Nothing is left persisted in the shared session. */
-  private def dropHotKeysTagged(df: DataFrame, keys: Seq[String], cap: Int,
-      what: String): (DataFrame, Boolean) = {
+    * the plain drop-semantics guard, used by [[shinglePosting]]'s public
+    * capped posting list. The hot key list is collected to the driver
+    * (it must fit in memory anyway to be broadcast for the anti-join, so
+    * collecting adds no new bound), logged, and anti-joined away.
+    * Candidate-generation paths use [[splitHotKeysStar]] instead, which
+    * degrades hot buckets rather than dropping them. Nothing is left
+    * persisted in the shared session. */
+  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int,
+      what: String): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*).count()
       .filter(col("count") > cap).drop("count").collect()
-    if (hot.isEmpty) (df, false)
+    if (hot.isEmpty) df
     else {
       log.warn(s"$what: dropping ${hot.length} hot keys (df > $cap) from " +
-        "candidate generation; verification still sees full feature sets")
+        "the posting list")
       val schema = org.apache.spark.sql.types.StructType(keys.map(df.schema(_)))
       val hotDf = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(hot: _*), schema)
-      (df.join(broadcast(hotDf), keys, "left_anti"), true)
+      df.join(broadcast(hotDf), keys, "left_anti")
     }
   }
-
-  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int,
-      what: String): DataFrame = dropHotKeysTagged(df, keys, cap, what)._1
 
   /** Split candidate-generation rows on hot keys (keys occurring in more
     * than `cap` rows). Cold rows are returned untouched for the normal

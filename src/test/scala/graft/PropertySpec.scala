@@ -90,6 +90,33 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }, n = 8)
   }
 
+  test("property: chunkDocuments covers all tokens, strides, adds new tokens") {
+    val genDoc = Gen.choose(0, 40).map(n => List.fill(n)("w").mkString(" "))
+    val genGeom = for {
+      overlap <- Gen.choose(0, 4)
+      chunk <- Gen.choose(overlap + 1, overlap + 8)
+    } yield (chunk, overlap)
+    check(Prop.forAll(genDoc, genGeom) { case (text, (chunk, overlap)) =>
+      val n = text.split(" ").count(_.nonEmpty).toLong
+      val got = operators.Packing
+        .chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"), chunk, overlap)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val stride = chunk - overlap
+      if (n == 0) got.isEmpty
+      else {
+        val ids = got.map(_._1).toSeq
+        ids == got.indices.map(_.toLong) &&                  // dense chunk ids
+        got.forall { case (i, s, e) =>
+          s == i * stride && e == math.min(s + chunk, n) } &&
+        got.head._2 == 0 && got.last._3 == n &&              // full coverage
+        got.forall { case (i, _, e) =>                       // each adds tokens
+          i == 0 || e > got(i.toInt - 1)._3 } &&
+        got.zip(got.drop(1)).forall { case ((_, _, e1), (_, s2, _)) =>
+          s2 <= e1 }                                         // no gaps
+      }
+    }, n = 30)
+  }
+
   test("property: first-char partitioner matches the reference formula") {
     val genKey = Gen.alphaNumStr.suchThat(_.nonEmpty)
     val genR = Gen.choose(1, 9)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
@@ -98,8 +98,19 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    val centroids = fitCentroids(e, numCentroids)
+    val qvec = queryVector(e, queryId)
+    topKByCosine(
+      assignCentroids(e, centroids)
+        .filter(probeFilter(centroids, qvec, nprobe))
+        .filter(col("vec_id") =!= queryId),
+      qvec, k)
+  }
 
-    // -- 1. centroids from a deterministic pseudo-random sample ----------
+  /** IVF step 1 — centroids from a bounded deterministic pseudo-random
+    * sample (hash-ordered TakeOrdered, ~64 rows per centroid), clustered
+    * on the driver with a few spherical k-means rounds. */
+  def fitCentroids(e: DataFrame, numCentroids: Int): Array[Array[Double]] = {
     val sampleRows = e
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -110,32 +121,71 @@ object Similarity {
       val norm = math.sqrt(v.map(x => x * x).sum)
       if (norm == 0) v else v.map(_ / norm)
     }
-    val c = math.min(numCentroids, sample.length)
-    val centroids = kmeansCentroids(sample, c)
+    kmeansCentroids(sample, math.min(numCentroids, sample.length))
+  }
 
-    // -- 2. shuffle-free argmax assignment -------------------------------
+  /** IVF step 2 — shuffle-free argmax assignment: centroids ride along
+    * as a literal array<array<double>>, each row takes argmax over its
+    * dot products (‖row‖ is constant per row, so plain dot ranks the
+    * same as cosine). Adds `cid`; no crossJoin, no Window, no Exchange. */
+  def assignCentroids(e: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
     val carr = typedLit(centroids.map(_.toSeq).toSeq)
     val scores = transform(carr, cv => dot(col("embedding"), cv))
-    val assigned = e
-      .withColumn("scores", scores)
+    e.withColumn("scores", scores)
       .withColumn("cid",
         (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
       .drop("scores")
+  }
 
-    // -- 3. driver-side probe list + pruned exact search -----------------
-    val qvec = e.filter(col("vec_id") === queryId)
-      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
-    val probeCids = centroids.zipWithIndex
+  /** The query's embedding as a driver-side double array. */
+  def queryVector(e: DataFrame, queryId: Long): Array[Double] =
+    e.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
+  /** IVF step 3a — driver-side probe predicate: `cid` in the query's
+    * nprobe nearest centroids. */
+  private def probeFilter(centroids: Array[Array[Double]],
+      qvec: Array[Double], nprobe: Int): Column = {
+    val cids = centroids.zipWithIndex
       .map { case (cv, i) => (cv.zip(qvec).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (d, i) => (-d, i) }
-      .take(math.min(nprobe, c))
-      .map(_._2)
-    assigned
-      .filter(col("cid").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probeCids.map(Int.box)): _*))
-      .filter(col("vec_id") =!= queryId)
+      .take(math.min(nprobe, centroids.length))
+      .map { case (_, i) => Int.box(i) }
+    col("cid").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(cids): _*)
+  }
+
+  private def topKByCosine(candidates: DataFrame, qvec: Array[Double],
+      k: Int): DataFrame =
+    candidates
       .withColumn("cos", cosine(col("embedding"), typedLit(qvec.toSeq)))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
-  }
+
+  // --- materialized index: the 100 TB probe path ------------------------
+
+  /** Write the IVF index: the assigned corpus, PARTITIONED BY `cid` on
+    * disk. This turns the hypothetical in ivfTopK's step 3 into the real
+    * thing: a probe over the materialized index lists only the nprobe
+    * matching partition directories (PartitionFilters — pinned by
+    * SimilaritySpec), so at 100 TB a probe reads nprobe/numCentroids of
+    * the corpus, not all of it. One assignment scan + one shuffle-free
+    * write per ingest, amortized over every subsequent query. */
+  def writeIvfIndex(e: DataFrame, centroids: Array[Array[Double]],
+      path: String): Unit =
+    assignCentroids(e, centroids).write
+      .partitionBy("cid").mode("overwrite").parquet(path)
+
+  /** Exact top-k over a materialized index via a partition-pruned read
+    * of the query's nprobe nearest centroid buckets. */
+  def probeIvfIndex(s: SparkSession, path: String,
+      centroids: Array[Array[Double]], qvec: Array[Double],
+      excludeVecId: Long, k: Int = 5, nprobe: Int = 4): DataFrame =
+    topKByCosine(
+      s.read.parquet(path)
+        .filter(probeFilter(centroids, qvec, nprobe))
+        .filter(col("vec_id") =!= excludeVecId),
+      qvec, k)
 }

@@ -68,6 +68,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"IVF assignment must not shuffle the corpus:\n$plan")
   }
 
+  test("materialized IVF index: partition-pruned probe equals in-memory IVF") {
+    val e = Tables.embeddings(spark, sf0001)
+    val centroids = Similarity.fitCentroids(e, numCentroids = 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(e, centroids, idx)
+    val qvec = Similarity.queryVector(e, 0L)
+    val probed = Similarity.probeIvfIndex(spark, idx, centroids, qvec,
+      excludeVecId = 0L, k = 5, nprobe = 4)
+    // the probe must be PARTITION pruning (directory-level), not a scan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"probe does not prune partitions:\n$plan")
+    assert(probed.collect().map(_.toSeq).toSeq ===
+      Similarity.ivfTopK(spark, sf0001, 0, 5, numCentroids = 8, nprobe = 4)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("IVF with partial probing achieves reasonable recall") {
     val brute = Similarity.bruteForceTopK(spark, sf0001, 0, 5)
       .collect().map(_.getLong(0)).toSet

@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * comparable across rounds — without this, JIT/cache context varies
   * with map iteration order and per-query deltas under ~2× are noise.
   *
+  * Each query is timed SPARK_GRAFT_ITERS times (default 3) and the
+  * per-query number reported is the MEDIAN of those iterations: a
+  * single 0.3s GC pause in a shared 58-query JVM must not flip a 0.4s
+  * query across the 2x baseline gate (round-5 verdict showed uniform
+  * ~1.4s bumps on untouched queries from exactly this). All iteration
+  * samples are recorded under `"samples"` so drift stays diagnosable.
+  *
   * Failures are reported explicitly under `"failed"` and excluded from
   * the total — a broken query must never read as a 0-second speedup.
   */
@@ -39,18 +46,36 @@ object Bench {
     if (warmup) selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt)
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
+    // Iterate queries in the inner loop (pass-by-pass, not query-by-query)
+    // so each query's samples are spread across the run: a transient GC /
+    // compilation storm hits at most one sample per query and the median
+    // discards it.
+    (1 to iters).foreach { _ =>
+      selected.foreach { case (name, fn) =>
+        if (!failed.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+          } catch {
+            case e: Throwable =>
+              samples.remove(name)
+              failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.take(1).mkString.take(200)
+          }
+        }
       }
+    }
+    samples.foreach { case (name, xs) =>
+      val s = xs.sorted
+      val mid = s.length / 2
+      timings(name) =
+        if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -60,12 +85,15 @@ object Bench {
     }
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
+    val ss = samples.map { case (k, xs) =>
+      s""""${esc(k)}":${xs.mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val onlyJson = only.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val total = timings.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qs,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     val outPath = java.nio.file.Paths.get(out)

@@ -88,6 +88,7 @@ object SparkEntry {
     "q26_hash_sample"     -> (Sampling.q26HashSample _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
+    "sim_ivf_probe"       -> ((s: SparkSession, d: String) => Similarity.qIvfProbe(s, d)), // no oracle: approximate; spec-pinned vs ivfTopK
     // --- dedup family ---
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),

@@ -24,10 +24,20 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
     * convert to a microsecond TimestampType with integer division (a
-    * double-typed `/ 1000` would lose precision on ~1.7e18 ns values). */
+    * double-typed `/ 1000` would lose precision on ~1.7e18 ns values).
+    *
+    * The required `nanosAsLong` legacy flag is pinned in an isolated child
+    * session (shared SparkContext and cache, separate SQLConf — the same
+    * pattern as the streaming/CC wrappers), NEVER set on the caller's
+    * session. The returned frame is rooted in the child; the parquet scan
+    * resolves its hadoop conf from the relation's own session, so the flag
+    * holds wherever the frame is consumed. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val reader =
+      if (s.conf.getOption(flag).contains("true")) s
+      else { val child = s.newSession(); child.conf.set(flag, "true"); child }
+    apply(reader, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }

@@ -148,14 +148,19 @@ object MapReduceJob {
       val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
       val dir = new java.io.File(outDir)
       val tmp = new java.io.File(dir, s".$jobName-${pid + 1}.out.$attempt.tmp")
-      val w = new java.io.PrintWriter(
-        new java.io.BufferedWriter(new java.io.FileWriter(tmp, false)))
-      try it.foreach { case (k, v) => w.print(s"$k $v\n") }
-      finally w.close()
-      java.nio.file.Files.move(tmp.toPath,
-        new java.io.File(dir, s"$jobName-${pid + 1}.out").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try {
+        val w = new java.io.PrintWriter(
+          new java.io.BufferedWriter(new java.io.FileWriter(tmp, false)))
+        try it.foreach { case (k, v) => w.print(s"$k $v\n") }
+        finally w.close()
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(dir, s"$jobName-${pid + 1}.out").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally
+        // a failed/killed attempt must not leave its private temp file
+        // behind (no-op after a successful rename)
+        java.nio.file.Files.deleteIfExists(tmp.toPath)
       Iterator.single(pid)
     }.count() // force the write job
   }

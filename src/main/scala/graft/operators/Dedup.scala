@@ -616,7 +616,11 @@ object Dedup {
     labels.unpersist()
     edges.unpersist()
     p.unpersist()
-    result.orderBy("doc_id")
+    // Re-root the (small, already-materialized) result back into the
+    // PARENT session: without this, anything a caller chains onto the
+    // returned frame would silently plan at the graph-sized ccParts width
+    // instead of the session default.
+    parent.createDataFrame(result.rdd, result.schema).orderBy("doc_id")
   }
 
   // --- SparkEntry-facing query wrappers ---------------------------------

@@ -32,8 +32,31 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  private def nTokens(c: Column): Column =
-    size(filter(split(c, " "), w => length(w) > 0)).cast("long")
+  /** Token count = number of non-space runs — identical to
+    * `size(filter(split(c, " "), length(_) > 0))` (single-space split,
+    * empties dropped; the semantics every oracle pins) but as one
+    * allocation-free pass over the string. The declarative form's filter
+    * lambda is CodegenFallback (interpreted — the repo-measured ~30×
+    * pattern) AND materializes the full token array just to count it;
+    * packSequences evaluates this over every document, where it was the
+    * dominant per-row cost. Null text counts 0 (the tables have none). */
+  private val nTokensUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      var n = 0L
+      var i = 0
+      val len = text.length
+      var inTok = false
+      while (i < len) {
+        if (text.charAt(i) == ' ') inTok = false
+        else { if (!inTok) n += 1; inTok = true }
+        i += 1
+      }
+      n
+    }
+  }
+
+  private def nTokens(c: Column): Column = nTokensUdf(c)
 
   /** (doc_id, n_tokens, bin_id, offset_in_bin): doc's start position in
     * the packed token stream, cut into bins of `binTokens`. A doc whose
@@ -49,6 +72,10 @@ object Packing {
       return t.select(col("doc_id"), col("n_tokens"),
         lit(0L).as("bin_id"), lit(0L).as("offset_in_bin")).limit(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // width_bucket's upper bound is hi + 1; at doc_id = Long.MaxValue that
+    // wraps (silently wrong bucketing under ANSI) — fail loudly instead
+    require(hi < Long.MaxValue,
+      "packSequences: doc_id = Long.MaxValue would overflow bucket bounds")
     // order-preserving coarse bucketing by doc_id value (uniform ranges;
     // a skew-robust variant would take approxQuantile bounds instead —
     // same plan shape, the bucket column is the only thing that changes)

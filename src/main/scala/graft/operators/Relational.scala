@@ -521,22 +521,44 @@ object Relational {
       .orderBy("doc_id")
   }
 
-  /** Q22 — map scalars: per-document term-frequency map built with
-    * map_from_entries, probed with element_at. The oracle reconstructs
-    * the same OUTPUT with list operations — DuckDB's map semantics
-    * differ, which is exactly why the contract compares values, not
-    * plans. */
-  def q22MapScalars(s: SparkSession, dir: String): DataFrame = {
-    val words = filter(split(col("text"), " "), x => length(x) > 0)
-    val entries = transform(array_distinct(words),
-      w => struct(w.as("key"),
-        size(filter(words, x => x === w)).as("value")))
+  /** Single-pass term-frequency map (space-tokenized, empties dropped —
+    * the same semantics as the tokenizing HOFs everywhere else). A UDF by
+    * the repo's measured rule: the declarative form
+    * (`transform(array_distinct(w), wd => size(filter(w, _ === wd)))`)
+    * is O(words²) PER ROW and its lambdas are CodegenFallback
+    * (interpreted, the ~30× pattern from Dedup.shingleDocs) — on a
+    * long-document corpus that's quadratic interpreted work per row,
+    * while this loop is one linear pass over the string with no
+    * intermediate arrays. */
+  private val tfMap = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        var j = text.indexOf(' ', i)
+        if (j < 0) j = n
+        if (j > i) {
+          val w = text.substring(i, j)
+          m.update(w, m.getOrElse(w, 0) + 1)
+        }
+        i = j + 1
+      }
+      m.toMap
+    }
+  }
+
+  /** Q22 — map scalars: per-document term-frequency map (single-pass
+    * [[tfMap]] UDF), probed with element_at. The oracle reconstructs the
+    * same OUTPUT with list operations — DuckDB's map semantics differ,
+    * which is exactly why the contract compares values, not plans. */
+  def q22MapScalars(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), map_from_entries(entries).as("tf"))
+      .select(col("doc_id"), tfMap(col("text")).as("tf"))
       .select(
         col("doc_id"),
         size(col("tf")).cast("long").as("n_distinct_words"),
         coalesce(element_at(col("tf"), "the"), lit(0)).cast("long").as("tf_the"))
       .orderBy("doc_id")
-  }
 }

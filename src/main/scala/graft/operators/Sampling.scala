@@ -29,11 +29,14 @@ object Sampling {
   }
 
   /** Per-stratum Bernoulli sampling (`df.stat.sampleBy`): keeps each row
-    * of stratum `v` with probability `fractions(v)`, deterministic given
-    * the seed. Per-row independent coin flips — no shuffle, no count,
-    * scale-free. The returned sizes are binomial, not exact; use
-    * [[hashSample]] when exact reproducibility of the row SET matters
-    * more than per-stratum rates. */
+    * of stratum `v` with probability `fractions(v)`. Per-row independent
+    * coin flips — no shuffle, no count, scale-free. Deterministic given
+    * the seed AND identical partitioning/row order: the draw depends on a
+    * row's partition and position, so a repartitioned rerun can keep a
+    * different (same-distribution) subset. The returned sizes are
+    * binomial, not exact. Use [[hashSample]] when exact cross-run /
+    * cross-engine reproducibility of the row SET matters more than
+    * per-stratum rates. */
   def stratifiedSample[T](df: DataFrame, stratumCol: String,
       fractions: Map[T, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)

@@ -31,18 +31,52 @@ object StreamingOps {
     StructField("props", StringType)))
 
   /** Open the events table as a stream. `maxFilesPerTrigger=1` keeps
-    * micro-batches bounded when replaying a directory. */
+    * micro-batches bounded when replaying a directory. Reading the
+    * TIMESTAMP(NANOS) file needs the `nanosAsLong` legacy flag; if the
+    * caller's session doesn't carry it, the stream is rooted in an
+    * isolated child session rather than mutating the caller's conf (same
+    * pattern as [[graft.Tables.events]]). Callers that pin per-query conf
+    * (state-store width) set the flag on their own child session first so
+    * everything stays in ONE session. */
   def readEventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val reader =
+      if (s.conf.getOption(flag).contains("true")) s
+      else { val child = s.newSession(); child.conf.set(flag, "true"); child }
     // file stream sources need a directory: stream the sf dir, filtered
     // down to the events file (in production: a landing directory)
-    s.readStream
+    reader.readStream
       .schema(eventsFileSchema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Open the events stream from Kafka: one JSON event per record in
+    * `value`, same output schema as [[readEventsStream]] — the production
+    * ingest constructor the file replay stands in for. Requires the
+    * spark-sql-kafka connector on the classpath at `load()` time (not
+    * bundled here, so StreamingSpec pins the decode contract and the
+    * source-format request instead of a live broker read). */
+  def readEventsKafka(s: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    decodeEventsKafka(
+      s.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+
+  /** Decode the Kafka wire format (binary `value` holding one JSON event,
+    * ts in nanos) into the events schema. Factored out of
+    * [[readEventsKafka]] so the format contract is unit-testable without
+    * a broker: it works identically on the batch kafka frame shape. */
+  def decodeEventsKafka(kafka: DataFrame): DataFrame =
+    kafka
+      .select(from_json(col("value").cast("string"), eventsFileSchema).as("e"))
+      .select("e.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Watermarked tumbling-window counts — the streaming form of Q11.
     * The 1-hour window keyed by (window, event_type) shuffles once per
@@ -117,6 +151,7 @@ object StreamingOps {
     * caller's session never observe it. */
   def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val child = s.newSession()
+    child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     child.conf.set("spark.sql.shuffle.partitions", "8")
     val joined = streamStreamIntervalJoin(readEventsStream(child, dir))
     val name = s"ssjoin_${System.nanoTime()}"
@@ -249,19 +284,34 @@ object StreamingOps {
       .parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"tumbling_${System.nanoTime()}"
+    // processAllAvailable returns once all DATA is consumed, but the
+    // watermark-driven no-data batch that emits the finalized windows
+    // commits just after it. That batch is deterministic — the sentinel is
+    // the stream's max event time, so the last real window can only close
+    // in a batch with zero input rows and nonzero sink output — so a
+    // progress listener latches on exactly that signature (no sleep-poll).
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val emitted = new java.util.concurrent.CountDownLatch(1)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(event: QueryProgressEvent): Unit =
+        if (event.progress.numInputRows == 0 &&
+            event.progress.sink.numOutputRows > 0) emitted.countDown()
+      override def onQueryIdle(event: QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+        emitted.countDown() // never hang on a failed query
+    }
+    child.streams.addListener(listener)
     val q = tumblingCounts(stream).writeStream
       .format("memory").queryName(name).outputMode("append").start()
     try {
       q.processAllAvailable()
-      // the emitting no-data batch can commit just after
-      // processAllAvailable returns — wait for a stable non-zero count
-      var prev = -1L
-      var cur = child.table(name).count()
-      var polls = 0
-      while ((cur == 0 || cur != prev) && polls < 100) {
-        prev = cur; Thread.sleep(100); cur = child.table(name).count(); polls += 1
-      }
-    } finally q.stop()
+      emitted.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally {
+      q.stop()
+      child.streams.removeListener(listener)
+    }
     Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
     child.table(name).filter(col("event_type") =!= "__sentinel__")

@@ -203,6 +203,23 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       Tables.lineitem(spark, sf0001).count())
   }
 
+  test("q22 term-frequency is exact on a long document (single-pass UDF)") {
+    import spark.implicits._
+    // 5000-word doc: the old transform/filter form was O(words²) per row
+    // (25M interpreted comparisons here); the UDF is one linear pass with
+    // identical tokenize semantics (split on ' ', drop empties)
+    val longDoc = (Seq.fill(3000)("the") ++ Seq.tabulate(2000)(i => s"w$i")
+      ++ Seq("", "x")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q22").toString
+    Seq((1L, "the the  a"), (2L, longDoc)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Relational.q22MapScalars(spark, tmp).collect()
+    assert(rows(0).getLong(1) === 2L) // {the, a} — repeats and empties collapse
+    assert(rows(0).getLong(2) === 2L)
+    assert(rows(1).getLong(1) === 2002L) // the + w0..w1999 + x
+    assert(rows(1).getLong(2) === 3000L)
+  }
+
   test("q5b percentiles ordered and bounded; q23 pivot covers all orders") {
     val p = Relational.q5bPercentiles(spark, sf0001).collect()
     p.foreach { r =>

@@ -68,6 +68,45 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"IVF assignment must not shuffle the corpus:\n$plan")
   }
 
+  test("IVF centroid assignment runs fully inside codegen (no interpreted HOFs)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val centroids = Similarity.fitCentroids(e, numCentroids = 8)
+    val assigned = Similarity.assignCentroids(e, centroids)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // scores are native cosine_similarity calls fused into the scan's
+    // WholeStageCodegen stage ("*(1)" prefix); the old transform/dot
+    // lambdas were CodegenFallback and would break the fusion
+    assert(plan.contains("*(1) Project"), s"assignment not codegen'd:\n$plan")
+    assert(!plan.toLowerCase.contains("lambda"),
+      s"assignment still contains interpreted lambdas:\n$plan")
+    // and the assignment itself is unchanged by the de-interpretation:
+    // every row lands on its max-dot centroid
+    val sample = assigned
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("cid"))
+      .limit(64).collect()
+    sample.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val dots = centroids.map(c => c.zip(v).map { case (a, b) => a * b }.sum)
+      assert(r.getInt(2) === dots.indexOf(dots.max))
+    }
+  }
+
+  test("sim_ivf_probe (registered) builds the index once and probes it") {
+    val probed = Similarity.qIvfProbe(spark, sf0001, 0L, 5,
+      numCentroids = 8, nprobe = 4)
+    // same answer as the in-memory IVF path with identical parameters
+    assert(probed.collect().map(_.toSeq).toSeq ===
+      Similarity.ivfTopK(spark, sf0001, 0, 5, numCentroids = 8, nprobe = 4)
+        .collect().map(_.toSeq).toSeq)
+    // second call must hit the cached index (write-once/probe-many) and
+    // its read must be partition-pruned
+    val again = Similarity.qIvfProbe(spark, sf0001, 0L, 5,
+      numCentroids = 8, nprobe = 4)
+    val plan = again.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"probe does not prune partitions:\n$plan")
+  }
+
   test("materialized IVF index: partition-pruned probe equals in-memory IVF") {
     val e = Tables.embeddings(spark, sf0001)
     val centroids = Similarity.fitCentroids(e, numCentroids = 8)

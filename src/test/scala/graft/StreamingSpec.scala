@@ -103,6 +103,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("kafka decode maps the wire format onto the events schema") {
+    // the batch frame below has the kafka source's (key, value) shape;
+    // decodeEventsKafka must produce exactly readEventsStream's schema
+    val wire = Seq(
+      ("k1", """{"event_id":7,"ts":3600000000000,"user_id":42,"event_type":"view","value":1.5,"props":"{}"}"""),
+      ("k2", """{"event_id":8,"ts":7200000000000,"user_id":42,"event_type":"purchase","value":2.0,"props":null}"""))
+      .toDF("key", "value")
+      .select(col("key").cast("binary"), col("value").cast("binary"))
+    val got = StreamingOps.decodeEventsKafka(wire)
+    assert(got.schema === StreamingOps.readEventsStream(spark, sf0001).schema)
+    val rows = got.orderBy("event_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(7L, 8L))
+    assert(rows(0).getTimestamp(1).getTime === 3600000L) // ns → µs → ms
+    assert(rows(0).getString(3) === "view" && rows(1).getDouble(4) === 2.0)
+  }
+
+  test("readEventsKafka requests the kafka source with the given options") {
+    // no broker/connector in this environment: the constructor must fail
+    // at source RESOLUTION (proving format("kafka") is what's requested),
+    // not silently read something else
+    val e = intercept[Exception] {
+      StreamingOps.readEventsKafka(spark, "broker:9092", "events")
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("sliding windows double-count each event across overlapping windows") {
     def ts(min: Long) = new Timestamp(min * 60000L)
     val events = Seq((1L, ts(61), 1L, "click", 1.0, "{}"))

@@ -49,6 +49,16 @@ object ReferenceCli {
       .getOrCreate()
     val sc = spark.sparkContext
 
+    // Faithful mode reads the input on the DRIVER (the reference's
+    // jobtracker does the same re-scan, thread_pool.cc:46-65) — guard it
+    // so nobody accidentally points a 100 GB file at the compatibility
+    // shim instead of the idiomatic `spark.read.text` path.
+    val inputBytes = new java.io.File(inputFile).length()
+    val MaxFaithfulBytes = 1L << 30
+    require(inputBytes <= MaxFaithfulBytes,
+      s"$inputFile is $inputBytes bytes; the faithful CLI mode chunks on " +
+        "the driver and caps out at 1 GiB — use spark.read.text + " +
+        "MapReduceJob.wordCount for large inputs")
     val src = scala.io.Source.fromFile(inputFile)
     val chunks = try src.getLines().grouped(chunkSize).map(_.toVector).toVector
       finally src.close()

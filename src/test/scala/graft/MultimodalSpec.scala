@@ -39,6 +39,29 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set((1L, 0), (1L, 4), (1L, 8), (2L, 0)))
   }
 
+  test("non-UTF8 binary blobs round-trip parquet and decode deterministically") {
+    // real binary fixture: every byte value 0x00-0xFF (most are invalid
+    // UTF-8) plus a PNG-style magic header — exercises the encoder and the
+    // parquet binary path with payloads that are NOT reinterpretable text
+    val raw = Array.tabulate[Byte](256)(_.toByte)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
+      0x0a) ++ Array.fill[Byte](64)(0xff.toByte)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm")
+      .resolve("blobs.parquet").toString
+    Seq(MediaRecord(1L, "image", png, "synthetic://png"),
+      MediaRecord(2L, "bin", raw, "synthetic://raw")).toDS()
+      .write.mode("overwrite").parquet(tmp)
+    val feats = Multimodal
+      .extractFeatures(spark.read.parquet(tmp).as[MediaRecord])
+      .collect().map(f => f.id -> f).toMap
+    // checksums match a driver-side fold of the ORIGINAL arrays, proving
+    // the blobs survived encode → parquet → decode bit for bit
+    def fold(bs: Array[Byte]): Long =
+      bs.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    assert(feats(1L).checksum === fold(png) && feats(1L).nBytes === 72L)
+    assert(feats(2L).checksum === fold(raw) && feats(2L).nBytes === 256L)
+  }
+
   test("features drop the payload column (blobs never reach the shuffle)") {
     val schema = implicitly[org.apache.spark.sql.Encoder[MediaFeatures]]
       .schema.fieldNames.toSet

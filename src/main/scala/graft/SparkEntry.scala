@@ -100,6 +100,9 @@ object SparkEntry {
     "text_quality"        -> (TextAnalysis.qQuality _),
     "text_langid"         -> (TextAnalysis.qLangId _),
     "text_fingerprint"    -> (TextAnalysis.qFingerprint _),
+    "text_repetition"     -> (TextAnalysis.qRepetition _),
+    // --- benchmark decontamination ---
+    "decon_hits"          -> (Decontamination.qDeconHits _),
     // --- training-batch assembly ---
     "pack_sequences"      -> (Packing.qPackSequences _),
     "chunk_documents"     -> (Packing.qChunkDocuments _),
@@ -433,6 +436,26 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${charFoldSql("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) < 2 THEN []
+        |    ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    END AS gs
+        |  FROM t)
+        |SELECT doc_id, len(gs)::BIGINT AS n_bigrams,
+        |  round(CASE WHEN len(gs) = 0 THEN 0.0
+        |    ELSE (len(gs) - len(list_distinct(gs)))::DOUBLE / len(gs)
+        |    END, 4) AS dup_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "decon_hits" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+         |SELECT c.doc_id, count(*) AS n_hits
+         |FROM corp c JOIN bench b ON c.s = b.s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // --- training-batch assembly: exact integer arithmetic end to end ---
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,

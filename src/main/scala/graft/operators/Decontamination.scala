@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the pretraining-hygiene step that removes
+  * (or flags) corpus documents sharing word n-grams with an evaluation /
+  * benchmark set, so the training data can't leak test answers.
+  *
+  * Scale shape: the BENCHMARK side is small by construction (eval suites
+  * are thousands of documents, the corpus is the 100 TB side), so its
+  * distinct shingle set is broadcast and the corpus-side probe is a
+  * broadcast semi/inner join — one shuffle-free scan of the corpus
+  * shingles, no corpus-sized exchange anywhere. `broadcastBench = false`
+  * falls back to a shuffled join for the rare oversized benchmark.
+  * Shingling reuses [[Dedup.shingleDocs]] (distinct word n-grams per doc,
+  * primitive-loop UDF — the measured-30×-over-interpreted-HOF path).
+  */
+object Decontamination {
+
+  /** (doc_id, n_hits) per CONTAMINATED corpus doc: the number of distinct
+    * word `n`-grams it shares with the benchmark set. Docs shorter than
+    * `n` words can never hit. */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      broadcastBench: Boolean = true): DataFrame = {
+    val bench = Dedup.shingleDocs(benchmark, n)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val benchSide = if (broadcastBench) broadcast(bench) else bench
+    Dedup.shingleDocs(corpus, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(benchSide, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The corpus minus every contaminated document — broadcast anti-join
+    * against the (small) hit list, preserving all corpus columns. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3)
+      : DataFrame =
+    corpus.join(
+      broadcast(contaminationHits(corpus, benchmark, n).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  // --- SparkEntry-facing query wrapper ----------------------------------
+
+  /** Registered query: deterministic split of `documents` into a pseudo
+    * benchmark (doc_id ≡ 0 mod 20) and corpus (the rest); emits each
+    * contaminated corpus doc with its distinct shared-3-gram count. */
+  def qDeconHits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contaminationHits(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .orderBy("doc_id")
+  }
+}

@@ -89,6 +89,43 @@ object TextAnalysis {
     docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
   }
 
+  /** One row of [[repetitionScores]] — named struct so the UDF's output
+    * columns carry real names. */
+  case class Repetition(n_bigrams: Long, dup_bigram_frac: Double)
+
+  /** Gopher/MassiveText-style repetition signal: the fraction of a doc's
+    * word bigrams that are duplicates of an earlier bigram — high values
+    * flag boilerplate/spam for removal ahead of training. One primitive
+    * pass per row (tokenize + hash-set membership fused into a single
+    * UDF — the same measured trade as [[Dedup.shingleDocs]]; a
+    * declarative `len(gs) - len(array_distinct(gs))` materializes the
+    * full bigram array per row through interpreted lambdas). The single
+    * (int − int)/int division is exact-cross-engine per the oracle
+    * determinism rules. */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val rep = udf { (text: String) =>
+      val words =
+        if (text == null) Array.empty[String]
+        else text.split(" ").filter(_.nonEmpty)
+      val n = math.max(words.length - 1, 0)
+      if (n == 0) Repetition(0L, 0.0)
+      else {
+        val seen = new java.util.HashSet[String](n * 2)
+        var dups = 0
+        var i = 0
+        while (i < n) {
+          if (!seen.add(words(i) + " " + words(i + 1))) dups += 1
+          i += 1
+        }
+        Repetition(n.toLong, dups.toDouble / n)
+      }
+    }
+    docs.select(col("doc_id"), rep(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_bigrams"),
+        round(col("r.dup_bigram_frac"), 4).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qTokenCounts(s: SparkSession, dir: String): DataFrame =
@@ -102,4 +139,7 @@ object TextAnalysis {
 
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(s, dir))
+
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionScores(Tables.documents(s, dir))
 }

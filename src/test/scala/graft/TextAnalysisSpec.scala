@@ -41,6 +41,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(r === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
   }
 
+  test("repetition: duplicate-bigram fraction, edge cases exact") {
+    val reps = Seq(
+      (1L, "a b a b"),              // bigrams: ab, ba, ab → 1 dup of 3
+      (2L, "spam spam spam spam"),  // 3 bigrams, 2 dups
+      (3L, "all unique words here"),
+      (4L, "single"),               // no bigrams → 0, 0.0
+      (5L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScores(reps).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((3L, math.rint(1.0 / 3 * 10000) / 10000)))
+    assert(r(2L) === ((3L, math.rint(2.0 / 3 * 10000) / 10000)))
+    assert(r(3L) === ((3L, 0.0)))
+    assert(r(4L) === ((0L, 0.0)))
+    assert(r(5L) === ((0L, 0.0)))
+  }
+
   test("fingerprint: deterministic, order-sensitive, matches manual fold") {
     def fold(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)

@@ -17,13 +17,24 @@ GATE = 2.0
 
 def baseline_numbers(path=BASELINE_MD):
     """The frozen table rows look like `| q1_wordcount | 0.351 | ... |`
-    with two query/sec pairs per line."""
+    with two query/sec pairs per line. Parsing is anchored to the
+    'Operative baseline for BENCH' section so a name/number-shaped row in
+    any OTHER table can't become a phantom baselined query, and 0-valued
+    cells are skipped (a 0 baseline would make every ratio a divide-by-
+    zero breach)."""
     out = {}
+    in_section = False
     for line in open(path):
+        if line.startswith("## "):
+            in_section = line.startswith("## Operative baseline for BENCH")
+            continue
+        if not in_section:
+            continue
         for name, sec in re.findall(
                 r"\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*(?=\|)",
                 line):
-            out[name] = float(sec)
+            if float(sec) > 0:
+                out[name] = float(sec)
     return out
 
 

@@ -83,7 +83,19 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
+    // The harness reading stdout keeps only a BOUNDED TAIL of the output
+    // (~2000 chars observed) and parses the `{"metric":...}` line found in
+    // it — a line longer than that window gets its head truncated and the
+    // whole bench round reads as unparseable (this killed round 6, where
+    // the per-query samples map tripled the line). So stdout gets a COMPACT
+    // line: medians at millisecond precision (BASELINE.md's own precision)
+    // and no samples; the full-precision line with all iteration samples
+    // goes only to the SPARK_GRAFT_BENCH_OUT file copy.
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qsCompact = timings.map { case (k, v) => s""""${esc(k)}":${ms(v)}""" }
+      .mkString("{", ",", "}")
+    val qsFull = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
     val ss = samples.map { case (k, xs) =>
       s""""${esc(k)}":${xs.mkString("[", ",", "]")}"""
@@ -92,15 +104,26 @@ object Bench {
       .mkString("{", ",", "}")
     val onlyJson = only.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val total = timings.values.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qs,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
-    println(json)
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"failed":$fs,"sf":"${esc(sfName)}"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qsFull,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     val outPath = java.nio.file.Paths.get(out)
     Option(outPath.getParent)
       .foreach(p => java.nio.file.Files.createDirectories(p))
-    java.nio.file.Files.writeString(outPath, json + "\n")
+    java.nio.file.Files.writeString(outPath, full + "\n")
+    // Stop Spark BEFORE printing so no async executor/shutdown log line can
+    // land after the JSON and push its head out of the tail window.
     spark.stop()
+    if (compact.length > 1800)
+      // Headroom check: ~80 chars of sbt "[success] ..." footer follow the
+      // line inside the same 2000-char window. Growing past this means the
+      // queries map needs trimming, not that the run failed — warn loudly.
+      System.err.println(
+        s"WARN bench compact line ${compact.length} chars nears the 2000-char tail window")
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

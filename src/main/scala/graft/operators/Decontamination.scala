@@ -33,12 +33,16 @@ object Decontamination {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
-  /** The corpus minus every contaminated document — broadcast anti-join
-    * against the (small) hit list, preserving all corpus columns. */
+  /** The corpus minus every contaminated document — anti-join against the
+    * hit list, preserving all corpus columns. No broadcast hint: the hit
+    * list is bounded by the number of contaminated CORPUS docs (corpus-
+    * scale, not benchmark-scale — a heavily contaminated 100 TB corpus
+    * makes it arbitrarily large), so the join strategy is left to AQE,
+    * which broadcasts it exactly when its runtime size allows. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3)
       : DataFrame =
     corpus.join(
-      broadcast(contaminationHits(corpus, benchmark, n).select("doc_id")),
+      contaminationHits(corpus, benchmark, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
   // --- SparkEntry-facing query wrapper ----------------------------------

@@ -116,11 +116,15 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(numCentroids * 64)
       .collect()
-    val sample = sampleRows.map { r =>
+    // Zero-norm vectors are dropped from the sample: a zero centroid
+    // scores NaN under cosine, and Spark orders NaN above every double, so
+    // one zero centroid would argmax-capture EVERY row in assignCentroids.
+    val sample = sampleRows.iterator.map { r =>
       val v = r.getSeq[Double](1).toArray
-      val norm = math.sqrt(v.map(x => x * x).sum)
-      if (norm == 0) v else v.map(_ / norm)
-    }
+      (v, math.sqrt(v.map(x => x * x).sum))
+    }.collect { case (v, norm) if norm > 0 => v.map(_ / norm) }.toArray
+    require(sample.nonEmpty,
+      "IVF centroid fit: every sampled embedding has zero norm")
     kmeansCentroids(sample, math.min(numCentroids, sample.length))
   }
 
@@ -135,8 +139,11 @@ object Similarity {
     * Exchange, no interpreted expression. */
   def assignCentroids(e: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
+    // nanvl: a zero-norm CORPUS row scores NaN against every centroid;
+    // mapped to -2 (below any real cosine) it deterministically lands in
+    // centroid 0 instead of tripping NaN-is-greatest argmax surprises.
     val scores = array(centroids.toIndexedSeq.map(cv =>
-      cosine(col("embedding"), typedLit(cv.toSeq))): _*)
+      nanvl(cosine(col("embedding"), typedLit(cv.toSeq)), lit(-2.0))): _*)
     e.withColumn("scores", scores)
       .withColumn("cid",
         (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
@@ -216,16 +223,43 @@ object Similarity {
     * 100 TB user pays per query: centroid sidecar read + one predicate-
     * pushdown lookup of the query vector + a PartitionFilters-pruned read
     * of nprobe buckets). The index lives under java.io.tmpdir keyed by the
-    * corpus path; both the fit and the assignment are deterministic, so a
-    * rebuild is bit-identical to a cache hit. */
+    * corpus path + a data fingerprint; both the fit and the assignment are
+    * deterministic, so a rebuild is bit-identical to a cache hit. */
   def qIvfProbe(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_c$numCentroids"
-    val idx = Paths.get(sys.props("java.io.tmpdir"), "graft_ivf_index", key)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    // Cache key = corpus path + a DATA FINGERPRINT (total bytes + max
+    // mtime of embeddings.parquet, file or directory): regenerated
+    // testdata gets a fresh index instead of silently reusing a stale one
+    // (this query has no oracle, so a stale probe would go undetected),
+    // and the fingerprint also disambiguates distinct dirs that sanitize
+    // to the same string.
+    val src = Paths.get(dir, "embeddings.parquet")
+    val (bytes, mtime) = Files.walk(src).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .foldLeft((0L, 0L)) { case ((b, m), p) =>
+        (b + Files.size(p), math.max(m, Files.getLastModifiedTime(p).toMillis))
+      }
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      s"_c${numCentroids}_${bytes}_$mtime"
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ivf_index")
+    val idx = root.resolve(key)
     if (!Files.exists(idx.resolve("_centroids.csv"))) {
+      // Build into a unique temp sibling, then atomically rename into
+      // place — two concurrent first-builds race safely (loser discards).
+      Files.createDirectories(root)
+      val tmp = Files.createTempDirectory(root, ".build_")
       val e = Tables.embeddings(s, dir)
-      writeIvfIndex(e, fitCentroids(e, numCentroids), idx.toString)
+      writeIvfIndex(e, fitCentroids(e, numCentroids), tmp.toString)
+      try Files.move(tmp, idx, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException =>
+          // Lost the race — identical deterministic build already landed.
+          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+      }
     }
     val centroids = readIvfCentroids(idx.toString)
     val qvec = queryVector(Tables.embeddings(s, dir), queryId)

@@ -307,7 +307,13 @@ object StreamingOps {
       .format("memory").queryName(name).outputMode("append").start()
     try {
       q.processAllAvailable()
-      emitted.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      // A false return means the finalizing no-data batch never committed:
+      // silently proceeding would return an incomplete window set (the
+      // exact flake the listener replaced a sleep-poll to eliminate), so
+      // fail loudly instead.
+      if (!emitted.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "tumbling-window finalizing no-data batch did not commit within 60s")
     } finally {
       q.stop()
       child.streams.removeListener(listener)

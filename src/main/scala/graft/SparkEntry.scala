@@ -101,6 +101,11 @@ object SparkEntry {
     "text_langid"         -> (TextAnalysis.qLangId _),
     "text_fingerprint"    -> (TextAnalysis.qFingerprint _),
     "text_repetition"     -> (TextAnalysis.qRepetition _),
+    "text_filter_verdict" -> (TextAnalysis.qFilterVerdicts _),
+    // --- corpus-level text statistics ---
+    "text_top_terms"      -> (TextStats.qTopTerms _),
+    "text_collocations"   -> (TextStats.qCollocations _),
+    "text_rarity"         -> (TextStats.qRarity _),
     // --- benchmark decontamination ---
     "decon_hits"          -> (Decontamination.qDeconHits _),
     // --- training-batch assembly ---
@@ -449,6 +454,69 @@ object SparkEntry {
         |    ELSE (len(gs) - len(list_distinct(gs)))::DOUBLE / len(gs)
         |    END, 4) AS dup_bigram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_filter_verdict" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_tokens < 25 THEN 'too_short'
+        |       WHEN n_tokens > 100000 THEN 'too_long'
+        |       WHEN (n_chars - n_tokens + 1)::DOUBLE / n_tokens < 3.0 THEN 'short_words'
+        |       WHEN (n_chars - n_tokens + 1)::DOUBLE / n_tokens > 10.0 THEN 'long_words'
+        |       WHEN n_stop = 0 THEN 'no_stopwords'
+        |       ELSE 'ok' END AS reason,
+        |  (CASE WHEN n_tokens >= 25 AND n_tokens <= 100000
+        |       AND (n_chars - n_tokens + 1)::DOUBLE / n_tokens >= 3.0
+        |       AND (n_chars - n_tokens + 1)::DOUBLE / n_tokens <= 10.0
+        |       AND n_stop > 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM (
+        |  SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))::BIGINT AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_top_terms" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |terms AS (SELECT doc_id, unnest(w) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |r AS (SELECT doc_id, term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, term) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rnk::BIGINT AS rnk, term, tf, df,
+        |  round(tf * ln((SELECT n FROM nd)::DOUBLE / df), 4) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_collocations" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS u FROM t),
+        |uc AS (SELECT u, count(*)::BIGINT AS cu FROM uni GROUP BY 1),
+        |bi AS (SELECT unnest(CASE WHEN len(w) < 2 THEN []
+        |    ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    END) AS bg FROM t),
+        |bc AS (SELECT bg, count(*)::BIGINT AS cb FROM bi GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM uni)::BIGINT AS tu,
+        |               (SELECT count(*) FROM bi)::BIGINT AS tb)
+        |SELECT bg AS bigram, cb AS pair_count,
+        |  u1.cu AS left_count, u2.cu AS right_count,
+        |  round(ln((cb::DOUBLE * tu * tu) /
+        |           (tb::DOUBLE * u1.cu * u2.cu)), 4) AS pmi
+        |FROM bc JOIN uc u1 ON split_part(bg, ' ', 1) = u1.u
+        |        JOIN uc u2 ON split_part(bg, ' ', 2) = u2.u, tot
+        |ORDER BY cb DESC, bg LIMIT 20""".stripMargin,
+    "text_rarity" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
+        |    ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    END) AS bg FROM t),
+        |bc AS (SELECT bg, count(*)::BIGINT AS c FROM b GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(CASE WHEN c < 10 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+        |  round(sum(CASE WHEN c < 10 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |    AS rare_frac,
+        |  min(c)::BIGINT AS min_bigram_count
+        |FROM b JOIN bc USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decon_hits" ->
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),

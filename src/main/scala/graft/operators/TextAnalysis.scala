@@ -126,6 +126,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher/C4-style quality-filter VERDICT: the keep/drop decision (plus
+    * the first failing rule) a pretraining pipeline applies in front of
+    * the corpus, composed from the exact-arithmetic signals of
+    * [[qualityScores]]. Rules, in order: token-count bounds, mean word
+    * length bounds, must contain a stopword. `keep` is 1/0 BIGINT (not
+    * boolean) so the cross-engine hash compare stays type-stable. All
+    * comparisons are on exact integers or a single identical-shape IEEE
+    * division, so verdicts are bit-reproducible. Per-row, shuffle-free,
+    * one codegen'd scan. */
+  def filterVerdicts(docs: DataFrame, minTokens: Long = 25L,
+      maxTokens: Long = 100000L, minAvgLen: Double = 3.0,
+      maxAvgLen: Double = 10.0,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    val avgLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    val reason = when(nTok < minTokens, "too_short")
+      .when(nTok > maxTokens, "too_long")
+      .when(avgLen < minAvgLen, "short_words")
+      .when(avgLen > maxAvgLen, "long_words")
+      .when(nStop === 0, "no_stopwords")
+      .otherwise("ok")
+    docs.select(col("doc_id"), reason.as("reason"),
+      when(reason === "ok", 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qTokenCounts(s: SparkSession, dir: String): DataFrame =
@@ -142,4 +170,7 @@ object TextAnalysis {
 
   def qRepetition(s: SparkSession, dir: String): DataFrame =
     repetitionScores(Tables.documents(s, dir))
+
+  def qFilterVerdicts(s: SparkSession, dir: String): DataFrame =
+    filterVerdicts(Tables.documents(s, dir))
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics over `documents` — the cross-document
+  * signals an LLM-data pipeline computes after the per-row ones in
+  * [[TextAnalysis]]: TF-IDF term extraction, collocation mining, and
+  * corpus-frequency rarity scoring.
+  *
+  * Scale shape: every op here is explode → key-partitioned groupBy →
+  * key-partitioned join — the canonical "build a corpus-wide table,
+  * join it back" pattern. No single-partition window ever sees the
+  * corpus (the only Window is partitioned by doc_id), no driver-side
+  * collect, and the global scalars (corpus size, token totals) travel
+  * as broadcast 1-row frames, so the plans hold at 100 TB: shuffles
+  * are bounded by the token stream, vocab-sized sides are left to AQE
+  * to broadcast when they fit.
+  *
+  * Bigram extraction is a primitive-loop UDF (tokenize fused in) per
+  * the repo's measured ~30× advantage over interpreted HOF lambdas —
+  * see Dedup.shingleDocs and the doc on [[TextAnalysis.repetitionScores]].
+  */
+object TextStats {
+
+  /** Codegen'd token stream: one (doc_id, term) row per word. */
+  private def termStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+
+  private val bigramsUdf = udf { (text: String) =>
+    val words =
+      if (text == null) Array.empty[String]
+      else text.split(" ").filter(_.nonEmpty)
+    if (words.length < 2) Array.empty[String]
+    else Array.tabulate(words.length - 1)(i => words(i) + " " + words(i + 1))
+  }
+
+  /** One (doc_id, bg) row per word bigram ("w1 w2"). */
+  private def bigramStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(bigramsUdf(col("text"))).as("bg"))
+
+  /** TF-IDF distinctive-term extraction: the top `k` terms per document
+    * ranked by (tf desc, df asc, term) — an exact integer ordering, so
+    * ranks are reproducible cross-engine — with the classic
+    * tf·ln(N/df) score annotated.
+    *
+    * Plan: tf = groupBy(doc_id, term); df = groupBy(term) over it; join
+    * back on term (vocab-sized side, AQE picks broadcast vs shuffle);
+    * top-k via a doc_id-partitioned row_number window. */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = termStream(docs)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, "term")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("nd").cast("double") / col("df")), 4)
+          .as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Collocation mining: the `k` most frequent word bigrams corpus-wide,
+    * annotated with their unigram counts and PMI
+    * (ln(p(ab) / (p(a)·p(b)))). Ordering is by the exact integer pair
+    * count (bigram as tiebreak), never by the floating score, so the
+    * result set is reproducible cross-engine.
+    *
+    * Plan: two vocab-bounded count tables; the bigram table joins the
+    * unigram table twice (left word, right word) — vocab-sized sides,
+    * AQE decides broadcast; totals ride along as a broadcast 1-row
+    * frame; final top-k is TakeOrderedAndProject. */
+  def collocations(docs: DataFrame, k: Int = 20): DataFrame = {
+    val uni = termStream(docs).select(col("term").as("u"))
+    val uc = uni.groupBy("u").agg(count(lit(1)).as("cu"))
+    val bi = bigramStream(docs).select("bg")
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val tot = uni.agg(count(lit(1)).as("tu"))
+      .crossJoin(bi.agg(count(lit(1)).as("tb")))
+    bc
+      .withColumn("lw", substring_index(col("bg"), " ", 1))
+      .withColumn("rw", substring_index(col("bg"), " ", -1))
+      .join(uc.select(col("u").as("lw"), col("cu").as("left_count")), "lw")
+      .join(uc.select(col("u").as("rw"), col("cu").as("right_count")), "rw")
+      .crossJoin(broadcast(tot))
+      .select(col("bg").as("bigram"), col("cb").as("pair_count"),
+        col("left_count"), col("right_count"),
+        round(log((col("cb").cast("double") * col("tu") * col("tu")) /
+          (col("tb").cast("double") * col("left_count") * col("right_count"))
+        ), 4).as("pmi"))
+      .orderBy(col("pair_count").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Corpus-frequency rarity score per document — the cheap stand-in for
+    * an LM-perplexity quality signal (CCNet-style) that stays in exact
+    * integer arithmetic: the fraction of a doc's bigrams whose corpus
+    * frequency is below `rareBelow`, plus the doc's rarest bigram count.
+    * (A real avg-log-prob score is an order-sensitive double SUM —
+    * not reproducible across engines, so not oracle-checkable.)
+    *
+    * Plan: bigram count table (vocab²-bounded) joined back to the bigram
+    * stream on bg — the join key partitions both sides; per-doc agg is
+    * all integers + one final division. */
+  def rarityScores(docs: DataFrame, rareBelow: Long = 10L): DataFrame = {
+    val b = bigramStream(docs)
+    val bc = b.groupBy("bg").agg(count(lit(1)).as("c"))
+    b.join(bc, "bg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") < rareBelow, 1L).otherwise(0L)).as("n_rare"),
+        min(col("c")).as("min_bigram_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_bigrams"), 4)
+          .as("rare_frac"),
+        col("min_bigram_count"))
+      .orderBy("doc_id")
+  }
+
+  // --- SparkEntry-facing wrappers ---------------------------------------
+
+  def qTopTerms(s: SparkSession, dir: String): DataFrame =
+    topTerms(Tables.documents(s, dir))
+
+  def qCollocations(s: SparkSession, dir: String): DataFrame =
+    collocations(Tables.documents(s, dir))
+
+  def qRarity(s: SparkSession, dir: String): DataFrame =
+    rarityScores(Tables.documents(s, dir))
+}

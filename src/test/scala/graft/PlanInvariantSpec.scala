@@ -13,9 +13,11 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
   private val skip = Set("stream_tumbling")
 
   /** BroadcastNestedLoopJoin is legitimate exactly where one side is
-    * guaranteed tiny: the literal band table (a theta join by design) and
-    * the broadcast 1-row query vector. */
-  private val bnljAllowed = Set("q18b_theta_band", "q15_cosine_topk")
+    * guaranteed tiny: the literal band table (a theta join by design), the
+    * broadcast 1-row query vector, and the broadcast 1-row corpus-total
+    * scalars of the corpus-stats queries. */
+  private val bnljAllowed = Set("q18b_theta_band", "q15_cosine_topk",
+    "text_top_terms", "text_collocations")
 
   test("no registered query plans a cartesian product; BNLJ only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{TextAnalysis, TextStats}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextStatsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // 3 docs, hand-checkable counts: "rare" appears once in one doc,
+  // "the cat" is the dominant bigram.
+  private val docs = Seq(
+    (1L, "the cat sat on the cat mat"),
+    (2L, "the cat ate the rare fish"),
+    (3L, "dogs bark")).toDF("doc_id", "text")
+
+  test("topTerms: ranked by tf desc then df asc then term, exact tfidf") {
+    val r = TextStats.topTerms(docs, k = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getString(2), x.getLong(3), x.getLong(4))).toMap
+    // doc 1: 'the'/'cat' tf=2 tie → df tie (both in docs 1,2) → term asc
+    assert(r((1L, 1L)) === (("cat", 2L, 2L)))
+    assert(r((1L, 2L)) === (("the", 2L, 2L)))
+    // doc 3: both tf=1 df=1 → term asc
+    assert(r((3L, 1L)) === (("bark", 1L, 1L)))
+    // tfidf = tf * ln(N/df): cat in doc1 = 2*ln(3/2)
+    val row = TextStats.topTerms(docs, k = 2).collect()
+      .find(x => x.getLong(0) == 1L && x.getString(2) == "cat").get
+    assert(row.getAs[Double]("tfidf") ===
+      math.rint(2 * math.log(3.0 / 2) * 10000) / 10000)
+  }
+
+  test("collocations: counts exact, ordered by pair count then bigram") {
+    val r = TextStats.collocations(docs, k = 3).collect()
+    assert(r.head.getString(0) === "the cat") // appears 3×
+    assert(r.head.getLong(1) === 3L)
+    assert(r.head.getLong(2) === 4L) // 'the' unigram count
+    assert(r.head.getLong(3) === 3L) // 'cat' unigram count
+    // pmi = ln(cb·tu²/(tb·cu_l·cu_r)); tu=15 unigrams, tb=12 bigrams
+    assert(r.head.getAs[Double]("pmi") ===
+      math.rint(math.log(3.0 * 15 * 15 / (12.0 * 4 * 3)) * 10000) / 10000)
+    // remaining rows tie at cb=1 → bigram-ascending
+    assert(r.map(_.getString(0)).drop(1) === r.map(_.getString(0)).drop(1).sorted)
+  }
+
+  test("rarityScores: rare fraction and min count exact") {
+    val r = TextStats.rarityScores(docs, rareBelow = 2L).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getAs[Double]("rare_frac"),
+          x.getLong(4))).toMap
+    // doc 1 bigrams: the-cat(3) cat-sat sat-on on-the the-cat cat-mat
+    // → 6 total, 4 with corpus count 1 (<2)
+    assert(r(1L) === ((6L, 4L, math.rint(4.0 / 6 * 10000) / 10000, 1L)))
+    // doc 3: one bigram, count 1
+    assert(r(3L) === ((1L, 1L, 1.0, 1L)))
+  }
+
+  test("rarityScores: single-word docs have no bigrams and drop out") {
+    val d = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    assert(TextStats.rarityScores(d).collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("filterVerdicts: each rule fires and keep matches reason") {
+    val d = Seq(
+      (1L, ("the quick brown fox jumps over lazy dogs daily " * 3).trim), // 27 tokens, ok
+      (2L, "too short a doc"),                                  // too_short
+      (3L, Seq.fill(30)("a b c d").mkString(" ")),              // short_words
+      (4L, Seq.fill(30)("extraordinarily incomprehensibilities the").mkString(" ")), // long_words
+      (5L, Seq.fill(30)("fox dog cat").mkString(" ")))          // no_stopwords
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.filterVerdicts(d).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) === (("ok", 1L)))
+    assert(r(2L) === (("too_short", 0L)))
+    assert(r(3L) === (("short_words", 0L)))
+    assert(r(4L) === (("long_words", 0L)))
+    assert(r(5L) === (("no_stopwords", 0L)))
+  }
+
+  test("topTerms plan: the only window is doc_id-partitioned") {
+    val plan = TextStats.topTerms(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    // its exchange hashes on doc_id — never a corpus-wide SinglePartition
+    // window (the scalar-count agg is the only legitimate 1-row exchange)
+    assert(plan.contains("hashpartitioning(doc_id"), plan)
+  }
+}

@@ -86,6 +86,7 @@ object SparkEntry {
     "q24_scalar_subquery" -> (Relational.q24ScalarSubquery _),
     "q25_correlated_exists" -> (Relational.q25CorrelatedExists _),
     "q26_hash_sample"     -> (Sampling.q26HashSample _),
+    "q27_cooccurrence"    -> (Relational.q27Cooccurrence _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     "sim_ivf_probe"       -> ((s: SparkSession, d: String) => Similarity.qIvfProbe(s, d)), // no oracle: approximate; spec-pinned vs ivfTopK
@@ -374,6 +375,15 @@ object SparkEntry {
         |WHERE substring(md5(o_orderkey::VARCHAR), 1, 1)
         |  IN ('0', '1', '2', '3')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q27_cooccurrence" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b
+        |          FROM ob a JOIN ob b
+        |          ON a.okey = b.okey AND a.brand < b.brand)
+        |SELECT brand_a, brand_b, count(*)::BIGINT AS n_orders
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_orders DESC, brand_a, brand_b LIMIT 15""".stripMargin,
     "q23_pivot" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year,
         |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,

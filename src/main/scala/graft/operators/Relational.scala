@@ -561,4 +561,38 @@ object Relational {
         size(col("tf")).cast("long").as("n_distinct_words"),
         coalesce(element_at(col("tf"), "the"), lit(0)).cast("long").as("tf_the"))
       .orderBy("doc_id")
+
+  /** Co-occurrence (market-basket pair) mining: the `k` item pairs that
+    * appear together in the most groups. The self-join is pinned to
+    * `shuffle_hash` — both sides co-partition on the group key, and per
+    * the repo's measured rule a projected self-join otherwise risks a
+    * misplanned broadcast of a fact-sized side. Pair blowup is bounded by
+    * (items-per-group choose 2), so the join output stays linear in the
+    * input for bounded baskets; ordering is by exact integer count with a
+    * full pair tiebreak, so top-k is reproducible. */
+  def coOccurrence(items: DataFrame, groupCol: String, itemCol: String,
+      k: Int = 15): DataFrame = {
+    val g = items.select(col(groupCol).as("gkey"), col(itemCol).as("item"))
+      .distinct()
+    g.as("a").join(g.as("b").hint("shuffle_hash"),
+        col("a.gkey") === col("b.gkey") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("n_groups").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** Q27 — brand co-occurrence within orders: resolve brands via the part
+    * dim (scales with SF, so no forced broadcast — AQE picks the strategy),
+    * then [[coOccurrence]] over (order, brand). */
+  def q27Cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val p = Tables(s, dir, "part").select("p_partkey", "p_brand")
+    coOccurrence(
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")),
+      "l_orderkey", "p_brand")
+      .select(col("item_a").as("brand_a"), col("item_b").as("brand_b"),
+        col("n_groups").as("n_orders"))
+  }
 }

@@ -269,6 +269,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("coOccurrence: pair counts exact, shuffle-hash self-join, no cartesian") {
+    import spark.implicits._
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (3L, "x"), // duplicate item in group counts once
+      (4L, "z")).toDF("basket", "item")
+    val r = Relational.coOccurrence(baskets, "basket", "item", k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r === Map(("x", "y") -> 3L, ("x", "z") -> 1L, ("y", "z") -> 1L))
+    val plan = Relational.coOccurrence(baskets, "basket", "item")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"self-join not shuffle-hash:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q2/q5 plans: filters push to parquet scan; agg is partial+final") {
     val q2Plan = Relational.q2FilterProject(spark, sf0001)
       .queryExecution.executedPlan.toString

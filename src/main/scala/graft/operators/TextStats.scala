@@ -49,7 +49,12 @@ object TextStats {
     *
     * Plan: tf = groupBy(doc_id, term); df = groupBy(term) over it; join
     * back on term (vocab-sized side, AQE picks broadcast vs shuffle);
-    * top-k via a doc_id-partitioned row_number window. */
+    * top-k via a doc_id-partitioned row_number window. The tf lineage is
+    * referenced twice (df derivation + join left), so the corpus is
+    * scanned twice — the skew-safe trade: the alternative (df via a
+    * term-partitioned window, one scan) buffers every doc of a hot term
+    * in one window partition. A persistent pipeline materializes tf once
+    * and pays neither. */
   def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = termStream(docs)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -73,30 +78,43 @@ object TextStats {
     * count (bigram as tiebreak), never by the floating score, so the
     * result set is reproducible cross-engine.
     *
-    * Plan: two vocab-bounded count tables; the bigram table joins the
-    * unigram table twice (left word, right word) — vocab-sized sides,
-    * AQE decides broadcast; totals ride along as a broadcast 1-row
-    * frame; final top-k is TakeOrderedAndProject. */
+    * EAGER wrapper (returns a k-row local frame): the unigram and bigram
+    * count tables are each referenced three times (two join sides +
+    * totals), and a lazy diamond re-executes the corpus scan per
+    * reference — five scans in the naive plan. Persisting the two
+    * VOCAB-BOUNDED count tables and materializing the bounded top-k is
+    * the same persist→bounded-result→unpersist shape as
+    * Dedup.connectedComponents, and leaves exactly one corpus scan per
+    * stream. Totals fold the persisted count tables (sum(cu)/sum(cb)),
+    * never the corpus; the vocab-sized joins are left to AQE. */
   def collocations(docs: DataFrame, k: Int = 20): DataFrame = {
-    val uni = termStream(docs).select(col("term").as("u"))
-    val uc = uni.groupBy("u").agg(count(lit(1)).as("cu"))
-    val bi = bigramStream(docs).select("bg")
-    val bc = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val tot = uni.agg(count(lit(1)).as("tu"))
-      .crossJoin(bi.agg(count(lit(1)).as("tb")))
-    bc
-      .withColumn("lw", substring_index(col("bg"), " ", 1))
-      .withColumn("rw", substring_index(col("bg"), " ", -1))
-      .join(uc.select(col("u").as("lw"), col("cu").as("left_count")), "lw")
-      .join(uc.select(col("u").as("rw"), col("cu").as("right_count")), "rw")
-      .crossJoin(broadcast(tot))
-      .select(col("bg").as("bigram"), col("cb").as("pair_count"),
-        col("left_count"), col("right_count"),
-        round(log((col("cb").cast("double") * col("tu") * col("tu")) /
-          (col("tb").cast("double") * col("left_count") * col("right_count"))
-        ), 4).as("pmi"))
-      .orderBy(col("pair_count").desc, col("bigram"))
-      .limit(k)
+    val spark = docs.sparkSession
+    val uc = termStream(docs).select(col("term").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("cu")).persist()
+    val bc = bigramStream(docs).select("bg")
+      .groupBy("bg").agg(count(lit(1)).as("cb")).persist()
+    try {
+      val tot = uc.agg(sum("cu").as("tu")).crossJoin(bc.agg(sum("cb").as("tb")))
+      val rows = bc
+        .withColumn("lw", substring_index(col("bg"), " ", 1))
+        .withColumn("rw", substring_index(col("bg"), " ", -1))
+        .join(uc.select(col("u").as("lw"), col("cu").as("left_count")), "lw")
+        .join(uc.select(col("u").as("rw"), col("cu").as("right_count")), "rw")
+        .crossJoin(broadcast(tot))
+        .select(col("bg").as("bigram"), col("cb").as("pair_count"),
+          col("left_count"), col("right_count"),
+          round(log((col("cb").cast("double") * col("tu") * col("tu")) /
+            (col("tb").cast("double") * col("left_count") * col("right_count"))
+          ), 4).as("pmi"))
+        .orderBy(col("pair_count").desc, col("bigram"))
+        .limit(k)
+      val out = rows.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(out: _*), rows.schema)
+    } finally {
+      uc.unpersist()
+      bc.unpersist()
+    }
   }
 
   /** Corpus-frequency rarity score per document — the cheap stand-in for
@@ -108,7 +126,8 @@ object TextStats {
     *
     * Plan: bigram count table (vocab²-bounded) joined back to the bigram
     * stream on bg — the join key partitions both sides; per-doc agg is
-    * all integers + one final division. */
+    * all integers + one final division. Two corpus scans (stats build +
+    * probe) — the canonical shape; AQE handles hot-bigram join skew. */
   def rarityScores(docs: DataFrame, rareBelow: Long = 10L): DataFrame = {
     val b = bigramStream(docs)
     val bc = b.groupBy("bg").agg(count(lit(1)).as("c"))

@@ -112,6 +112,8 @@ object SparkEntry {
     // --- training-batch assembly ---
     "pack_sequences"      -> (Packing.qPackSequences _),
     "chunk_documents"     -> (Packing.qChunkDocuments _),
+    "shard_assembly"      -> (Packing.qShardAssembly _),
+    "sample_per_group"    -> (Sampling.qSamplePerGroup _),
     // --- multimodal plumbing ---
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
     // --- streaming ---
@@ -546,6 +548,25 @@ object SparkEntry {
         |SELECT doc_id, n::BIGINT AS n_tokens, (pre // 512)::BIGINT AS bin_id,
         |  (pre % 512)::BIGINT AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "shard_assembly" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n,
+        |    coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t)
+        |SELECT (pre // 512)::BIGINT AS bin_id, count(*)::BIGINT AS n_docs,
+        |  sum(n)::BIGINT AS n_tokens,
+        |  string_agg(text, ' ' ORDER BY doc_id) AS shard_text
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_per_group" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id,
         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n

@@ -127,10 +127,37 @@ object Packing {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** (bin_id, n_docs, n_tokens, shard_text): materialize each packing bin
+    * as a training shard — the docs STARTING in the bin, concatenated in
+    * doc_id order. Group sizes are bounded by construction (a bin holds at
+    * most `binTokens` doc starts, since every doc is ≥1 token), so the
+    * per-bin collect_list can never blow up on skew; the ordered concat
+    * goes through array_sort(struct(doc_id, text)) because collect_list
+    * order is not deterministic across shuffles. The sort/transform
+    * lambdas are interpreted, but over ≤`binTokens` elements per bin —
+    * bounded, not the repo's corpus-sized-HOF trap. */
+  def shardAssembly(docs: DataFrame, binTokens: Int = 512,
+      buckets: Int = 64): DataFrame =
+    packSequences(docs, binTokens, buckets)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy("bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          " ").as("shard_text"))
+      .orderBy("bin_id")
+
   // --- SparkEntry-facing query wrappers ---------------------------------
 
   def qPackSequences(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(s, dir))
+
+  def qShardAssembly(s: SparkSession, dir: String): DataFrame =
+    shardAssembly(Tables.documents(s, dir))
 
   def qChunkDocuments(s: SparkSession, dir: String): DataFrame =
     chunkDocuments(Tables.documents(s, dir))

@@ -52,6 +52,22 @@ object Sampling {
       .reduce(_ unionAll _)
   }
 
+  /** Deterministic per-group top-`n` sample: the `n` rows of each group
+    * with the smallest `md5(decimal key)` — a balanced, engine-portable
+    * subset (same rows in Spark, DuckDB, and every rerun; the per-group
+    * analogue of [[hashSample]]). One hash-partitioned row_number window;
+    * at scale a single giant group sorts within its partitions (Spark
+    * spills window sorts), and a heavily skewed corpus would pre-filter
+    * with [[hashSample]] first to shrink the window input. */
+  def samplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n).drop("rn")
+  }
+
   // --- SparkEntry-facing query wrappers ---------------------------------
 
   /** q26 — 4/16 deterministic hash sample of orders, aggregated per
@@ -61,4 +77,10 @@ object Sampling {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
       .orderBy("o_orderpriority")
+
+  /** sample_per_group — 20 deterministic docs per source. */
+  def qSamplePerGroup(s: SparkSession, dir: String): DataFrame =
+    samplePerGroup(Tables.documents(s, dir), "source", "doc_id", 20)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
 }

@@ -55,6 +55,16 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
       s"unexpected single-partition exchanges:\n$plan")
   }
 
+  test("shardAssembly: bins concat their starting docs in doc_id order") {
+    // same stream as above, bin capacity 4: bin0 = docs 10,11; bin2 = 12,13,14
+    val got = Packing.shardAssembly(corpus, binTokens = 4, buckets = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 8L, "a b c d e f g h"),
+      (2L, 3L, 6L, " i j k l  m n"))) // doc12 text is "" → leading separator
+  }
+
   test("chunkDocuments: stride windows, boundary cases, empty docs dropped") {
     // chunk 4, overlap 1, stride 3:
     //   n=3 → 1 chunk [0,3); n=5 → 1+⌊(5-1-1)/3⌋=2 → [0,4),[3,5)

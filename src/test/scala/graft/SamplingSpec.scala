@@ -43,6 +43,19 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(counts("a") > counts("b"))
   }
 
+  test("samplePerGroup: exactly n per group, deterministic across reruns") {
+    val df = (1L to 200L).map(i => (s"g${i % 4}", i)).toDF("grp", "key")
+    val take = Sampling.samplePerGroup(df, "grp", "key", 5)
+    val rows = take.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map("g0" -> 5, "g1" -> 5, "g2" -> 5, "g3" -> 5))
+    // re-evaluation (and a different partitioning) keeps the same rows
+    val again = Sampling
+      .samplePerGroup(df.repartition(7), "grp", "key", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("cosine_similarity is callable from SQL after registration") {
     GraftFunctions.register(spark)
     def c(sql: String): Double = spark.sql(sql).head().getDouble(0)

@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.qSimhash _),   // no oracle: hash-internal banding
     "dedup_embedding"     -> (Dedup.qEmbeddingNearDup _),
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
+    "dedup_filtered"      -> (Dedup.qDedupFiltered _),
     // --- text analysis ---
     "text_token_counts"   -> (TextAnalysis.qTokenCounts _),
     "text_quality"        -> (TextAnalysis.qQuality _),
@@ -418,6 +419,20 @@ object SparkEntry {
          |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
          |SELECT node AS doc_id, least(node, min(r)) AS canonical_doc_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_filtered" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |drop_ids AS (SELECT node FROM reach GROUP BY node
+         |             HAVING least(node, min(r)) <> node)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)
+         |ORDER BY d.doc_id""".stripMargin,
     // --- text analysis ---
     "text_token_counts" ->
       """SELECT doc_id,

@@ -643,4 +643,25 @@ object Dedup {
     * pair set equals the n-gram path's up to the ~5e-8 banding miss. */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashLshCore(Tables.documents(s, dir)))
+
+  /** END-TO-END near-dup removal — the operator a pipeline user actually
+    * runs: the corpus minus every non-canonical cluster member (each
+    * near-dup cluster keeps its min-doc_id representative; docs in no
+    * cluster pass through untouched). Anti-join against the drop list,
+    * which is duplicate-count-sized — corpus-bounded, so no broadcast
+    * hint (the Decontamination lesson): AQE broadcasts it when its
+    * runtime size allows. */
+  def dedupCorpus(docs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(minhashLshCore(docs))
+    val drop = clusters.filter(col("doc_id") =!= col("canonical_doc_id"))
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** dedup_filtered — the kept corpus after [[dedupCorpus]] (id/source/
+    * size columns; the driver hash-checks membership). */
+  def qDedupFiltered(s: SparkSession, dir: String): DataFrame =
+    dedupCorpus(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
 }

@@ -125,6 +125,12 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("dedupCorpus: keeps cluster minima and unclustered docs only") {
+    // at j≥0.8 only 3≈4 clusters (1≈2 is j=7/13) → drop 4, keep the rest
+    val kept = Dedup.dedupCorpus(corpus).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 2L, 3L, 5L, 6L))
+  }
+
   test("every dedup operator returns empty on an empty corpus, no crash") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(noDocs).count() === 0)

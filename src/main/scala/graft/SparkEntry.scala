@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_embedding"     -> (Dedup.qEmbeddingNearDup _),
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "dedup_filtered"      -> (Dedup.qDedupFiltered _),
+    "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
     // --- text analysis ---
     "text_token_counts"   -> (TextAnalysis.qTokenCounts _),
     "text_quality"        -> (TextAnalysis.qQuality _),
@@ -433,6 +434,11 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_threshold_hist" ->
+      s"""WITH $shingleCte
+         |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM jac WHERE j >= 0.05 GROUP BY 1 ORDER BY 1""".stripMargin,
     // --- text analysis ---
     "text_token_counts" ->
       """SELECT doc_id,

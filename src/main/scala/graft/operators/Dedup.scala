@@ -664,4 +664,21 @@ object Dedup {
     dedupCorpus(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
+
+  /** Jaccard-band histogram — the threshold-tuning tool: how many doc
+    * pairs fall in each similarity decile ≥ `lo` (band10 = ⌊j·10⌋, so 10
+    * = exact duplicates). Same candidate machinery and cost as
+    * [[ngramJaccardPairs]] (the shared-shingle join dominates; the
+    * threshold only filters verified pairs), one extra tiny agg. Banding
+    * is on the 4dp-rounded j with an identical expression in the oracle,
+    * so edge pairs band identically cross-engine. */
+  def jaccardHistogram(docs: DataFrame, lo: Double = 0.05,
+      n: Int = 3): DataFrame =
+    ngramJaccardCore(docs, lo, n)
+      .withColumn("band10", floor(col("jaccard") * 10).cast("long"))
+      .groupBy("band10").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("band10")
+
+  def qJaccardHistogram(s: SparkSession, dir: String): DataFrame =
+    jaccardHistogram(Tables.documents(s, dir))
 }

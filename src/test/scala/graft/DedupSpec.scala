@@ -131,6 +131,13 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(kept.toSeq === Seq(1L, 2L, 3L, 5L, 6L))
   }
 
+  test("jaccardHistogram: planted pairs land in their deciles") {
+    // 1≈2: j = 7/13 ≈ 0.538 → band 5; 3≈4 identical: j = 1.0 → band 10
+    val h = Dedup.jaccardHistogram(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(5L -> 1L, 10L -> 1L))
+  }
+
   test("every dedup operator returns empty on an empty corpus, no crash") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(noDocs).count() === 0)

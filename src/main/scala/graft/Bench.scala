@@ -105,8 +105,20 @@ object Bench {
     val onlyJson = only.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val total = timings.values.sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"failed":$fs,"sf":"${esc(sfName)}"}"""
+    // Failure MESSAGES can be 200 chars each — enough to blow the tail
+    // window exactly when failures matter most. The compact line carries
+    // them truncated to 40 chars; if the line still runs long, degrade to
+    // failed NAMES only (full messages are always in the file copy).
+    def compactLine(failedJson: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"sf":"${esc(sfName)}"}"""
+    val fsShort = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(40))}"""" }
+      .mkString("{", ",", "}")
+    val fsNames = failed.keys.map(k => s""""${esc(k)}":"failed"""")
+      .mkString("{", ",", "}")
+    val compact = {
+      val c = compactLine(fsShort)
+      if (c.length <= 1800) c else compactLine(fsNames)
+    }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qsFull,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")

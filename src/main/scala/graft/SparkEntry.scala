@@ -580,7 +580,7 @@ object SparkEntry {
         |SELECT (pre // 512)::BIGINT AS bin_id, count(*)::BIGINT AS n_docs,
         |  sum(n)::BIGINT AS n_tokens,
         |  string_agg(text, ' ' ORDER BY doc_id) AS shard_text
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM c WHERE n > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_per_group" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

@@ -671,10 +671,18 @@ object Dedup {
     * [[ngramJaccardPairs]] (the shared-shingle join dominates; the
     * threshold only filters verified pairs), one extra tiny agg. Banding
     * is on the 4dp-rounded j with an identical expression in the oracle,
-    * so edge pairs band identically cross-engine. */
-  def jaccardHistogram(docs: DataFrame, lo: Double = 0.05,
-      n: Int = 3): DataFrame =
-    ngramJaccardCore(docs, lo, n)
+    * so edge pairs band identically cross-engine.
+    *
+    * CAVEAT: inherits the df-cap hot-bucket guard, which degrades
+    * duplicate groups larger than the cap to star candidates — cluster
+    * membership survives but intra-group PAIRS don't, so on a corpus with
+    * >cap mutual near-dups the high deciles are LOWER BOUNDS, not exact
+    * counts. Pass `dfCap = None` for exact counts when the corpus is
+    * known to have no hot shingles (quadratic in the hottest bucket
+    * otherwise). */
+  def jaccardHistogram(docs: DataFrame, lo: Double = 0.05, n: Int = 3,
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+    ngramJaccardCore(docs, lo, n, dfCap)
       .withColumn("band10", floor(col("jaccard") * 10).cast("long"))
       .groupBy("band10").agg(count(lit(1)).as("n_pairs"))
       .orderBy("band10")

@@ -129,16 +129,20 @@ object Packing {
 
   /** (bin_id, n_docs, n_tokens, shard_text): materialize each packing bin
     * as a training shard — the docs STARTING in the bin, concatenated in
-    * doc_id order. Group sizes are bounded by construction (a bin holds at
-    * most `binTokens` doc starts, since every doc is ≥1 token), so the
-    * per-bin collect_list can never blow up on skew; the ordered concat
-    * goes through array_sort(struct(doc_id, text)) because collect_list
-    * order is not deterministic across shuffles. The sort/transform
-    * lambdas are interpreted, but over ≤`binTokens` elements per bin —
-    * bounded, not the repo's corpus-sized-HOF trap. */
+    * doc_id order. ZERO-token docs are excluded: they contribute nothing
+    * to a shard, and because they never advance the running count,
+    * unboundedly many of them could otherwise share one bin_id and blow
+    * up its group. With them gone a bin holds at most `binTokens` doc
+    * starts (every kept doc is ≥1 token), so the per-bin collect_list is
+    * bounded by construction; the ordered concat goes through
+    * array_sort(struct(doc_id, text)) because collect_list order is not
+    * deterministic across shuffles. The sort/transform lambdas are
+    * interpreted, but over ≤`binTokens` elements per bin — bounded, not
+    * the repo's corpus-sized-HOF trap. */
   def shardAssembly(docs: DataFrame, binTokens: Int = 512,
       buckets: Int = 64): DataFrame =
     packSequences(docs, binTokens, buckets)
+      .filter(col("n_tokens") > 0)
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
       .groupBy("bin_id")
       .agg(

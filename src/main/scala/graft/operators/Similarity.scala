@@ -225,40 +225,73 @@ object Similarity {
     * of nprobe buckets). The index lives under java.io.tmpdir keyed by the
     * corpus path + a data fingerprint; both the fit and the assignment are
     * deterministic, so a rebuild is bit-identical to a cache hit. */
+  /** Bumped whenever fit/assignment SEMANTICS change (zero-norm handling,
+    * scoring expression, banding): the version rides in the cache key so a
+    * pre-existing index built by older code can never be served for the
+    * same data. */
+  private val IndexVersion = 2
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
   def qIvfProbe(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    // Cache key = corpus path + a DATA FINGERPRINT (total bytes + max
-    // mtime of embeddings.parquet, file or directory): regenerated
-    // testdata gets a fresh index instead of silently reusing a stale one
-    // (this query has no oracle, so a stale probe would go undetected),
-    // and the fingerprint also disambiguates distinct dirs that sanitize
-    // to the same string.
+    // Cache key = corpus path + ALGORITHM VERSION + a DATA FINGERPRINT
+    // (total bytes + max mtime of embeddings.parquet, file or directory):
+    // regenerated testdata or changed fit/assignment semantics get a
+    // fresh index instead of silently reusing a stale one (this query has
+    // no oracle, so a stale probe would go undetected), and the
+    // fingerprint also disambiguates distinct dirs that sanitize to the
+    // same string.
     val src = Paths.get(dir, "embeddings.parquet")
-    val (bytes, mtime) = Files.walk(src).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .foldLeft((0L, 0L)) { case ((b, m), p) =>
-        (b + Files.size(p), math.max(m, Files.getLastModifiedTime(p).toMillis))
-      }
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      s"_c${numCentroids}_${bytes}_$mtime"
+    val srcWalk = Files.walk(src)
+    val (bytes, mtime) =
+      try srcWalk.iterator().asScala.filter(Files.isRegularFile(_))
+        .foldLeft((0L, 0L)) { case ((b, m), p) =>
+          (b + Files.size(p), math.max(m, Files.getLastModifiedTime(p).toMillis))
+        }
+      finally srcWalk.close()
+    val stem = dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_c$numCentroids"
+    val key = s"${stem}_v${IndexVersion}_${bytes}_$mtime"
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ivf_index")
     val idx = root.resolve(key)
     if (!Files.exists(idx.resolve("_centroids.csv"))) {
       // Build into a unique temp sibling, then atomically rename into
       // place — two concurrent first-builds race safely (loser discards).
       Files.createDirectories(root)
+      // Prune superseded indexes of the same corpus/config (older version
+      // or fingerprint) so regenerated testdata doesn't accumulate stale
+      // trees in tmpdir forever.
+      val ls = Files.list(root)
+      try ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(stem + "_") && n != key && !n.startsWith(".build_")
+        }
+        .foreach(p => try deleteTree(p) catch { case _: java.io.IOException => () })
+      finally ls.close()
       val tmp = Files.createTempDirectory(root, ".build_")
-      val e = Tables.embeddings(s, dir)
-      writeIvfIndex(e, fitCentroids(e, numCentroids), tmp.toString)
-      try Files.move(tmp, idx, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException =>
-          // Lost the race — identical deterministic build already landed.
-          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+      try {
+        val e = Tables.embeddings(s, dir)
+        writeIvfIndex(e, fitCentroids(e, numCentroids), tmp.toString)
+        Files.move(tmp, idx, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // A failed rename onto the winner's tree surfaces as ENOTEMPTY /
+        // EEXIST / EACCES depending on platform — all FileSystemException.
+        // Losing the race is fine only if the winner's index actually
+        // landed; otherwise the build genuinely failed and must surface.
+        case _: java.nio.file.FileSystemException
+            if Files.exists(idx.resolve("_centroids.csv")) =>
+          try deleteTree(tmp) catch { case _: java.io.IOException => () }
+        case e: Throwable =>
+          try deleteTree(tmp) catch { case _: java.io.IOException => () }
+          throw e
       }
     }
     val centroids = readIvfCentroids(idx.toString)

@@ -126,22 +126,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One row of the [[filterVerdicts]] token-stats UDF. */
+  case class TokStats(n_tokens: Long, n_stop: Long)
+
   /** Gopher/C4-style quality-filter VERDICT: the keep/drop decision (plus
     * the first failing rule) a pretraining pipeline applies in front of
-    * the corpus, composed from the exact-arithmetic signals of
-    * [[qualityScores]]. Rules, in order: token-count bounds, mean word
-    * length bounds, must contain a stopword. `keep` is 1/0 BIGINT (not
-    * boolean) so the cross-engine hash compare stays type-stable. All
-    * comparisons are on exact integers or a single identical-shape IEEE
-    * division, so verdicts are bit-reproducible. Per-row, shuffle-free,
-    * one codegen'd scan. */
+    * the corpus. Rules, in order: token-count bounds, mean word length
+    * bounds, must contain a stopword. `keep` is 1/0 BIGINT (not boolean)
+    * so the cross-engine hash compare stays type-stable. All comparisons
+    * are on exact integers or a single identical-shape IEEE division, so
+    * verdicts are bit-reproducible. Per-row, shuffle-free; token and
+    * stopword counts come from ONE primitive pass over the string
+    * (tokenize fused into the UDF — the repo's measured ~30× rule over
+    * interpreted HOF lambdas; this is the operator you fan over raw
+    * 100 TB, exactly where that factor bites). */
   def filterVerdicts(docs: DataFrame, minTokens: Long = 25L,
       maxTokens: Long = 100000L, minAvgLen: Double = 3.0,
       maxAvgLen: Double = 10.0,
       stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    val stopSet = stopwords.toSet
+    val stats = udf { (text: String) =>
+      if (text == null) TokStats(0L, 0L)
+      else {
+        var n = 0L
+        var nStop = 0L
+        var i = 0
+        val len = text.length
+        while (i < len) {
+          if (text.charAt(i) == ' ') i += 1
+          else {
+            var j = text.indexOf(' ', i)
+            if (j < 0) j = len
+            n += 1
+            if (stopSet.contains(text.substring(i, j))) nStop += 1
+            i = j
+          }
+        }
+        TokStats(n, nStop)
+      }
+    }
+    val nTok = col("st.n_tokens")
+    val nStop = col("st.n_stop")
     val avgLen = (length(col("text")) - nTok + 1).cast("double") / nTok
     val reason = when(nTok < minTokens, "too_short")
       .when(nTok > maxTokens, "too_long")
@@ -149,8 +174,9 @@ object TextAnalysis {
       .when(avgLen > maxAvgLen, "long_words")
       .when(nStop === 0, "no_stopwords")
       .otherwise("ok")
-    docs.select(col("doc_id"), reason.as("reason"),
-      when(reason === "ok", 1L).otherwise(0L).as("keep"))
+    docs.withColumn("st", stats(col("text")))
+      .select(col("doc_id"), reason.as("reason"),
+        when(reason === "ok", 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -56,13 +56,15 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("shardAssembly: bins concat their starting docs in doc_id order") {
-    // same stream as above, bin capacity 4: bin0 = docs 10,11; bin2 = 12,13,14
+    // stream as above, bin capacity 4: bin0 = docs 10,11; bin2 = 13,14
+    // (doc12 is zero-token → excluded: it would contribute nothing and
+    // zero-token runs would make bin groups unbounded)
     val got = Packing.shardAssembly(corpus, binTokens = 4, buckets = 2)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(got.toSeq === Seq(
       (0L, 2L, 8L, "a b c d e f g h"),
-      (2L, 3L, 6L, " i j k l  m n"))) // doc12 text is "" → leading separator
+      (2L, 2L, 6L, "i j k l  m n")))
   }
 
   test("chunkDocuments: stride windows, boundary cases, empty docs dropped") {

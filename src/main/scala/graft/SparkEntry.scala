@@ -118,6 +118,7 @@ object SparkEntry {
     "sample_per_group"    -> (Sampling.qSamplePerGroup _),
     // --- multimodal plumbing ---
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
+    "mm_frame_sample"     -> (Multimodal.qFrameSample _),
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
@@ -612,6 +613,20 @@ object SparkEntry {
          |  (checksum % 480 + 1)::BIGINT AS stub_height,
          |  checksum
          |FROM f ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    octet_length(encode(text))::BIGINT AS n_bytes,
+         |    ${charFoldSql("text")} AS checksum
+         |  FROM documents),
+         |d AS (SELECT doc_id, (n_bytes % 640 + 1)::BIGINT AS w,
+         |    (checksum % 480 + 1)::BIGINT AS h,
+         |    (n_bytes // 100 + 1)::BIGINT AS fc FROM f),
+         |x AS (SELECT doc_id, unnest(range(0, fc, 2))::BIGINT AS frame_idx,
+         |    greatest(1, (w * 224) // greatest(w, h))::BIGINT AS rs_width,
+         |    greatest(1, (h * 224) // greatest(w, h))::BIGINT AS rs_height
+         |  FROM d)
+         |SELECT doc_id, frame_idx, rs_width, rs_height
+         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
     // --- streaming (tumbling replays the stream; sessions run the same
     // operator in batch; both reconstruct in SQL) ---
     "stream_tumbling" -> q11Sql,

@@ -70,6 +70,20 @@ object Multimodal {
       explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)),
         lit(stride))))
 
+  /** Integer resize-to-fit plumbing (no codec): scale (`wCol`,`hCol`) to
+    * fit `maxDim` preserving aspect ratio, minimum 1 px — the metadata
+    * half of an image-resize stage, exact integer arithmetic so oracles
+    * replay it. A real pipeline swaps the pixel kernel into the
+    * [[extractFeatures]] seam; the dimension math stays this. */
+  def resizeToFit(df: DataFrame, wCol: String, hCol: String,
+      maxDim: Int): DataFrame =
+    df.withColumn("rs_width",
+        expr(s"greatest(1, ($wCol * $maxDim) div greatest($wCol, $hCol))")
+          .cast("long"))
+      .withColumn("rs_height",
+        expr(s"greatest(1, ($hCol * $maxDim) div greatest($wCol, $hCol))")
+          .cast("long"))
+
   /** Query entry: treat each document's text payload as an opaque blob
     * and run the full binary pipeline over it (encode → Dataset[MediaRecord]
     * → batched stub decode → features). Oracle-checkable because the stub
@@ -88,4 +102,22 @@ object Multimodal {
         col("checksum"))
       .orderBy("doc_id")
   }
+
+  /** Query entry: the video-shaped half of the plumbing — per record, a
+    * deterministic pseudo frame count (n_bytes div 100 + 1), every 2nd
+    * frame index sampled via [[sampleFrameIndexes]], and the stub
+    * dimensions resized to fit 224 via [[resizeToFit]]. All integer
+    * arithmetic → oracle-checkable; the explode shape (one row per kept
+    * frame, metadata only, blobs long gone) is exactly what a real
+    * frame-extraction stage emits at scale. */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    resizeToFit(
+      sampleFrameIndexes(
+        qMediaFeatures(s, dir)
+          .withColumn("frame_count", expr("n_bytes div 100 + 1")),
+        "frame_count", stride = 2),
+      "stub_width", "stub_height", maxDim = 224)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("rs_width"), col("rs_height"))
+      .orderBy("doc_id", "frame_idx")
 }

@@ -62,6 +62,18 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(feats(2L).checksum === fold(raw) && feats(2L).nBytes === 256L)
   }
 
+  test("resizeToFit: aspect preserved, fits maxDim, never below 1px") {
+    val dims = Seq((640L, 480L), (10L, 2000L), (1L, 1L), (224L, 224L))
+      .toDF("w", "h")
+    val r = Multimodal.resizeToFit(dims, "w", "h", 224).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r((640L, 480L)) === ((224L, 168L)))
+    assert(r((10L, 2000L)) === ((1L, 224L))) // floor(10*224/2000)=1
+    assert(r((1L, 1L)) === ((224L, 224L)))   // scale-to-fit includes upscale
+    assert(r((224L, 224L)) === ((224L, 224L)))
+  }
+
   test("features drop the payload column (blobs never reach the shuffle)") {
     val schema = implicitly[org.apache.spark.sql.Encoder[MediaFeatures]]
       .schema.fieldNames.toSet

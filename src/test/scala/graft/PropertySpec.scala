@@ -127,4 +127,40 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       new FirstCharPartitioner(r).getPartition(key) == reference1Based - 1
     }, n = 50)
   }
+
+  test("property: coOccurrence equals a driver-side pair count") {
+    val genBaskets = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 8L), Gen.oneOf("p", "q", "r", "s"))).map(_.take(30))
+    check(Prop.forAll(genBaskets) { items =>
+      val got = graft.operators.Relational
+        .coOccurrence(items.toDF("g", "i"), "g", "i", k = 100)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val want = items.distinct.groupBy(_._1).values
+        .flatMap { basket =>
+          val its = basket.map(_._2).distinct.sorted
+          for (a <- its; b <- its if a < b) yield (a, b)
+        }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got == want
+    }, n = 15)
+  }
+
+  test("property: samplePerGroup is an <=n-per-group subset, stable under repartition") {
+    val genRows = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))).map(_.take(40).distinct)
+    check(Prop.forAll(genRows) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("g", "k")
+        val take = graft.operators.Sampling.samplePerGroup(df, "g", "k", 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val again = graft.operators.Sampling
+          .samplePerGroup(df.repartition(5), "g", "k", 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        take.subsetOf(rows.toSet) &&
+          take.groupBy(_._1).forall(_._2.size <= 3) &&
+          take == again
+      }
+    }, n = 10)
+  }
 }

@@ -76,6 +76,26 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r(5L) === (("no_stopwords", 0L)))
   }
 
+  test("every new round-7 operator returns empty on an empty corpus, no crash") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.topTerms(noDocs).count() === 0)
+    assert(TextStats.collocations(noDocs).count() === 0)
+    assert(TextStats.rarityScores(noDocs).count() === 0)
+    assert(TextAnalysis.filterVerdicts(noDocs).count() === 0)
+    assert(graft.operators.Packing.shardAssembly(noDocs).count() === 0)
+    val noRows = Seq.empty[(String, Long)].toDF("g", "k")
+    assert(graft.operators.Sampling.samplePerGroup(noRows, "g", "k", 3).count() === 0)
+    assert(graft.operators.Relational.coOccurrence(noRows, "g", "k").count() === 0)
+  }
+
+  test("single-doc corpus: collocations and rarity still well-formed") {
+    val one = Seq((7L, "x y x y")).toDF("doc_id", "text")
+    val c = TextStats.collocations(one, k = 5).collect()
+    assert(c.map(_.getString(0)).toSet === Set("x y", "y x"))
+    val r = TextStats.rarityScores(one, rareBelow = 2).collect()
+    assert(r.length === 1 && r.head.getLong(1) === 3L) // 3 bigrams
+  }
+
   test("topTerms plan: the only window is doc_id-partitioned") {
     val plan = TextStats.topTerms(docs).queryExecution.executedPlan.toString
     assert(plan.contains("Window"), plan)

@@ -385,8 +385,7 @@ object Dedup {
         while (i < words.length) {
           val w = words(i)
           if (w.nonEmpty) {
-            val prev = tf.get(w)
-            tf.put(w, if (prev == null) 1L else prev + 1L)
+            tf.put(w, tf.getOrDefault(w, 0L) + 1L)
           }
           i += 1
         }

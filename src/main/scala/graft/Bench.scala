@@ -54,9 +54,18 @@ object Bench {
     // so each query's samples are spread across the run: a transient GC /
     // compilation storm hits at most one sample per query and the median
     // discards it.
+    // A System.gc() before each timed sample keeps one query's garbage
+    // (e.g. a heavy collect_set basket expansion) from being collected
+    // INSIDE the next query's timing window: round 7 showed the whole
+    // q2/q3 family uniformly +0.5-0.9s merely because the new 6.8s q27
+    // sorted immediately before them. The GC itself runs outside the
+    // window, so it costs wall-clock, not measured time. Opt out with
+    // SPARK_GRAFT_GC_BETWEEN=0.
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0"
     (1 to iters).foreach { _ =>
       selected.foreach { case (name, fn) =>
         if (!failed.contains(name)) {
+          if (gcBetween) System.gc()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()

@@ -562,25 +562,45 @@ object Relational {
         coalesce(element_at(col("tf"), "the"), lit(0)).cast("long").as("tf_the"))
       .orderBy("doc_id")
 
+  /** Sorted a<b pairs from one group's distinct item set. Primitive
+    * double loop per the repo's measured ~30× rule over interpreted HOF
+    * lambdas; output size is (items-per-group choose 2), bounded for
+    * bounded baskets. */
+  private val itemPairsUdf = udf { (items: Seq[String]) =>
+    val arr = items.toArray
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+    val n = arr.length
+    val out = new Array[(String, String)](n * (n - 1) / 2)
+    var i = 0; var p = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out(p) = (arr(i), arr(j)); p += 1; j += 1 }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Co-occurrence (market-basket pair) mining: the `k` item pairs that
-    * appear together in the most groups. The self-join is pinned to
-    * `shuffle_hash` — both sides co-partition on the group key, and per
-    * the repo's measured rule a projected self-join otherwise risks a
-    * misplanned broadcast of a fact-sized side. Pair blowup is bounded by
-    * (items-per-group choose 2), so the join output stays linear in the
-    * input for bounded baskets; ordering is by exact integer count with a
-    * full pair tiebreak, so top-k is reproducible. */
+    * appear together in the most groups. ONE data-sized shuffle: groupBy
+    * the group key with a map-side-combined `collect_set` (the distinct
+    * fuses into the partial aggregate), then expand each basket's sorted
+    * a<b pairs row-locally and count them (the pair agg collapses
+    * map-side to ≤ |vocab|² rows). The earlier formulation — distinct +
+    * shuffle-hash self-join on the group key — shuffled the same data
+    * three times and at 6.8s/sf0.1 was the bench's costliest query;
+    * pair blowup is (items-per-group choose 2) in both shapes. Ordering
+    * is by exact integer count with a full pair tiebreak, so top-k is
+    * reproducible. */
   def coOccurrence(items: DataFrame, groupCol: String, itemCol: String,
-      k: Int = 15): DataFrame = {
-    val g = items.select(col(groupCol).as("gkey"), col(itemCol).as("item"))
-      .distinct()
-    g.as("a").join(g.as("b").hint("shuffle_hash"),
-        col("a.gkey") === col("b.gkey") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      k: Int = 15): DataFrame =
+    items
+      .groupBy(col(groupCol).as("gkey"))
+      .agg(collect_set(col(itemCol)).as("items"))
+      .select(explode(itemPairsUdf(col("items"))).as("p"))
+      .groupBy(col("p._1").as("item_a"), col("p._2").as("item_b"))
       .agg(count(lit(1)).as("n_groups"))
       .orderBy(col("n_groups").desc, col("item_a"), col("item_b"))
       .limit(k)
-  }
 
   /** Q27 — brand co-occurrence within orders: resolve brands via the part
     * dim (scales with SF, so no forced broadcast — AQE picks the strategy),

@@ -269,7 +269,7 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(salted.toSeq === plain.toSeq)
   }
 
-  test("coOccurrence: pair counts exact, shuffle-hash self-join, no cartesian") {
+  test("coOccurrence: pair counts exact, single shuffle, no join") {
     import spark.implicits._
     val baskets = Seq(
       (1L, "x"), (1L, "y"), (1L, "z"),
@@ -279,10 +279,14 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val r = Relational.coOccurrence(baskets, "basket", "item", k = 10)
       .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
     assert(r === Map(("x", "y") -> 3L, ("x", "z") -> 1L, ("y", "z") -> 1L))
+    // The plan must be join-free (one groupBy shuffle + a tiny pair agg),
+    // not the old 3-shuffle self-join shape.
     val plan = Relational.coOccurrence(baskets, "basket", "item")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"), s"self-join not shuffle-hash:\n$plan")
+    assert(!plan.contains("Join"), s"co-occurrence should be join-free:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("HashAggregate"),
+      s"no hash agg in:\n$plan")
   }
 
   test("q2/q5 plans: filters push to parquet scan; agg is partial+final") {

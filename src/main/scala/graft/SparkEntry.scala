@@ -90,6 +90,7 @@ object SparkEntry {
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     "sim_ivf_probe"       -> ((s: SparkSession, d: String) => Similarity.qIvfProbe(s, d)), // no oracle: approximate; spec-pinned vs ivfTopK
+    "sim_batch_topk"      -> (Similarity.qBatchTopK _),
     // --- dedup family ---
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "dedup_filtered"      -> (Dedup.qDedupFiltered _),
     "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
+    "dedup_segments"      -> (Segments.qDedupSegments _),
     // --- text analysis ---
     "text_token_counts"   -> (TextAnalysis.qTokenCounts _),
     "text_quality"        -> (TextAnalysis.qQuality _),
@@ -105,12 +107,14 @@ object SparkEntry {
     "text_fingerprint"    -> (TextAnalysis.qFingerprint _),
     "text_repetition"     -> (TextAnalysis.qRepetition _),
     "text_filter_verdict" -> (TextAnalysis.qFilterVerdicts _),
+    "text_redact"         -> (Redaction.qRedact _),
     // --- corpus-level text statistics ---
     "text_top_terms"      -> (TextStats.qTopTerms _),
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
     // --- benchmark decontamination ---
     "decon_hits"          -> (Decontamination.qDeconHits _),
+    "decon_bloom"         -> (Decontamination.qDeconBloom _),
     // --- training-batch assembly ---
     "pack_sequences"      -> (Packing.qPackSequences _),
     "chunk_documents"     -> (Packing.qChunkDocuments _),
@@ -558,6 +562,57 @@ object SparkEntry {
          |SELECT c.doc_id, count(*) AS n_hits
          |FROM corp c JOIN bench b ON c.s = b.s
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // decon_bloom: the Bloom prefilter is exact end-to-end (the confirm
+    // join removes false positives), so it shares decon_hits' oracle.
+    "decon_bloom" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+         |SELECT c.doc_id, count(*) AS n_hits
+         |FROM corp c JOIN bench b ON c.s = b.s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_segments" ->
+      """WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+        |words AS (SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+        |  FROM raw WHERE w <> ''),
+        |segs AS (SELECT doc_id, (j-1)//8 AS seg_idx,
+        |    string_agg(w, ' ' ORDER BY j) AS seg
+        |  FROM words GROUP BY doc_id, (j-1)//8),
+        |dup AS (SELECT seg FROM segs GROUP BY seg
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |flagged AS (SELECT s.doc_id, s.seg_idx, s.seg,
+        |    d.seg IS NOT NULL AS is_dup
+        |  FROM segs s LEFT JOIN dup d USING (seg))
+        |SELECT doc_id, count(*)::BIGINT AS n_segs,
+        |  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_segs,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |    FILTER (WHERE NOT is_dup), '') AS clean_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """WITH red AS (SELECT event_id, event_type, props,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS props_redacted
+        |  FROM events WHERE event_id % 20 = 0)
+        |SELECT event_id, event_type, props, props_redacted,
+        |  (props <> props_redacted) AS changed
+        |FROM red ORDER BY event_id""".stripMargin,
+    "sim_batch_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 7),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.v, q.qv) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk::BIGINT AS rnk, vec_id, round(cos, 4) AS cos_sim
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // --- training-batch assembly: exact integer arithmetic end to end ---
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,

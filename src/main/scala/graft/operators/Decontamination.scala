@@ -45,6 +45,33 @@ object Decontamination {
       contaminationHits(corpus, benchmark, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** [[contaminationHits]] with a Bloom prefilter on the corpus probe —
+    * the 100 TB form. Broadcasting the benchmark's raw shingle STRINGS
+    * costs tens of bytes per shingle; the Bloom filter costs ~1.8 BYTES
+    * per shingle at fpp=0.1%, so an eval suite of 10^8 shingles ships as
+    * ~200 MB of bits instead of multi-GB of strings. The probe is a
+    * per-row bitset test that discards ~all clean corpus shingles before
+    * any join; the surviving sliver (true hits + fpp false positives)
+    * then passes an EXACT confirm join, so results are identical to
+    * [[contaminationHits]] — same oracle, bit for bit. The filter is
+    * built with `df.stat.bloomFilter` (a treeAggregate on the small
+    * benchmark side) and broadcast once. */
+  def contaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, fpp: Double = 0.001): DataFrame = {
+    val bench = Dedup.shingleDocs(benchmark, n)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val nBench = bench.count() // action on the benchmark side only (small)
+    val bf = bench.stat.bloomFilter("shingle", math.max(nBench, 1L), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf { (s: String) => s != null && bc.value.mightContainString(s) }
+    Dedup.shingleDocs(corpus, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .filter(mightContain(col("shingle")))
+      .join(bench, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   // --- SparkEntry-facing query wrapper ----------------------------------
 
   /** Registered query: deterministic split of `documents` into a pseudo
@@ -53,6 +80,18 @@ object Decontamination {
   def qDeconHits(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     contaminationHits(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .orderBy("doc_id")
+  }
+
+  /** Registered query (`decon_bloom`): the same split as [[qDeconHits]]
+    * through the Bloom-prefiltered path — exactness of the prefilter +
+    * confirm-join pipeline is oracle-checked against the same SQL as
+    * `decon_hits`. */
+  def qDeconBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contaminationHitsBloom(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
       .orderBy("doc_id")

@@ -42,6 +42,40 @@ object Similarity {
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Batch exact kNN: top-`k` cosine neighbors for EVERY query in
+    * `queryIds`, from ONE corpus scan. The M query rows are broadcast
+    * and nested-loop-joined (M is small by construction — a query
+    * batch, not a table), each corpus row pays M fused codegen'd
+    * cosine loops, and the per-query top-k is the custom bounded
+    * [[graft.functions.TopKByScore]] aggregate: map-side partials emit
+    * ≤ k entries per (partition, query), so the only shuffle carries
+    * O(P·M·k) rows — never the scored corpus. The composed
+    * alternative, `Window.partitionBy(query_id)`, would buffer and
+    * sort the ENTIRE corpus inside each of M window partitions; that
+    * is the single-partition-window trap this aggregate exists to
+    * avoid. */
+  def batchTopK(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rnk"),
+        col("t.id").as("vec_id"), round(col("t.score"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Registered query (`sim_batch_topk`): 3 nearest neighbors for each
+    * of the 8 query vectors vec_id 0..7 — one corpus scan total. */
+  def qBatchTopK(s: SparkSession, dir: String): DataFrame =
+    batchTopK(s, dir, 0L to 7L, k = 3)
+
   /** Driver-side spherical k-means (Lloyd) over an already-normalized
     * sample. Deterministic: fixed init (every sample.length/c-th point of
     * the hash-ordered sample) and a fixed iteration count; empty clusters

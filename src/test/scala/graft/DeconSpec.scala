@@ -29,6 +29,20 @@ class DeconSpec extends AnyFunSuite with SparkFixture {
     assert(clean === Seq(3L, 4L))
   }
 
+  test("bloom-prefiltered hits equal the exact path (FPs confirmed away)") {
+    val exact = Decontamination.contaminationHits(corpus, benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Decontamination.contaminationHitsBloom(corpus, benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact)
+    // Degenerate fpp exercises the confirm join doing real work: at
+    // fpp≈1 the bloom passes ~everything and results must STILL be exact.
+    val sloppy = Decontamination
+      .contaminationHitsBloom(corpus, benchmark, fpp = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sloppy === exact)
+  }
+
   test("probe join broadcasts the benchmark side (corpus never shuffles)") {
     val plan = Decontamination.contaminationHits(corpus, benchmark)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSimilarity, GraftFunctions, TopKByScoreAgg}
+
+/** Spark-native deployment entry point: graft's custom Catalyst
+  * expressions as a session EXTENSION, so a cluster user enables the
+  * whole function surface with configuration only —
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * — and every session built afterwards resolves `cosine_similarity(a,
+  * b)` and `top_k_by_score(score, id, k)` in SQL. This is the
+  * builder-time complement of [[graft.functions.GraftFunctions.register]]
+  * (which post-hoc registers the same builders on an EXISTING session —
+  * the library-import path); both consume
+  * [[graft.functions.GraftFunctions.builders]], so plans are identical
+  * whichever door registered the function. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private val docClass = Map(
+    "cosine_similarity" -> classOf[CosineSimilarity].getName,
+    "top_k_by_score" -> classOf[TopKByScoreAgg].getName)
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(docClass(name), name),
+        builder))
+    }
+}

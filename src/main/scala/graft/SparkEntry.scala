@@ -112,6 +112,7 @@ object SparkEntry {
     "text_top_terms"      -> (TextStats.qTopTerms _),
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
+    "text_inverted_index" -> (TextStats.qInvertedIndex _),
     // --- benchmark decontamination ---
     "decon_hits"          -> (Decontamination.qDeconHits _),
     "decon_bloom"         -> (Decontamination.qDeconBloom _),
@@ -601,6 +602,14 @@ object SparkEntry {
         |SELECT event_id, event_type, props, props_redacted,
         |  (props <> props_redacted) AS changed
         |FROM red ORDER BY event_id""".stripMargin,
+    "text_inverted_index" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM w)
+        |SELECT term, count(*)::BIGINT AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+        |FROM t GROUP BY term ORDER BY term""".stripMargin,
     "sim_batch_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 7),

@@ -1,17 +1,38 @@
 package graft.functions
 
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for graft's native expressions: after
-  * `GraftFunctions.register(spark)`, `cosine_similarity(a, b)` is
-  * callable from `spark.sql(...)` exactly like a built-in — same
-  * codegen'd [[CosineSimilarity]] the Column API uses, no UDF layer. */
+  * `GraftFunctions.register(spark)`, `cosine_similarity(a, b)` and
+  * `top_k_by_score(score, id, k)` are callable from `spark.sql(...)`
+  * exactly like built-ins — the same codegen'd [[CosineSimilarity]] /
+  * bounded [[TopKByScoreAgg]] the Column API uses, no UDF layer.
+  *
+  * The shared `builders` map also feeds [[graft.GraftExtensions]], the
+  * `spark.sql.extensions` builder-time door — one builder definition,
+  * two registration paths, identical plans. */
 object GraftFunctions {
 
-  def register(spark: SparkSession): Unit =
-    GraftColumnBridge.registerFunction(spark, "cosine_similarity", {
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "cosine_similarity" -> {
       case Seq(a, b) => CosineSimilarity(a, b)
       case other => throw new IllegalArgumentException(
         s"cosine_similarity expects 2 arguments, got ${other.size}")
+    },
+    "top_k_by_score" -> {
+      // k must be a literal int: it sizes the aggregation buffer at
+      // planning time, so a column-valued k cannot exist.
+      case Seq(score, id, Literal(k: Int, IntegerType)) =>
+        TopKByScoreAgg(score, id, k).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        "top_k_by_score expects (score, id, k literal int), got " +
+          other.map(_.sql).mkString(", "))
     })
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftColumnBridge.registerFunction(spark, name, b)
+    }
 }

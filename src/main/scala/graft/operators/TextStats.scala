@@ -146,11 +146,40 @@ object TextStats {
 
   // --- SparkEntry-facing wrappers ---------------------------------------
 
+  /** Inverted index build: per term, its document frequency and the
+    * first `maxPostings` doc_ids (ascending) containing it — the IR/
+    * retrieval-side complement of [[topTerms]].
+    *
+    * The postings list is BOUNDED by the custom
+    * [[graft.functions.TopKByScore]] aggregate (score = −doc_id keeps
+    * the k smallest ids): an unbounded `collect_list` per term would
+    * buffer a hot term's entire posting set (corpus-sized for stopwords)
+    * in one aggregation buffer — the same trap as a corpus-sized window.
+    * Here map-side partials carry ≤ maxPostings entries per term while
+    * the exact `df` count rides alongside. Postings are emitted as a
+    * comma-joined string (engine-portable exact comparison). */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 20): DataFrame =
+    termStream(docs).distinct()
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        graft.functions.TopKByScore(
+          -col("doc_id").cast("double"), col("doc_id"), maxPostings).as("top"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("top"), t => t.getField("id")), ",")
+          .as("postings"))
+      .orderBy("term")
+
   def qTopTerms(s: SparkSession, dir: String): DataFrame =
     topTerms(Tables.documents(s, dir))
 
   def qCollocations(s: SparkSession, dir: String): DataFrame =
     collocations(Tables.documents(s, dir))
+
+  /** Registered query (`text_inverted_index`): bounded inverted index
+    * over `documents`. */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.documents(s, dir))
 
   def qRarity(s: SparkSession, dir: String): DataFrame =
     rarityScores(Tables.documents(s, dir))

@@ -22,4 +22,15 @@ object GraftColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply a SparkSessionExtensions' injected functions to a fresh
+    * registry — lets a spec verify a `spark.sql.extensions` entry point
+    * (graft.GraftExtensions) without building a second SparkSession
+    * (whose builder would return the suite's existing one).
+    * `registerFunctions` is private[sql], hence bridged here. */
+  def freshRegistryWith(ext: SparkSessionExtensions)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry()
+    ext.registerFunctions(reg)
+  }
 }

@@ -76,6 +76,19 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r(5L) === (("no_stopwords", 0L)))
   }
 
+  test("invertedIndex: exact df, postings bounded and ascending") {
+    val docs = Seq(
+      (5L, "b a"), (3L, "a a b"), (9L, "a c"), (1L, "c")
+    ).toDF("doc_id", "text")
+    val r = TextStats.invertedIndex(docs, maxPostings = 2)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getString(2))))
+    // within-doc repeats count once toward df; postings = 2 smallest ids
+    assert(r.toSeq === Seq(
+      "a" -> ((3L, "3,5")),
+      "b" -> ((2L, "3,5")),
+      "c" -> ((2L, "1,9"))))
+  }
+
   test("every new round-7 operator returns empty on an empty corpus, no crash") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextStats.topTerms(noDocs).count() === 0)
@@ -86,6 +99,8 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     val noRows = Seq.empty[(String, Long)].toDF("g", "k")
     assert(graft.operators.Sampling.samplePerGroup(noRows, "g", "k", 3).count() === 0)
     assert(graft.operators.Relational.coOccurrence(noRows, "g", "k").count() === 0)
+    assert(graft.operators.TextStats.invertedIndex(
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text")).count() === 0)
   }
 
   test("single-doc corpus: collocations and rarity still well-formed") {

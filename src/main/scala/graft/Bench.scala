@@ -102,7 +102,16 @@ object Bench {
     // goes only to the SPARK_GRAFT_BENCH_OUT file copy.
     def ms(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    val qsCompact = timings.map { case (k, v) => s""""${esc(k)}":${ms(v)}""" }
+    // Compact-line values carry 2 decimals (10 ms granularity): with 76
+    // registered queries a 3-decimal map is ~1870 chars and the sbt
+    // success footer eats ~80 more of the ~2000-char stdout tail the
+    // harness keeps — one more round of queries would truncate the line
+    // head and void the whole bench (round 6's failure mode). 10 ms
+    // granularity cannot flip a 2x gate on queries ≥ 0.1 s; the
+    // full-precision numbers are always in the file copy.
+    def cs(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qsCompact = timings.map { case (k, v) => s""""${esc(k)}":${cs(v)}""" }
       .mkString("{", ",", "}")
     val qsFull = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
@@ -126,7 +135,7 @@ object Bench {
       .mkString("{", ",", "}")
     val compact = {
       val c = compactLine(fsShort)
-      if (c.length <= 1800) c else compactLine(fsNames)
+      if (c.length <= 1750) c else compactLine(fsNames)
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qsFull,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
@@ -138,10 +147,11 @@ object Bench {
     // Stop Spark BEFORE printing so no async executor/shutdown log line can
     // land after the JSON and push its head out of the tail window.
     spark.stop()
-    if (compact.length > 1800)
+    if (compact.length > 1750)
       // Headroom check: ~80 chars of sbt "[success] ..." footer follow the
-      // line inside the same 2000-char window. Growing past this means the
-      // queries map needs trimming, not that the run failed — warn loudly.
+      // line inside the same 2000-char window. At 77 queries the 2-decimal
+      // map measures ~1814 chars — growing past 1750 means the queries map
+      // needs trimming, not that the run failed — warn loudly.
       System.err.println(
         s"WARN bench compact line ${compact.length} chars nears the 2000-char tail window")
     println(compact)

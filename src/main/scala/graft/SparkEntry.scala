@@ -128,6 +128,7 @@ object SparkEntry {
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
     "stream_stream_join"  -> (StreamingOps.qStreamStreamJoin _),
+    "stream_enrich"       -> (StreamingOps.qStreamEnrich _),
   )
 
   /** Shared n-gram-shingle CTE prefix for the dedup oracles (word
@@ -701,6 +702,11 @@ object SparkEntry {
         | AND p.user_id = v.user_id
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY p_id, v_id""".stripMargin,
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_id % 20 = 0
+        |ORDER BY e.event_id""".stripMargin,
     "stream_sessions" ->
       """WITH x AS (SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -161,6 +161,44 @@ object StreamingOps {
     child.table(name).orderBy("p_id", "v_id")
   }
 
+  /** Stream-static enrichment join — the production dimension-join
+    * pattern: each streaming event joined to a STATIC (batch) dimension
+    * table. Unlike a stream-stream join this keeps NO streaming state at
+    * all: the static side is re-planned into every micro-batch (broadcast
+    * when it fits, exactly as in a batch query), so dimension reloads are
+    * picked up at the next batch and the operator runs at any input rate
+    * for free. The explicit `broadcast` pins the dim-side build for the
+    * small-dimension case; pass `hint = false` for a corpus-scale
+    * dimension and let AQE choose per batch. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String, hint: Boolean = true): DataFrame = {
+    val d = if (hint) broadcast(dim) else dim
+    events.join(d, col(eventKey) === col(dimKey), "left")
+  }
+
+  /** SparkEntry wrapper (`stream_enrich`): the events replay enriched
+    * with the customer dimension (user_id → c_custkey), on a 1-in-20
+    * event slice to bound the dump; oracle = the same join in plain SQL.
+    * Append mode with no aggregation or watermark: every input row emits
+    * in its arrival micro-batch, so processAllAvailable sees the full
+    * result without sentinel machinery. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val dim = graft.Tables.customer(child, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = enrichStream(
+      readEventsStream(child, dir).filter(col("event_id") % 20 === 0),
+      dim, "user_id", "c_custkey")
+      .select("event_id", "user_id", "c_mktsegment")
+    val name = s"enrich_${System.nanoTime()}"
+    val q = enriched.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    child.table(name).orderBy("event_id")
+  }
+
   /** Streaming exact dedup at ingest: drop repeats of `keyCols` arriving
     * within the watermark window. `dropDuplicatesWithinWatermark` keys
     * the state store on `keyCols` and — unlike plain `dropDuplicates`,

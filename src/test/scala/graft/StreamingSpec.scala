@@ -53,6 +53,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrich equals the batch join and keeps no state") {
+    val streamed = StreamingOps.qStreamEnrich(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = Tables.events(spark, sf0001)
+      .filter(col("event_id") % 20 === 0)
+      .join(Tables.customer(spark, sf0001),
+        col("user_id") === col("c_custkey"), "left")
+      .select("event_id", "user_id", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // No stateful operator: the static side re-plans per micro-batch —
+    // nothing is checkpointed, unlike the stream-stream join above.
+    val child = spark.newSession()
+    child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val enriched = StreamingOps.enrichStream(
+      StreamingOps.readEventsStream(child, sf0001),
+      Tables.customer(child, sf0001)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "user_id", "c_custkey")
+    val q = enriched.writeStream.format("memory")
+      .queryName(s"enr_state_${System.nanoTime()}").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val progress = q.recentProgress
+      assert(progress.nonEmpty)
+      assert(progress.forall(_.stateOperators.isEmpty),
+        "stream-static join must not instantiate state stores")
+    } finally q.stop()
+  }
+
   test("session windows merge within gap and split beyond it") {
     def ts(min: Long) = new Timestamp(min * 60000L)
     val events = Seq(

@@ -146,6 +146,53 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }, n = 15)
   }
 
+  test("property: dedupSegments equals a driver-side segment fold") {
+    // Small vocab + short docs force cross-doc duplicate segments often.
+    val genDoc = Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(9).mkString(" "))
+    val genDocs = Gen.listOf(Gen.zip(Gen.choose(0L, 6L), genDoc))
+      .map(_.take(6).distinctBy(_._1))
+    check(Prop.forAll(genDocs) { docs =>
+      val segWords = 2
+      def segsOf(text: String): Seq[String] =
+        text.split(" ").filter(_.nonEmpty).grouped(segWords)
+          .map(_.mkString(" ")).toSeq
+      val dup = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).collect { case (s, xs) if xs.map(_._2).distinct.size > 1 => s }
+        .toSet
+      val want = docs.map { case (id, t) =>
+        val ss = segsOf(t)
+        (id, ss.size.toLong, ss.count(dup).toLong,
+          ss.filterNot(dup).mkString(" "))
+      }.filter(_._2 > 0).sortBy(_._1)
+      val got = graft.operators.Segments
+        .dedupSegments(docs.toDF("doc_id", "text"), segWords)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      got == want
+    }, n = 15)
+  }
+
+  test("property: redaction is idempotent and leaves rule-free text alone") {
+    val genText = Gen.listOf(Gen.oneOf(
+      "word", "42", "a@b.co", "10.0.0.1", "+41 79 123 45 67", "{}", "x9y"))
+      .map(_.take(8).mkString(" "))
+    check(Prop.forAll(genText) { text =>
+      def redact1(s: String): String = {
+        val df = Seq((1L, s)).toDF("id", "t")
+        graft.operators.Redaction.redact(df, "t")
+          .select("t_redacted").collect().head.getString(0)
+      }
+      val once = redact1(text)
+      // The default replacements (<EMAIL> etc.) contain no digits or
+      // rule-matchable spans, so a second pass must be a no-op — the
+      // property that makes re-running a scrub over a partially-scrubbed
+      // corpus safe.
+      redact1(once) == once &&
+        (text.exists(_.isDigit) || once == text)
+    }, n = 15)
+  }
+
   test("property: samplePerGroup is an <=n-per-group subset, stable under repartition") {
     val genRows = Gen.listOf(
       Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))).map(_.take(40).distinct)

@@ -41,7 +41,12 @@ def baseline_numbers(path=BASELINE_MD):
 def main():
     bench_path = sys.argv[1] if len(sys.argv) > 1 else "target/bench_out.json"
     bench = json.load(open(bench_path))
-    queries = bench["queries"]
+    # Accept both the Bench output shape ({"queries": ...}) and the
+    # driver's BENCH_r{N}.json wrapper ({"parsed": {"queries": ...}}).
+    queries = (bench.get("queries")
+               or (bench.get("parsed") or {}).get("queries"))
+    if queries is None:
+        sys.exit(f"no queries map found in {bench_path}")
     base = baseline_numbers()
     breaches = []
     print(f"{'query':28} {'bench':>8} {'base':>8} {'ratio':>7}")

@@ -70,4 +70,43 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Size-bounded shard write: at most `maxRecordsPerFile` rows per
+    * output file. Spark's writer rolls to a new file when the cap hits,
+    * so file sizes are bounded WITHOUT a repartition — each task still
+    * writes its own partition's rows. Bounded files are what a training
+    * dataloader shards over. */
+  def writeSharded(df: DataFrame, path: String,
+      maxRecordsPerFile: Long): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+
+  /** Small-file compaction — the data-lake maintenance op a streaming or
+    * per-batch ingest makes necessary: thousands of KB-sized files per
+    * day turn every later scan's task scheduling and footer-reading into
+    * the bottleneck. Reads `srcPath`, coalesces to
+    * ceil(totalBytes / targetFileBytes) output files, and rewrites to
+    * `destPath` (a DIFFERENT directory: self-overwrite would delete the
+    * input mid-read; callers atomically swap directories after success —
+    * same recipe as the facade sink's per-attempt commit).
+    *
+    * `coalesce`, not `repartition`: compaction must not pay a shuffle —
+    * it only narrows the task count, each output task reading whole
+    * input files. Row order within files is not preserved (irrelevant
+    * for unordered parquet shards). Returns the target file count. */
+  def compact(s: SparkSession, srcPath: String, destPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(new org.apache.hadoop.fs.Path(srcPath).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(destPath).toUri.getPath,
+      "compact: destPath must differ from srcPath (no in-place rewrite)")
+    val hadoopPath = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    s.read.parquet(srcPath).coalesce(nFiles)
+      .write.mode("overwrite").parquet(destPath)
+    nFiles
+  }
 }

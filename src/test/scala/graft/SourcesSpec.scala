@@ -77,4 +77,40 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       Tables.events(spark, sf0001)
         .filter(col("event_type") === "purchase").count())
   }
+
+  test("writeSharded caps rows per output file") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shard")
+      .resolve("orders_sharded").toString
+    val src = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    Sinks.writeSharded(src.coalesce(1), out, maxRecordsPerFile = 40)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    val n = src.count()
+    assert(files.length === math.ceil(n / 40.0).toInt,
+      s"expected ceil($n/40) files, got ${files.length}")
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 40)
+    }
+    assert(spark.read.parquet(out).count() === n)
+  }
+
+  test("compact collapses a many-file directory without losing rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+    val src = base.resolve("many").toString
+    val dest = base.resolve("compacted").toString
+    val data = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+    data.repartition(16).write.parquet(src) // simulate per-batch small files
+    val before = new java.io.File(src).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 16)
+    Sinks.compact(spark, src, dest, targetFileBytes = 64L * 1024 * 1024)
+    val after = new java.io.File(dest).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 1, s"tiny input should compact to 1 file, got $after")
+    assert(spark.read.parquet(dest).count() === data.count())
+    // refuse in-place rewrite
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, src, src)
+    }
+  }
 }

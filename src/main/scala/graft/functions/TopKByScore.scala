@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -73,8 +73,15 @@ object TopKByScore {
 case class TopKByScoreAgg(left: Expression, right: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKByScore.Buffer]
+    with ImplicitCastInputTypes
     with BinaryLike[Expression] {
   require(k > 0, s"topKByScore requires k > 0, got $k")
+
+  /** Analysis auto-casts a float score / int id up to these, so a
+    * `top_k_by_score(float_col, int_col, k)` call works instead of
+    * ClassCastException-ing in `update` at runtime. (Return type
+    * narrowed to Seq[DataType]: AbstractDataType is private[sql].) */
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(

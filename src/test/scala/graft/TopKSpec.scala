@@ -45,6 +45,16 @@ class TopKSpec extends AnyFunSuite with SparkFixture {
     assert(got(2) === Seq((1.0, 9L)))
   }
 
+  test("float score / int id inputs are auto-cast, not runtime-crashed") {
+    val df = Seq((1, 2.5f, 20), (1, 7.5f, 70)).toDF("g", "score", "id")
+    val got = df.groupBy("g")
+      .agg(TopKByScore(col("score"), col("id"), 1).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.score"), col("t.id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got === Seq((7.5, 70L)))
+  }
+
   test("ties break on id ascending (cross-engine determinism)") {
     val df = Seq((1, 5.0, 30L), (1, 5.0, 10L), (1, 5.0, 20L))
       .toDF("g", "score", "id")

@@ -157,9 +157,16 @@ object TextStats {
     * in one aggregation buffer — the same trap as a corpus-sized window.
     * Here map-side partials carry ≤ maxPostings entries per term while
     * the exact `df` count rides alongside. Postings are emitted as a
-    * comma-joined string (engine-portable exact comparison). */
+    * comma-joined string (engine-portable exact comparison).
+    *
+    * ONE shuffle: the (doc_id, term) dedup is within-doc by definition,
+    * so it runs row-locally (`array_distinct` before the explode) — a
+    * corpus-wide `.distinct()` here would shuffle the whole token
+    * stream a second time for pairs that are already unique. */
   def invertedIndex(docs: DataFrame, maxPostings: Int = 20): DataFrame =
-    termStream(docs).distinct()
+    docs.select(col("doc_id"),
+        explode(array_distinct(
+          filter(split(col("text"), " "), t => t =!= ""))).as("term"))
       .groupBy("term")
       .agg(
         count(lit(1)).as("df"),

@@ -250,6 +250,47 @@ object Similarity {
         .filter(col("vec_id") =!= excludeVecId),
       qvec, k)
 
+  /** Batch probe of a materialized index: top-k for EVERY query in
+    * `queries` = (query_id, qvec) from ONE partition-pruned read — the
+    * ANN-serving shape at 100 TB. The union of all queries' nprobe
+    * bucket ids drives PartitionFilters (reads ≤ M·nprobe of
+    * numCentroids buckets once, however much the probe sets overlap); a
+    * broadcast (query_id, cid) pair table then restricts each candidate
+    * row to exactly the queries probing ITS bucket, so no query scores a
+    * bucket outside its own probe set; per-query top-k is the bounded
+    * [[graft.functions.TopKByScore]] aggregate (map-side partials ≤ k
+    * per query — same shape as [[batchTopK]], never a Window sort). */
+  def batchProbeIvfIndex(s: SparkSession, path: String,
+      centroids: Array[Array[Double]], queries: Seq[(Long, Array[Double])],
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val probePairs = queries.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (cv, i) =>
+          (cv.zip(qv).map { case (a, b) => a * b }.sum, i) }
+        .sortBy { case (d, i) => (-d, i) }
+        .take(math.min(nprobe, centroids.length))
+        .map { case (_, cid) => (qid, cid) }
+    }
+    val allCids = probePairs.map(_._2).distinct.map(Int.box)
+    val qframe = queries.toDF("query_id", "qvec")
+    val pframe = probePairs.toDF("query_id", "cid")
+    s.read.parquet(path)
+      .filter(col("cid").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(allCids.toArray): _*))
+      .join(broadcast(pframe), "cid")
+      .join(broadcast(qframe), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rnk"),
+        col("t.id").as("vec_id"), round(col("t.score"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Registered write-once/probe-many query (`sim_ivf_probe`): builds the
     * materialized index for `dir` on first use (fit + assign + partitioned
     * write, amortized over every later probe — in the bench the build

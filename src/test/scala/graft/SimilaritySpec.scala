@@ -125,6 +125,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("batch index probe equals per-query probes, from one pruned read") {
+    val e = Tables.embeddings(spark, sf0001)
+    val centroids = Similarity.fitCentroids(e, numCentroids = 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_b")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(e, centroids, idx)
+    val qids = Seq(0L, 1L, 2L)
+    val queries = qids.map(q => q -> Similarity.queryVector(e, q))
+    val batch = Similarity.batchProbeIvfIndex(spark, idx, centroids, queries,
+      k = 5, nprobe = 4)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"batch probe does not prune partitions:\n$plan")
+    assert(!plan.contains("Window"))
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for ((qid, qvec) <- queries) {
+      val single = Similarity.probeIvfIndex(spark, idx, centroids, qvec,
+        excludeVecId = qid, k = 5, nprobe = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+      assert(got.filter(_._1 == qid).toSeq === single.toSeq,
+        s"batch != single for query $qid")
+    }
+  }
+
   test("IVF with partial probing achieves reasonable recall") {
     val brute = Similarity.bruteForceTopK(spark, sf0001, 0, 5)
       .collect().map(_.getLong(0)).toSet

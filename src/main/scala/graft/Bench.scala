@@ -111,10 +111,50 @@ object Bench {
     // full-precision numbers are always in the file copy.
     def cs(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    val qsCompact = timings.map { case (k, v) => s""""${esc(k)}":${cs(v)}""" }
-      .mkString("{", ",", "}")
+    // 2-decimal medians alone stopped fitting at 77 queries (the map was
+    // 1814 of the ~2000-char window). The compact line now carries a
+    // BUDGETED query map: every query baselined in BASELINE.md is always
+    // present (the judge's 2x gate reads those names from this line — a
+    // missing baselined name IS a breach), and the remaining budget is
+    // filled with the slowest non-baselined queries (the informative
+    // ones). Whatever gets cut is summarized as "omitted":count and
+    // "omitted_sec":sum so the total still reconciles; the full map and
+    // samples are always in the SPARK_GRAFT_BENCH_OUT file copy.
+    def baselinedNames(path: String = "BASELINE.md"): Set[String] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try {
+          var inSection = false
+          val names = Set.newBuilder[String]
+          val row = """\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*(?=\|)""".r
+          src.getLines().foreach { line =>
+            if (line.startsWith("## "))
+              inSection = line.startsWith("## Operative baseline for BENCH")
+            else if (inSection)
+              row.findAllMatchIn(line).foreach(m => names += m.group(1))
+          }
+          names.result()
+        } finally src.close()
+      } catch { case _: Exception => Set.empty }
+    val baselined = baselinedNames()
+    val (must, rest0) = timings.toSeq.partition { case (k, _) => baselined(k) }
+    val rest = rest0.sortBy { case (k, v) => (-v, k) }
+    def qsMapFor(nRest: Int): String =
+      (must ++ rest.take(nRest)).sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":${cs(v)}""" }
+        .mkString("{", ",", "}")
+    def omittedJson(nRest: Int): String =
+      if (nRest >= rest.length) ""
+      else {
+        val cut = rest.drop(nRest)
+        s""","omitted":${cut.length},"omitted_sec":${cs(cut.map(_._2).sum)}"""
+      }
     val qsFull = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
+    // Largest rest-count whose line stays inside the budget; baselined
+    // entries are never cut, so if even nRest=0 runs long the line is as
+    // short as it can be without blinding the gate — emit it and WARN.
+    val LineBudget = 1500
     val ss = samples.map { case (k, xs) =>
       s""""${esc(k)}":${xs.mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -127,15 +167,28 @@ object Bench {
     // window exactly when failures matter most. The compact line carries
     // them truncated to 40 chars; if the line still runs long, degrade to
     // failed NAMES only (full messages are always in the file copy).
-    def compactLine(failedJson: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"sf":"${esc(sfName)}"}"""
+    def compactLine(nRest: Int, failedJson: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qsMapFor(nRest)}${omittedJson(nRest)},"failed":$failedJson,"sf":"${esc(sfName)}"}"""
     val fsShort = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(40))}"""" }
       .mkString("{", ",", "}")
     val fsNames = failed.keys.map(k => s""""${esc(k)}":"failed"""")
       .mkString("{", ",", "}")
     val compact = {
-      val c = compactLine(fsShort)
-      if (c.length <= 1750) c else compactLine(fsNames)
+      val full = compactLine(rest.length, fsShort)
+      if (full.length <= LineBudget) full
+      else {
+        val n = (rest.length to 0 by -1)
+          .find(n => compactLine(n, fsShort).length <= LineBudget)
+        n.map(compactLine(_, fsShort))
+          .filter(_.length <= LineBudget)
+          .getOrElse {
+            // even the must-only map runs long with failure messages —
+            // degrade failures to names before cutting baselined queries
+            (rest.length to 0 by -1)
+              .map(compactLine(_, fsNames)).find(_.length <= LineBudget)
+              .getOrElse(compactLine(0, fsNames))
+          }
+      }
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qsFull,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
@@ -147,11 +200,11 @@ object Bench {
     // Stop Spark BEFORE printing so no async executor/shutdown log line can
     // land after the JSON and push its head out of the tail window.
     spark.stop()
-    if (compact.length > 1750)
-      // Headroom check: ~80 chars of sbt "[success] ..." footer follow the
-      // line inside the same 2000-char window. At 77 queries the 2-decimal
-      // map measures ~1814 chars — growing past 1750 means the queries map
-      // needs trimming, not that the run failed — warn loudly.
+    if (compact.length > LineBudget)
+      // Only reachable when the BASELINED entries alone blow the budget
+      // (~34 names ≈ 800 chars, so this means BASELINE.md grew a lot):
+      // ~80 chars of sbt "[success] ..." footer follow the line inside
+      // the same ~2000-char window the harness keeps — warn loudly.
       System.err.println(
         s"WARN bench compact line ${compact.length} chars nears the 2000-char tail window")
     println(compact)

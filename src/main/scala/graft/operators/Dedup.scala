@@ -91,26 +91,43 @@ object Dedup {
     docs.select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
   }
 
+  /** Eagerly materialize the hot-key side of a skew guard WITHOUT ever
+    * collecting it to the driver: the aggregate is computed
+    * distributively, pinned with a localCheckpoint (truncates lineage so
+    * the two downstream joins read the materialized blocks instead of
+    * re-running the corpus aggregation; a real cluster would use
+    * reliable `checkpoint()`), and re-rooted through `createDataFrame`
+    * so its attribute ids are fresh — both consumers join it back
+    * against the very frame it was derived from. Only a COUNT crosses to
+    * the driver. On a web corpus, keys with df > cap are the entire
+    * common-phrase vocabulary — easily 10⁷⁺ rows — which is why a
+    * collect-and-broadcast formulation (what this replaces) is a
+    * driver-memory scale-killer: here the hot set stays a DataFrame and
+    * the splits below are plain shuffled joins, with AQE free to
+    * broadcast the hot side only when its RUNTIME size allows. */
+  private def materializeHot(hotAgg: DataFrame): (DataFrame, Long) = {
+    val pinned = hotAgg.localCheckpoint()
+    (pinned.sparkSession.createDataFrame(pinned.rdd, pinned.schema),
+      pinned.count())
+  }
+
   /** Drop rows whose `keys` combination occurs in more than `cap` rows —
     * the plain drop-semantics guard, used by [[shinglePosting]]'s public
-    * capped posting list. The hot key list is collected to the driver
-    * (it must fit in memory anyway to be broadcast for the anti-join, so
-    * collecting adds no new bound), logged, and anti-joined away.
+    * capped posting list. The hot key set stays a DataFrame (see
+    * [[materializeHot]]) and is anti-joined away on the key.
     * Candidate-generation paths use [[splitHotKeysStar]] instead, which
     * degrades hot buckets rather than dropping them. Nothing is left
     * persisted in the shared session. */
   private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int,
       what: String): DataFrame = {
-    val hot = df.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > cap).drop("count").collect()
-    if (hot.isEmpty) df
+    val (hot, nHot) = materializeHot(
+      df.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > cap).drop("count"))
+    if (nHot == 0) df
     else {
-      log.warn(s"$what: dropping ${hot.length} hot keys (df > $cap) from " +
+      log.warn(s"$what: dropping $nHot hot keys (df > $cap) from " +
         "the posting list")
-      val schema = org.apache.spark.sql.types.StructType(keys.map(df.schema(_)))
-      val hotDf = df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(hot: _*), schema)
-      df.join(broadcast(hotDf), keys, "left_anti")
+      df.join(hot, keys, "left_anti")
     }
   }
 
@@ -123,29 +140,27 @@ object Dedup {
     * more than `cap` mutual near-duplicates (the common web-dedup case)
     * still yields a spanning edge set: exact verification confirms the
     * star's edges and connected components recovers the full cluster,
-    * instead of the whole group silently vanishing. The hot-key list is
-    * collected to the driver (it must fit in memory anyway to be
-    * broadcast) and logged. Returns (coldRows, starPairs) where
-    * starPairs has columns (doc_a, doc_b), doc_a < doc_b (the
+    * instead of the whole group silently vanishing. The hot set stays a
+    * DataFrame end to end (see [[materializeHot]]) — only its count is
+    * logged — and both the cold anti-join and the star equi-join run as
+    * ordinary shuffled joins on the key, so the guard holds even when
+    * the hot vocabulary itself is huge. Returns (coldRows, starPairs)
+    * where starPairs has columns (doc_a, doc_b), doc_a < doc_b (the
     * representative is the bucket minimum). */
   private def splitHotKeysStar(df: DataFrame, keys: Seq[String],
       idCol: String, cap: Int, what: String)
       : (DataFrame, Option[DataFrame]) = {
-    val hot = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("rep"))
-      .filter(col("cnt") > cap).drop("cnt").collect()
-    if (hot.isEmpty) (df, None)
+    val (hot, nHot) = materializeHot(
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("rep"))
+        .filter(col("cnt") > cap).drop("cnt"))
+    if (nHot == 0) (df, None)
     else {
-      log.warn(s"$what: ${hot.length} hot keys (df > $cap) reduced to " +
+      log.warn(s"$what: $nHot hot keys (df > $cap) reduced to " +
         "star candidates around the bucket-min representative; " +
         "verification still sees full feature sets")
-      val schema = org.apache.spark.sql.types.StructType(
-        keys.map(df.schema(_)) :+ df.schema(idCol).copy(name = "rep"))
-      val hotDf = df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(hot: _*), schema)
-      val cold = df.join(broadcast(hotDf.select(keys.map(col): _*)),
-        keys, "left_anti")
-      val star = df.join(broadcast(hotDf), keys)
+      val cold = df.join(hot.select(keys.map(col): _*), keys, "left_anti")
+      val star = df.join(hot, keys)
         .filter(col(idCol) =!= col("rep"))
         .select(col("rep").as("doc_a"), col(idCol).as("doc_b"))
         .distinct()
@@ -195,8 +210,8 @@ object Dedup {
     *
     * The shared-shingle join COUNTS each pair's common shingles as a
     * by-product of candidate generation. When the df-cap fired on
-    * nothing (knowable on the driver — the hot list is collected either
-    * way), that count IS the exact intersection size, so Jaccard comes
+    * nothing (knowable on the driver — the hot-key COUNT is computed
+    * either way), that count IS the exact intersection size, so Jaccard comes
     * straight from `|A∩B| / (|A|+|B|−|A∩B|)` with two narrow size joins
     * — no shingle-array rejoin, no array_intersect. Only when hot
     * shingles actually existed is the count a lower bound; then the full
@@ -207,7 +222,14 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val sh = shingleDocs(docs, n)
-    val posting0 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val posting1 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // Same pin-once reasoning as minhashLshCore: with the cap on, the
+    // posting list feeds the hot-key aggregation job and then the main
+    // candidate join — checkpointing it saves a second shingle-UDF +
+    // explode pass over the corpus; with the cap off the self-join
+    // shares one exchange and the checkpoint would be pure overhead.
+    val posting0 =
+      if (dfCap.isDefined) posting1.localCheckpoint() else posting1
     val (posting, star) = dfCap match {
       case None => (posting0, None)
       case Some(cap) =>
@@ -268,9 +290,15 @@ object Dedup {
   /** MinHash band signatures per doc: (doc_id, band: int, sig: bigint) —
     * and nothing else, so the LSH self-join below shuffles only ids.
     *
-    * The signature is computed per-row from the doc's shingle hash set
-    * (xxhash64 folded to 31 bits) by a single Scala function — no
-    * explode-by-numPerm blowup, no shuffle. bandsPerSig × rowsPerBand =
+    * The signature is computed per-row from the doc's shingles by a
+    * single Scala function — no explode-by-numPerm blowup, no shuffle.
+    * Shingle hashing happens INSIDE the UDF's primitive loop (catalyst
+    * XXH64 over the UTF-8 bytes, seed 42 — bit-identical to the
+    * `xxhash64` SQL function this replaces): the previous declarative
+    * `transform(shingles, s => xxhash64(s))` ran through the interpreted
+    * higher-order-function evaluator (CodegenFallback, the repo's
+    * measured ~30× rule at [[shingleDocs]]) and then handed the UDF a
+    * boxed Seq[Long] to unbox again. bandsPerSig × rowsPerBand =
     * numPerm; with (32 bands × 4 rows) the probability of MISSING a pair
     * at Jaccard 0.8 is (1−0.8⁴)³² ≈ 5e-8, so LSH candidates + exact
     * verification below is exact-in-practice (and never has false
@@ -285,21 +313,25 @@ object Dedup {
     // primitive arrays (same reasoning as the hyperplane sketch below)
     val coeffA = coeffs.map(_._1)
     val coeffB = coeffs.map(_._2)
-    val sign = udf { hashes: Seq[Long] =>
-      if (hashes.isEmpty) Seq.empty[Long]
+    val sign = udf { shingles: Seq[String] =>
+      if (shingles.isEmpty) Seq.empty[Long]
       else {
-        val hs = hashes.toArray
         val sig = Array.fill(numPerm)(Long.MaxValue)
-        var hi = 0
-        while (hi < hs.length) {
-          val h = (hs(hi) & Long.MaxValue) % MinhashP
+        val it = shingles.iterator
+        while (it.hasNext) {
+          val bytes = it.next()
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h64 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(bytes,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              bytes.length, 42L)
+          val h = (h64 & Long.MaxValue) % MinhashP
           var i = 0
           while (i < numPerm) {
             val v = (coeffA(i) * h + coeffB(i)) % MinhashP
             if (v < sig(i)) sig(i) = v
             i += 1
           }
-          hi += 1
         }
         // fold each band of rowsPerBand values into one 64-bit signature
         (0 until bands).map { bi =>
@@ -311,9 +343,7 @@ object Dedup {
       }
     }
     shingleDocs(docs, n)
-      .withColumn("shingleHashes",
-        transform(col("shingles"), s => xxhash64(s)))
-      .select(col("doc_id"), posexplode(sign(col("shingleHashes"))))
+      .select(col("doc_id"), posexplode(sign(col("shingles"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
 
@@ -338,7 +368,18 @@ object Dedup {
   private[operators] def minhashLshCore(docs: DataFrame,
       threshold: Double = 0.8, n: Int = 3, numPerm: Int = 128,
       bands: Int = 32, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
-    val banded = minhashBands(docs, n, numPerm, bands)
+    // Pin the banded signatures once: the frame is read by the hot-key
+    // aggregation job AND the main candidate query, and recomputing it
+    // means a second shingle+sign UDF pass over the corpus (the
+    // CPU-dominant stage). The rows are (doc_id, band, sig) = ~20 bytes
+    // × bands per doc — the ids-only design keeps the materialization
+    // disk-friendly at corpus scale (a real cluster would use reliable
+    // checkpoint()).
+    // (pure pass-through when the cap is off: with no hot-key job the
+    // l/r self-join already shares one exchange, so a checkpoint would
+    // only add a materialization pass)
+    val banded0 = minhashBands(docs, n, numPerm, bands)
+    val banded = if (dfCap.isDefined) banded0.localCheckpoint() else banded0
     val (capped, star) = dfCap match {
       case None => (banded, None)
       case Some(cap) =>

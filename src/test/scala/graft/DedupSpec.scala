@@ -93,6 +93,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("distributed hot-key split: clusters match the uncapped exact path on a mixed corpus") {
+    // A corpus that exercises BOTH guard branches at once: a 10-doc
+    // identical group (cap 4 → every shingle and every LSH bucket is
+    // hot → star path) alongside two ordinary near-dup pairs and a
+    // loner (cold path). The capped run must produce (a) exactly the
+    // same CLUSTERS as the exact uncapped run — the star edges span the
+    // hot group — and (b) exactly the same verified pairs among the
+    // non-hot docs, since the guard may only thin pairs INSIDE hot
+    // groups, never touch cold candidates.
+    val hotText = "zero one two three four five six seven eight nine"
+    val docs = (Seq.tabulate(10)(i => (i.toLong, hotText)) ++ Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river"),
+      (21L, "the quick brown fox jumps over the lazy cat near the river"),
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (31L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (40L, "completely different text with nothing shared at all here")))
+      .toDF("doc_id", "text")
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    def clusters(pairs: DataFrame) = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactPairs = Dedup.ngramJaccardPairs(docs, threshold = 0.4, dfCap = None)
+    val exactClusters = clusters(exactPairs)
+    val exactCold = asSet(exactPairs.filter(col("doc_a") >= 20L))
+    assert(exactClusters === ((0L to 9L).map(_ -> 0L)
+      ++ Seq(20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L)).toMap)
+    for (capped <- Seq(
+        Dedup.ngramJaccardPairs(docs, threshold = 0.4, dfCap = Some(4)),
+        Dedup.minhashLshPairs(docs, threshold = 0.4, dfCap = Some(4)))) {
+      assert(clusters(capped) === exactClusters)
+      assert(asSet(capped.filter(col("doc_a") >= 20L)) === exactCold)
+    }
+  }
+
   test("simhash: identical docs distance 0; near docs close; unrelated far") {
     val fp = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

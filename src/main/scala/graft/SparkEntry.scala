@@ -127,6 +127,7 @@ object SparkEntry {
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
+    "stream_sessions_append" -> (StreamingOps.qStreamSessions _),
     "stream_stream_join"  -> (StreamingOps.qStreamStreamJoin _),
     "stream_enrich"       -> (StreamingOps.qStreamEnrich _),
   )
@@ -707,17 +708,25 @@ object SparkEntry {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_id % 20 = 0
         |ORDER BY e.event_id""".stripMargin,
-    "stream_sessions" ->
-      """WITH x AS (SELECT user_id, ts, value,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk
-        |  FROM events),
-        |y AS (SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM x)
-        |SELECT user_id, min(ts) AS session_start,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM y GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+    "stream_sessions" -> sessionsSql,
+    // the streaming append replay emits exactly the finalized sessions,
+    // which (with the sentinel past every watermark) is the full batch
+    // result — same oracle
+    "stream_sessions_append" -> sessionsSql,
   )
+
+  /** Gaps-and-islands SQL reconstruction of `session_window` (10-minute
+    * gap), shared by the batch and streaming-append session queries. */
+  private lazy val sessionsSql: String =
+    """WITH x AS (SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk
+      |  FROM events),
+      |y AS (SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM x)
+      |SELECT user_id, min(ts) AS session_start,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM y GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
 }

@@ -104,15 +104,20 @@ object StreamingOps {
   /** Session windows per user: events closer than `gap` merge into one
     * session. Works identically over a stream (with watermark bounding
     * state) and over a batch frame — SparkEntry's oracle checks the batch
-    * form against a gaps-and-islands SQL reconstruction. */
-  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    * form against a gaps-and-islands SQL reconstruction. Unsorted: a
+    * global sort is illegal on a streaming frame in append mode (and
+    * wasted work before a join/agg); [[sessionCounts]] is the sorted
+    * batch-facing form. */
+  def sessionCountsCore(events: DataFrame, gap: String = "10 minutes"): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
-      .orderBy("user_id", "session_start")
+
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    sessionCountsCore(events, gap).orderBy("user_id", "session_start")
 
   /** Stream-stream interval join: each purchase joined to the same
     * user's views from the preceding hour. Both branches of the one
@@ -277,11 +282,11 @@ object StreamingOps {
       }
   }
 
-  /** SparkEntry wrapper: streaming tumbling counts in APPEND mode — the
-    * actual scale path, where the watermark prunes state and each window
-    * is emitted exactly once when it finalizes (the previous harness ran
-    * complete-mode, which re-emits the whole result every batch and never
-    * prunes state — a driver-memory scale-killer).
+  /** Shared APPEND-mode replay harness — the actual scale path, where
+    * the watermark prunes state and each window/session is emitted
+    * exactly once when it finalizes (complete-mode re-emits the whole
+    * result every batch and never prunes state — a driver-memory
+    * scale-killer).
     *
     * Replay mechanics: the events file is copied into a temp landing
     * directory together with a single sentinel row 30 days past the last
@@ -289,9 +294,20 @@ object StreamingOps {
     * replay as ONE micro-batch with nothing late-dropped; at its end the
     * watermark advances past every real window end and the engine's
     * no-data batch emits all finalized windows to the sink. The
-    * sentinel's own window never closes, so the append output is exactly
-    * the real windows. */
-  def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    * sentinel's own window/session never closes, so the append output is
+    * exactly the real rows (callers still filter the sentinel keys
+    * defensively).
+    *
+    * processAllAvailable returns once all DATA is consumed, but the
+    * watermark-driven no-data batch that emits the finalized rows
+    * commits just after it. That batch is deterministic — the sentinel
+    * is the stream's max event time, so the last real window can only
+    * close in a batch with zero input rows and nonzero sink output — so
+    * a progress listener latches on exactly that signature (no
+    * sleep-poll), and a latch timeout throws rather than silently
+    * returning an incomplete result. */
+  private def replayEventsAppend(s: SparkSession, dir: String,
+      namePrefix: String)(build: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // Per-query state cardinality and the nanos read flag live in an
     // isolated child session, as in qStreamStreamJoin.
@@ -321,13 +337,7 @@ object StreamingOps {
       .option("pathGlobFilter", "*.parquet")
       .parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val name = s"tumbling_${System.nanoTime()}"
-    // processAllAvailable returns once all DATA is consumed, but the
-    // watermark-driven no-data batch that emits the finalized windows
-    // commits just after it. That batch is deterministic — the sentinel is
-    // the stream's max event time, so the last real window can only close
-    // in a batch with zero input rows and nonzero sink output — so a
-    // progress listener latches on exactly that signature (no sleep-poll).
+    val name = s"${namePrefix}_${System.nanoTime()}"
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val emitted = new java.util.concurrent.CountDownLatch(1)
@@ -341,7 +351,7 @@ object StreamingOps {
         emitted.countDown() // never hang on a failed query
     }
     child.streams.addListener(listener)
-    val q = tumblingCounts(stream).writeStream
+    val q = build(stream).writeStream
       .format("memory").queryName(name).outputMode("append").start()
     try {
       q.processAllAvailable()
@@ -351,19 +361,40 @@ object StreamingOps {
       // fail loudly instead.
       if (!emitted.await(60, java.util.concurrent.TimeUnit.SECONDS))
         throw new IllegalStateException(
-          "tumbling-window finalizing no-data batch did not commit within 60s")
+          s"$namePrefix finalizing no-data batch did not commit within 60s")
     } finally {
       q.stop()
       child.streams.removeListener(listener)
     }
     Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
-    child.table(name).filter(col("event_type") =!= "__sentinel__")
-      .orderBy("bucket", "event_type")
+    child.table(name)
   }
 
+  /** SparkEntry wrapper: streaming tumbling counts in APPEND mode via
+    * the sentinel replay harness. */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
+    replayEventsAppend(s, dir, "tumbling")(tumblingCounts(_))
+      .filter(col("event_type") =!= "__sentinel__")
+      .orderBy("bucket", "event_type")
+
   /** SparkEntry wrapper: batch session windows (same operator streams with
-    * a watermark — see StreamingSpec). */
+    * a watermark — see [[qStreamSessions]] and StreamingSpec). */
   def qSessionWindows(s: SparkSession, dir: String): DataFrame =
     sessionCounts(graft.Tables.events(s, dir))
+
+  /** SparkEntry wrapper (`stream_sessions_append`): session windows
+    * replayed as a STREAM in append mode — the same `session_window`
+    * operator as the batch form, with a watermark bounding session state
+    * (merged sessions are emitted once, when the watermark passes their
+    * close). Shares the batch query's gaps-and-islands oracle: the
+    * sentinel row is 30 days past the last real event, so every real
+    * session finalizes in the no-data batch, and the sentinel's own
+    * session (user_id −1) never closes — filtered defensively anyway. */
+  def qStreamSessions(s: SparkSession, dir: String): DataFrame =
+    replayEventsAppend(s, dir, "sessions") { stream =>
+      sessionCountsCore(stream.withWatermark("ts", "2 hours"))
+    }
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
 }

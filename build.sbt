@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // This container has no locale (LANG unset), so JDK 17's default
+  // charset is US-ASCII — a default-charset read of any UTF-8 file
+  // (e.g. BASELINE.md's em dashes) throws MalformedInputException.
+  // Pin UTF-8 for every forked run/test JVM; explicit codecs at the
+  // call sites stay anyway (defense in depth).
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -23,6 +23,116 @@ import org.apache.spark.sql.SparkSession
   * the total — a broken query must never read as a 0-second speedup.
   */
 object Bench {
+  /** Query names frozen in BASELINE.md's "Operative baseline for BENCH"
+    * table — these are never cut from the compact stdout line (the
+    * judge's 2x gate reads them from that line; a missing baselined name
+    * IS a breach). Read with an EXPLICIT UTF-8 codec: this container's
+    * JVM has no locale, so `Charset.defaultCharset()` is US-ASCII and a
+    * default-charset read throws `MalformedInputException` on
+    * BASELINE.md's em dashes — round 9 silently swallowed that and cut
+    * 10 baselined names from the stdout line. Parse failures now log to
+    * stderr instead of silently emptying the never-cut set.
+    */
+  def baselinedNames(path: String = "BASELINE.md"): Set[String] =
+    try {
+      val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+      try {
+        var inSection = false
+        val names = Set.newBuilder[String]
+        val row = """\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*(?=\|)""".r
+        src.getLines().foreach { line =>
+          if (line.startsWith("## "))
+            inSection = line.startsWith("## Operative baseline for BENCH")
+          else if (inSection)
+            row.findAllMatchIn(line).foreach(m => names += m.group(1))
+        }
+        names.result()
+      } finally src.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"WARN baselinedNames: failed reading $path (${e.getClass.getSimpleName}: ${e.getMessage}); compact line loses its never-cut guarantee")
+        Set.empty
+    }
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  // Compact-line values carry 2 decimals (10 ms granularity): with 76
+  // registered queries a 3-decimal map is ~1870 chars and the sbt
+  // success footer eats ~80 more of the ~2000-char stdout tail the
+  // harness keeps — one more round of queries would truncate the line
+  // head and void the whole bench (round 6's failure mode). 10 ms
+  // granularity cannot flip a 2x gate on queries ≥ 0.1 s; the
+  // full-precision numbers are always in the file copy.
+  private def cs(v: Double): String = BigDecimal(v)
+    .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+
+  private def ms(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+
+  val LineBudget = 1500
+
+  /** The budgeted compact stdout line. Every query baselined in
+    * BASELINE.md is ALWAYS present (the judge's 2x gate reads those
+    * names from this line — a missing baselined name IS a breach); the
+    * remaining budget is filled with the slowest non-baselined queries.
+    * Whatever gets cut is summarized as "omitted":count and
+    * "omitted_sec":sum so the total still reconciles; the full map and
+    * samples are always in the SPARK_GRAFT_BENCH_OUT file copy.
+    * Object-level and pure so BenchLineSpec can render it against
+    * synthetic timings for the whole registry (registry-growth guard).
+    */
+  def renderCompact(
+      timings: Seq[(String, Double)],
+      failed: Seq[(String, String)],
+      baselined: Set[String],
+      sfName: String,
+      lineBudget: Int = LineBudget): String = {
+    val (must, rest0) = timings.partition { case (k, _) => baselined(k) }
+    val rest = rest0.sortBy { case (k, v) => (-v, k) }
+    val total = timings.map(_._2).sum
+    def qsMapFor(nRest: Int): String =
+      (must ++ rest.take(nRest)).sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":${cs(v)}""" }
+        .mkString("{", ",", "}")
+    def omittedJson(nRest: Int): String =
+      if (nRest >= rest.length) ""
+      else {
+        val cut = rest.drop(nRest)
+        s""","omitted":${cut.length},"omitted_sec":${cs(cut.map(_._2).sum)}"""
+      }
+    def compactLine(nRest: Int, failedJson: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qsMapFor(nRest)}${omittedJson(nRest)},"failed":$failedJson,"sf":"${esc(sfName)}"}"""
+    // Failure MESSAGES can be 200 chars each — enough to blow the tail
+    // window exactly when failures matter most. The compact line carries
+    // them truncated to 40 chars; if the line still runs long, degrade to
+    // failed NAMES only (full messages are always in the file copy).
+    val fsShort = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(40))}"""" }
+      .mkString("{", ",", "}")
+    val fsNames = failed.map { case (k, _) => s""""${esc(k)}":"failed"""" }
+      .mkString("{", ",", "}")
+    val full = compactLine(rest.length, fsShort)
+    if (full.length <= lineBudget) full
+    else {
+      val n = (rest.length to 0 by -1)
+        .find(n => compactLine(n, fsShort).length <= lineBudget)
+      n.map(compactLine(_, fsShort))
+        .filter(_.length <= lineBudget)
+        .getOrElse {
+          // even the must-only map runs long with failure messages —
+          // degrade failures to names before cutting baselined queries
+          (rest.length to 0 by -1)
+            .map(compactLine(_, fsNames)).find(_.length <= lineBudget)
+            .getOrElse(compactLine(0, fsNames))
+        }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -86,75 +196,20 @@ object Bench {
       timings(name) =
         if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0
     }
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     // The harness reading stdout keeps only a BOUNDED TAIL of the output
     // (~2000 chars observed) and parses the `{"metric":...}` line found in
     // it — a line longer than that window gets its head truncated and the
     // whole bench round reads as unparseable (this killed round 6, where
-    // the per-query samples map tripled the line). So stdout gets a COMPACT
-    // line: medians at millisecond precision (BASELINE.md's own precision)
-    // and no samples; the full-precision line with all iteration samples
-    // goes only to the SPARK_GRAFT_BENCH_OUT file copy.
-    def ms(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    // Compact-line values carry 2 decimals (10 ms granularity): with 76
-    // registered queries a 3-decimal map is ~1870 chars and the sbt
-    // success footer eats ~80 more of the ~2000-char stdout tail the
-    // harness keeps — one more round of queries would truncate the line
-    // head and void the whole bench (round 6's failure mode). 10 ms
-    // granularity cannot flip a 2x gate on queries ≥ 0.1 s; the
-    // full-precision numbers are always in the file copy.
-    def cs(v: Double): String = BigDecimal(v)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    // 2-decimal medians alone stopped fitting at 77 queries (the map was
-    // 1814 of the ~2000-char window). The compact line now carries a
-    // BUDGETED query map: every query baselined in BASELINE.md is always
-    // present (the judge's 2x gate reads those names from this line — a
-    // missing baselined name IS a breach), and the remaining budget is
-    // filled with the slowest non-baselined queries (the informative
-    // ones). Whatever gets cut is summarized as "omitted":count and
-    // "omitted_sec":sum so the total still reconciles; the full map and
-    // samples are always in the SPARK_GRAFT_BENCH_OUT file copy.
-    def baselinedNames(path: String = "BASELINE.md"): Set[String] =
-      try {
-        val src = scala.io.Source.fromFile(path)
-        try {
-          var inSection = false
-          val names = Set.newBuilder[String]
-          val row = """\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*(?=\|)""".r
-          src.getLines().foreach { line =>
-            if (line.startsWith("## "))
-              inSection = line.startsWith("## Operative baseline for BENCH")
-            else if (inSection)
-              row.findAllMatchIn(line).foreach(m => names += m.group(1))
-          }
-          names.result()
-        } finally src.close()
-      } catch { case _: Exception => Set.empty }
+    // the per-query samples map tripled the line). So stdout gets the
+    // COMPACT budgeted line from renderCompact; the full-precision line
+    // with all iteration samples goes only to the SPARK_GRAFT_BENCH_OUT
+    // file copy.
     val baselined = baselinedNames()
-    val (must, rest0) = timings.toSeq.partition { case (k, _) => baselined(k) }
-    val rest = rest0.sortBy { case (k, v) => (-v, k) }
-    def qsMapFor(nRest: Int): String =
-      (must ++ rest.take(nRest)).sortBy(_._1)
-        .map { case (k, v) => s""""${esc(k)}":${cs(v)}""" }
-        .mkString("{", ",", "}")
-    def omittedJson(nRest: Int): String =
-      if (nRest >= rest.length) ""
-      else {
-        val cut = rest.drop(nRest)
-        s""","omitted":${cut.length},"omitted_sec":${cs(cut.map(_._2).sum)}"""
-      }
+    if (baselined.isEmpty)
+      System.err.println(
+        "WARN bench: no baselined names parsed from BASELINE.md — compact line falls back to smallest-first cuts")
     val qsFull = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
-    // Largest rest-count whose line stays inside the budget; baselined
-    // entries are never cut, so if even nRest=0 runs long the line is as
-    // short as it can be without blinding the gate — emit it and WARN.
-    val LineBudget = 1500
     val ss = samples.map { case (k, xs) =>
       s""""${esc(k)}":${xs.mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -163,33 +218,7 @@ object Bench {
     val onlyJson = only.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val total = timings.values.sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    // Failure MESSAGES can be 200 chars each — enough to blow the tail
-    // window exactly when failures matter most. The compact line carries
-    // them truncated to 40 chars; if the line still runs long, degrade to
-    // failed NAMES only (full messages are always in the file copy).
-    def compactLine(nRest: Int, failedJson: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qsMapFor(nRest)}${omittedJson(nRest)},"failed":$failedJson,"sf":"${esc(sfName)}"}"""
-    val fsShort = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(40))}"""" }
-      .mkString("{", ",", "}")
-    val fsNames = failed.keys.map(k => s""""${esc(k)}":"failed"""")
-      .mkString("{", ",", "}")
-    val compact = {
-      val full = compactLine(rest.length, fsShort)
-      if (full.length <= LineBudget) full
-      else {
-        val n = (rest.length to 0 by -1)
-          .find(n => compactLine(n, fsShort).length <= LineBudget)
-        n.map(compactLine(_, fsShort))
-          .filter(_.length <= LineBudget)
-          .getOrElse {
-            // even the must-only map runs long with failure messages —
-            // degrade failures to names before cutting baselined queries
-            (rest.length to 0 by -1)
-              .map(compactLine(_, fsNames)).find(_.length <= LineBudget)
-              .getOrElse(compactLine(0, fsNames))
-          }
-      }
-    }
+    val compact = renderCompact(timings.toSeq, failed.toSeq, baselined, sfName)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qsFull,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")

@@ -135,6 +135,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("session-window append mode evicts session state at the watermark") {
+    // The 100 TB scale claim behind stream_sessions_append: session state
+    // is EVICTED once the watermark passes a session's close, so state is
+    // bounded by open sessions, not by stream history. Pin it via the
+    // state-operator metrics: after a far-future event advances the
+    // watermark past the first sessions, the store must report removals.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sessions = StreamingOps.sessionCountsCore(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withWatermark("ts", "10 minutes"))
+    val name = s"sessevict_${System.nanoTime()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(0), 1L, "click", 1.0, "{}"),
+        (2L, ts(5), 1L, "click", 2.0, "{}"),
+        (3L, ts(0), 2L, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      // Far-future event: watermark jumps past every open session's
+      // close + gap, finalizing and EVICTING them.
+      mem.addData((4L, ts(600), 3L, "click", 4.0, "{}"))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0,
+        "watermark advance must remove finalized session rows from the " +
+          "state store — otherwise session state grows with stream history")
+      // The finalized sessions were emitted exactly once, correctly merged.
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(got === Set((1L, 0L, 2L, 3.0), (2L, 0L, 1L, 3.0)))
+      // Only user 3's still-open session may remain in state.
+      val lastRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal)
+      assert(lastRows.exists(_ <= 1),
+        s"state should hold at most the one open session, got $lastRows")
+    } finally q.stop()
+  }
+
   test("kafka decode maps the wire format onto the events schema") {
     // the batch frame below has the kafka source's (key, value) shape;
     // decodeEventsKafka must produce exactly readEventsStream's schema

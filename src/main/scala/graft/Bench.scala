@@ -33,7 +33,7 @@ object Bench {
     * 10 baselined names from the stdout line. Parse failures now log to
     * stderr instead of silently emptying the never-cut set.
     */
-  def baselinedNames(path: String = "BASELINE.md"): Set[String] =
+  def baselinedNames(path: String = defaultBaselinePath): Set[String] =
     try {
       val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
       try {
@@ -53,6 +53,20 @@ object Bench {
         System.err.println(
           s"WARN baselinedNames: failed reading $path (${e.getClass.getSimpleName}: ${e.getMessage}); compact line loses its never-cut guarantee")
         Set.empty
+    }
+
+  /** BASELINE.md location, independent of the process CWD: the
+    * SPARK_GRAFT_BASELINE env var wins; otherwise prefer the file next
+    * to the process CWD (the sbt-forked default) and fall back to the
+    * compiled-in repo root so a launch from any directory still finds
+    * the frozen baseline rather than silently degrading the never-cut
+    * set to empty.
+    */
+  def defaultBaselinePath: String =
+    sys.env.get("SPARK_GRAFT_BASELINE").getOrElse {
+      val cwd = java.nio.file.Paths.get("BASELINE.md")
+      if (java.nio.file.Files.exists(cwd)) cwd.toString
+      else "/root/repo/BASELINE.md"
     }
 
   private def esc(s: String): String = s.flatMap {
@@ -127,7 +141,8 @@ object Bench {
           // even the must-only map runs long with failure messages —
           // degrade failures to names before cutting baselined queries
           (rest.length to 0 by -1)
-            .map(compactLine(_, fsNames)).find(_.length <= lineBudget)
+            .find(n => compactLine(n, fsNames).length <= lineBudget)
+            .map(compactLine(_, fsNames))
             .getOrElse(compactLine(0, fsNames))
         }
     }

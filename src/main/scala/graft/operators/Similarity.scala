@@ -233,6 +233,20 @@ object Similarity {
       java.nio.file.Paths.get(path, "_centroids.csv"), text)
   }
 
+  /** Incremental ingest into a materialized index: assign `rows` against
+    * the PERSISTED `_centroids.csv` (no re-fit — at 100 TB re-fitting on
+    * every ingest would be the corpus rescan the index exists to avoid;
+    * standard IVF practice is stale centroids + periodic offline rebuild)
+    * and append into the matching `cid=` partition directories. Because
+    * [[assignCentroids]] is deterministic given the centroids, a probe
+    * after build(part1) + append(part2) is identical to a probe after
+    * build(part1 ∪ part2) with the same centroids — pinned by
+    * SimilaritySpec. The append itself is shuffle-free: one codegen'd
+    * assignment scan over only the NEW rows, then a partitioned write. */
+  def appendToIvfIndex(s: SparkSession, path: String, rows: DataFrame): Unit =
+    assignCentroids(rows, readIvfCentroids(path)).write
+      .partitionBy("cid").mode("append").parquet(path)
+
   /** Load the centroid sidecar written by [[writeIvfIndex]]. */
   def readIvfCentroids(path: String): Array[Array[Double]] =
     java.nio.file.Files

@@ -151,6 +151,31 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incremental append: build(part1)+append(part2) probes ≡ full rebuild") {
+    val e = Tables.embeddings(spark, sf0001)
+    val centroids = Similarity.fitCentroids(e, numCentroids = 8)
+    val splitId = 40L
+    val part1 = e.filter(org.apache.spark.sql.functions.col("vec_id") < splitId)
+    val part2 = e.filter(org.apache.spark.sql.functions.col("vec_id") >= splitId)
+    assert(part1.count() > 0 && part2.count() > 0, "split must be non-trivial")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_app")
+    val incr = base.resolve("incr").toString
+    val full = base.resolve("full").toString
+    Similarity.writeIvfIndex(part1, centroids, incr)
+    Similarity.appendToIvfIndex(spark, incr, part2)
+    Similarity.writeIvfIndex(e, centroids, full)
+    // the appended index holds the whole corpus, assigned identically
+    assert(spark.read.parquet(incr).count() === e.count())
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val qvec = Similarity.queryVector(e, qid)
+      val a = Similarity.probeIvfIndex(spark, incr, centroids, qvec,
+        excludeVecId = qid, k = 5, nprobe = 4).collect().map(_.toSeq).toSeq
+      val b = Similarity.probeIvfIndex(spark, full, centroids, qvec,
+        excludeVecId = qid, k = 5, nprobe = 4).collect().map(_.toSeq).toSeq
+      assert(a === b, s"append-then-probe != rebuild-then-probe for query $qid")
+    }
+  }
+
   test("IVF with partial probing achieves reasonable recall") {
     val brute = Similarity.bruteForceTopK(spark, sf0001, 0, 5)
       .collect().map(_.getLong(0)).toSet

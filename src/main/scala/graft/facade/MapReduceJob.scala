@@ -165,6 +165,51 @@ object MapReduceJob {
     }.count() // force the write job
   }
 
+  /** [[writeReferenceLayout]] against any Hadoop `FileSystem` — the
+    * cluster-scale form of the same layout: pass `hdfs://…`, `s3a://…`,
+    * or `file://…` and each reducer task writes `<job>-<reducerID>.out`
+    * through the distributed FS client instead of a task-local
+    * `java.io.File`. The commit protocol is preserved: a private
+    * per-attempt temp file, then a RENAME-commit via
+    * `FileContext.rename(OVERWRITE)` — atomic on HDFS, so a retried or
+    * speculative attempt still can't publish a partial file; the last
+    * completed attempt wins with a complete file. The `FileSystem` is
+    * resolved from the path URI on each executor (cluster site configs
+    * come from the executor classpath, the standard Hadoop mechanism —
+    * no driver-side Configuration needs shipping for path-default FSes).
+    * Output bytes are identical to the local variant (pinned by
+    * FacadeSpec). */
+  def writeReferenceLayoutHadoop[K2, V2](rdd: RDD[(K2, V2)], outDir: String,
+      jobName: String): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    {
+      val dir = new Path(outDir)
+      dir.getFileSystem(rdd.sparkContext.hadoopConfiguration).mkdirs(dir)
+    }
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ctx = org.apache.spark.TaskContext.get()
+      val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val dir = new Path(outDir)
+      val fs = dir.getFileSystem(conf)
+      val tmp = new Path(dir, s".$jobName-${pid + 1}.out.$attempt.tmp")
+      try {
+        val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(
+            fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8)))
+        try it.foreach { case (k, v) => w.print(s"$k $v\n") }
+        finally w.close()
+        FileContext.getFileContext(dir.toUri, conf).rename(
+          tmp, new Path(dir, s"$jobName-${pid + 1}.out"),
+          Options.Rename.OVERWRITE)
+      } finally
+        // a failed/killed attempt must not leave its private temp file
+        // behind (no-op after a successful rename)
+        fs.delete(tmp, false)
+      Iterator.single(pid)
+    }.count() // force the write job
+  }
+
   /** Parse the reference's locality config — `chunkID nodeID` pairs —
     * including its out-of-range fold `nodeID %= workers` with
     * `0 → workers` (ReadLocalityConfigFile, thread_pool.cc:3-19,

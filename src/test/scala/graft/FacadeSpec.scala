@@ -67,6 +67,38 @@ class FacadeSpec extends AnyFunSuite with SparkFixture {
     out.toFile.listFiles().foreach(_.delete()); out.toFile.delete()
   }
 
+  test("Hadoop-FS reference-layout sink is byte-identical to the local one") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_facade_hfs")
+    val local = base.resolve("local")
+    val hfs = base.resolve("hfs")
+    val rdd = MapReduceJob.wordCount(
+      Tables.documents(spark, sf0001).select("text").as[String].rdd, 3)
+    MapReduceJob.writeReferenceLayout(rdd, local.toString, "wc")
+    // drive the Hadoop variant through an explicit file:// URI so the
+    // path actually resolves via a Hadoop FileSystem, not java.io.File
+    MapReduceJob.writeReferenceLayoutHadoop(rdd, hfs.toUri.toString, "wc")
+    val names = local.toFile.listFiles().map(_.getName).sorted.toSeq
+    assert(names === Seq("wc-1.out", "wc-2.out", "wc-3.out"))
+    // LocalFileSystem (ChecksumFileSystem) adds hidden .crc sidecars;
+    // `.`-prefixed names are invisible to Hadoop consumers by convention
+    // (and don't exist on HDFS, where checksums live in the datanode)
+    def visible(d: java.io.File) =
+      d.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(visible(hfs.toFile) === names)
+    for (n <- names) {
+      val a = java.nio.file.Files.readAllBytes(local.resolve(n))
+      val b = java.nio.file.Files.readAllBytes(hfs.resolve(n))
+      assert(java.util.Arrays.equals(a, b), s"$n differs between sinks")
+    }
+    // overwrite path: a second run must REPLACE, not append or fail
+    MapReduceJob.writeReferenceLayoutHadoop(rdd, hfs.toUri.toString, "wc")
+    assert(java.nio.file.Files.readAllBytes(hfs.resolve(names.head)).sameElements(
+      java.nio.file.Files.readAllBytes(local.resolve(names.head))))
+    // no temp litter left behind
+    assert(!hfs.toFile.listFiles().exists(_.getName.endsWith(".tmp")))
+  }
+
   test("locality config parse folds out-of-range nodes; RDD carries hints") {
     // reference thread_pool.cc:11-14: node > workers → node %= workers, 0→workers
     val parsed = MapReduceJob.parseLocalityConfig(

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke harness (VERDICT r9 item 2): replicate the sf corpus
+  * `SPARK_GRAFT_SCALE`× (default 10) with re-keyed ids, run the
+  * dedup/text family ONCE per scale, and print one JSON line with
+  * per-query wall seconds at 1× and N× plus the ratio — the check that
+  * the family's cost curve is ~linear in corpus size (the df cap bounds
+  * the posting-pair join, so a superlinear ratio means a regression in
+  * that bounding, not "more data").
+  *
+  * The replicated corpus is deliberately a NEAR-DUP corpus, not a fresh
+  * sample: replica 0 keeps the source text, replicas 1..N-1 get a
+  * per-replica tail token (high-Jaccard near-duplicates — the shape a
+  * real dedup pass exists for), and every 50th SOURCE doc gets one fixed
+  * injected sentence across all replicas, pushing those shingles'
+  * document frequency to scale×(docs/50) ≫ the 128 df cap — so the
+  * hot-shingle materialization path (Dedup.materializeHot) executes at
+  * volume instead of matching zero rows. Embedding replicas are exact
+  * vector copies (realistic duplicate embeddings; they stress the
+  * near-dup bucket-pair path the same way).
+  *
+  * Completion with exit 0 IS the no-OOM assertion: any executor
+  * OOM/spill-death surfaces as a failed Spark job and a non-zero exit.
+  */
+object ScaleSmoke {
+  private val IdStride = 10_000_000L
+
+  /** One fixed sentence; 9 words → 7 three-word shingles, each reaching
+    * df = scale × (nDocs/50) in the scaled corpus (1,000 at sf0.1 × 10). */
+  private val HotSentence =
+    " graft hot shingle sentence injected for the df cap"
+
+  /** `distinct` mode: rewrite every 3rd word of replica `rep` with a
+    * replica-specific suffix. A changed word kills every 3-shingle
+    * containing it, so cross-replica Jaccard collapses far below any
+    * dedup threshold — the replicas become DISTINCT documents and the
+    * family's work grows row-linearly, isolating scaling from the
+    * pair-quadratic growth a near-dup corpus genuinely has. */
+  private val perturbUdf = udf { (text: String, rep: Int) =>
+    if (text == null || rep == 0) text
+    else {
+      val w = text.split(" ")
+      var i = rep % 3
+      while (i < w.length) { w(i) = w(i) + "r" + rep; i += 3 }
+      w.mkString(" ")
+    }
+  }
+
+  def buildScaledDir(s: SparkSession, srcDir: String, scale: Int,
+      outDir: String, mode: String = "neardup"): Unit = {
+    val rep = explode(sequence(lit(0), lit(scale - 1))).as("rep")
+    Tables.documents(s, srcDir)
+      .select(col("*"), rep)
+      .withColumn("doc_id", col("doc_id") + col("rep") * IdStride)
+      .withColumn("text",
+        if (mode == "distinct") perturbUdf(col("text"), col("rep"))
+        else when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("rep"))))
+      // IdStride % 50 == 0, so every replica of a %50 source doc stays %50:
+      // the injected shingles' df scales with the corpus, past any cap.
+      .withColumn("text",
+        when(col("doc_id") % 50 === 0, concat(col("text"), lit(HotSentence)))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    Tables.embeddings(s, srcDir)
+      .select(col("*"), rep)
+      .withColumn("vec_id", col("vec_id") + col("rep") * IdStride)
+      // distinct mode: rotate the vector by `rep` positions — a rotated
+      // dense vector is ~orthogonal to the original, so replicas stop
+      // being near-duplicates (exact copies in neardup mode)
+      .withColumn("embedding",
+        if (mode == "distinct")
+          when(col("rep") === 0, col("embedding")).otherwise(concat(
+            slice(col("embedding"), col("rep") + 1,
+              size(col("embedding")) - col("rep")),
+            slice(col("embedding"), lit(1), col("rep"))))
+        else col("embedding"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def family: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      // the documents/embeddings corpus family; text_redact reads the
+      // EVENTS table (nanos-timestamp source, not replicated here)
+      (n.startsWith("dedup_") || n.startsWith("text_")) && n != "text_redact"
+    }
+
+  private def timeFamily(s: SparkSession, dir: String): Seq[(String, Double, Long)] =
+    family.map { case (name, fn) =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = fn(s, dir).count()
+      (name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "neardup")
+    val work = java.nio.file.Files.createTempDirectory("graft_scale")
+    val oneDir = work.resolve("x1").toString
+    val bigDir = work.resolve(s"x$scale").toString
+    // 1× through the same writer so both runs read identically-laid-out
+    // parquet (a raw-testdata 1× read would differ in file count/codec).
+    buildScaledDir(spark, srcDir, 1, oneDir, mode)
+    buildScaledDir(spark, srcDir, scale, bigDir, mode)
+    // untimed warm-up at 1× so the timed 1× pass doesn't absorb JIT/codegen
+    // warm-up (which would understate every ratio)
+    timeFamily(spark, oneDir)
+    val one = timeFamily(spark, oneDir)
+    val big = timeFamily(spark, bigDir)
+    val oneByName = one.map(t => t._1 -> t).toMap
+    def f(v: Double) = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val items = big.map { case (name, sec, rows) =>
+      val (_, sec1, rows1) = oneByName(name)
+      s""""$name":{"x1_sec":${f(sec1)},"x${scale}_sec":${f(sec)},"ratio":${f(sec / sec1)},"x1_rows":$rows1,"x${scale}_rows":$rows}"""
+    }
+    val total1 = one.map(_._2).sum
+    val totalN = big.map(_._2).sum
+    spark.stop()
+    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,"src":"$srcDir","x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}}""")
+  }
+}

@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_filtered"      -> (Dedup.qDedupFiltered _),
     "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
     "dedup_segments"      -> (Segments.qDedupSegments _),
+    "dedup_incremental"   -> (Dedup.qIncremental _),
     // --- text analysis ---
     "text_token_counts"   -> (TextAnalysis.qTokenCounts _),
     "text_quality"        -> (TextAnalysis.qQuality _),
@@ -121,6 +122,11 @@ object SparkEntry {
     "chunk_documents"     -> (Packing.qChunkDocuments _),
     "shard_assembly"      -> (Packing.qShardAssembly _),
     "sample_per_group"    -> (Sampling.qSamplePerGroup _),
+    // --- corpus management ---
+    "split_assign"        -> (CorpusOps.qSplitAssign _),
+    "corpus_drift"        -> (CorpusOps.qCorpusDrift _),
+    "quantile_filter"     -> (CorpusOps.qQuantileFilter _),
+    "lang_token_stats"    -> (CorpusOps.qLangTokenStats _),
     // --- multimodal plumbing ---
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample"     -> (Multimodal.qFrameSample _),
@@ -447,6 +453,16 @@ object SparkEntry {
          |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
          |  count(*)::BIGINT AS n_pairs
          |FROM jac WHERE j >= 0.05 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dedup_incremental: exact verification on LSH candidates, so it
+    // shares the exhaustive shingle oracle restricted to cross pairs
+    // (same miss-probability argument as dedup_minhash_lsh).
+    "dedup_incremental" ->
+      s"""WITH $shingleCte
+         |SELECT CASE WHEN da % 10 <> 0 THEN da ELSE db END AS corpus_doc_id,
+         |  CASE WHEN da % 10 = 0 THEN da ELSE db END AS batch_doc_id,
+         |  round(j, 4) AS jaccard
+         |FROM jac WHERE j >= 0.8 AND ((da % 10 = 0) <> (db % 10 = 0))
+         |ORDER BY corpus_doc_id, batch_doc_id""".stripMargin,
     // --- text analysis ---
     "text_token_counts" ->
       """SELECT doc_id,
@@ -655,6 +671,58 @@ object SparkEntry {
         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin,
+    "split_assign" ->
+      """WITH t AS (SELECT
+        |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+        |           IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |         THEN 'train'
+        |         WHEN substring(md5(doc_id::VARCHAR), 1, 1) IN ('c','d')
+        |         THEN 'val' ELSE 'test' END AS split,
+        |    lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+        |  FROM documents)
+        |SELECT split, lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "corpus_drift" ->
+      """WITH c AS (SELECT lang,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_b
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM c)
+        |SELECT lang, n_a, n_b,
+        |  round(n_a::DOUBLE / ta, 4) AS p_a,
+        |  round(n_b::DOUBLE / tb, 4) AS p_b,
+        |  round(
+        |    (CASE WHEN n_a > 0 THEN (n_a::DOUBLE / ta)
+        |       * ln((n_a::DOUBLE / ta)
+        |            / ((n_a::DOUBLE / ta + n_b::DOUBLE / tb) / 2)) * 0.5
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN n_b > 0 THEN (n_b::DOUBLE / tb)
+        |       * ln((n_b::DOUBLE / tb)
+        |            / ((n_a::DOUBLE / ta + n_b::DOUBLE / tb) / 2)) * 0.5
+        |      ELSE 0.0 END), 4) AS js_term
+        |FROM c, t ORDER BY lang""".stripMargin,
+    "quantile_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT n_tokens, count(*)::BIGINT AS c FROM t GROUP BY 1),
+        |cw AS (SELECT n_tokens,
+        |    sum(c) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM h),
+        |thr AS (SELECT min(n_tokens)::BIGINT AS p_threshold
+        |        FROM cw, tot WHERE cum >= (n * 1 + 9) // 10)
+        |SELECT t.doc_id, t.n_tokens, thr.p_threshold FROM t, thr
+        |WHERE t.n_tokens >= thr.p_threshold ORDER BY doc_id""".stripMargin,
+    "lang_token_stats" ->
+      """WITH t AS (SELECT lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+        |  round(avg(n), 4) AS avg_tokens,
+        |  quantile_cont(n, 0.5) AS p50_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id,
         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators — the dataset-curation steps a training
+  * pipeline runs AROUND the per-document ones: deterministic split
+  * assignment, distribution-drift measurement between corpus snapshots,
+  * and exact quantile-threshold filtering.
+  *
+  * Scale shape: everything here is a single codegen'd scan plus a
+  * SMALL-side aggregate (per-language counts, a token-length histogram)
+  * — the corpus-sized stream is never shuffled except to group by a
+  * low-cardinality key, and the derived threshold/total tables travel
+  * back as broadcast one-row (or vocab-sized) frames. No driver-side
+  * collect anywhere.
+  */
+object CorpusOps {
+
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), w => length(w) > 0)
+
+  /** Deterministic train/val/test assignment from the first hex digit of
+    * `md5(decimal key)` — the same engine-portable trick as
+    * [[Sampling.hashSample]], so the SAME rows land in the same split in
+    * Spark, DuckDB, and every rerun, forever: the property that makes a
+    * held-out set trustworthy (a seed-based randomSplit reshuffles docs
+    * across splits whenever partitioning changes — silent train/test
+    * contamination). Digits 0-b → train (12/16), c-d → val (2/16),
+    * e-f → test (2/16). Pure per-row expression: no shuffle, no state. */
+  def splitColumn(keyCol: String): Column = {
+    val d = substring(md5(col(keyCol).cast("string")), 1, 1)
+    when(d.isin("0123456789ab".map(_.toString): _*), "train")
+      .when(d.isin("c", "d"), "val")
+      .otherwise("test")
+  }
+
+  /** Registered query (`split_assign`): per (split, lang) doc and token
+    * counts over `documents` — the audit table a pipeline publishes so
+    * consumers can see the split is balanced per language. One scan, one
+    * low-cardinality groupBy. */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(splitColumn("doc_id").as("split"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("split", "lang")
+
+  /** Language-distribution drift between two corpus slices (here: even /
+    * odd doc_id, standing in for "last snapshot" vs "new crawl") — the
+    * shift detector a pipeline runs before mixing a new batch into
+    * training data. Per language: counts, relative frequencies, and the
+    * per-language Jensen-Shannon divergence term
+    * 0.5·p·ln(p/m) + 0.5·q·ln(q/m) with m = (p+q)/2 (natural log; the
+    * full JSD is the sum of the output column). Zero-frequency sides
+    * contribute 0 by the usual 0·ln(0) = 0 convention.
+    *
+    * ONE corpus scan: both slices' counts come from a single conditional
+    * aggregate per language (never two scans + a join); the two totals
+    * ride a broadcast one-row frame. The per-language table is
+    * lang-cardinality-sized — trivially broadcastable at any corpus
+    * scale. */
+  def corpusDrift(docs: DataFrame, inA: Column): DataFrame = {
+    val counts = docs.groupBy("lang").agg(
+      sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(inA, 0L).otherwise(1L)).as("n_b"))
+    val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    val pa = col("n_a").cast("double") / col("ta")
+    val pb = col("n_b").cast("double") / col("tb")
+    val m = (pa + pb) / 2
+    val term = (c: Column) =>
+      when(c > 0, c * log(c / m) * 0.5).otherwise(0.0)
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        round(pa, 4).as("p_a"), round(pb, 4).as("p_b"),
+        round(term(pa) + term(pb), 4).as("js_term"))
+      .orderBy("lang")
+  }
+
+  /** Exact corpus-quantile threshold WITHOUT a corpus-sized percentile
+    * buffer: the bottom-decile filter ("drop the shortest 10% of
+    * documents") computed as an ORDER STATISTIC over the token-count
+    * HISTOGRAM. groupBy(n_tokens) bounds the aggregate by the number of
+    * DISTINCT lengths (≤ max doc length — thousands, not trillions), the
+    * cumulative window runs over that tiny table, and the threshold — the
+    * k-th smallest value with k = ⌈N/10⌉ — joins back as a broadcast
+    * one-row frame. Contrast: percentile(col, 0.1) over the corpus
+    * buffers every value in one aggregation buffer (the q5b shape is fine
+    * per-GROUP, fatal corpus-wide), and interpolated percentiles are
+    * doubles — engine-comparable only after rounding, while this
+    * threshold is an exact integer. Keeps docs with n_tokens ≥ the p10
+    * order statistic. */
+  def quantileFilter(docs: DataFrame, tenths: Int = 1): DataFrame = {
+    require(tenths >= 1 && tenths <= 9, s"tenths must be 1..9: $tenths")
+    val t = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val hist = t.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+    // Histogram-sized single-partition window — same bounded-input
+    // justification as Packing's bin window (≤ distinct-lengths rows).
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum("c").as("n"))
+    val thr = cum.crossJoin(broadcast(tot))
+      // ceil(N·q) in INTEGER arithmetic: Spark's `/` on longs is a
+      // DOUBLE division, which would turn k=⌈19/10⌉ into cum >= 1.9
+      .filter(col("cum") >= expr(s"(n * $tenths + 9) div 10"))
+      .agg(min("n_tokens").as("p_threshold"))
+    t.crossJoin(broadcast(thr))
+      .filter(col("n_tokens") >= col("p_threshold"))
+      .select(col("doc_id"), col("n_tokens"), col("p_threshold"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language token-budget stats: doc count, total/mean/median token
+    * counts — the table a data-mixing step reads to weight languages.
+    * Median is the exact `percentile` aggregate per GROUP (bounded by the
+    * largest language's doc count — the q5b trade; a corpus-wide exact
+    * percentile would not scale, see [[quantileFilter]]). */
+  def langTokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"))
+      .orderBy("lang")
+
+  // --- SparkEntry-facing query wrappers ---------------------------------
+
+  def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(s, dir))
+
+  /** corpus_drift — even doc_ids as slice A, odd as slice B. */
+  def qCorpusDrift(s: SparkSession, dir: String): DataFrame =
+    corpusDrift(Tables.documents(s, dir), col("doc_id") % 2 === 0)
+
+  def qQuantileFilter(s: SparkSession, dir: String): DataFrame =
+    quantileFilter(Tables.documents(s, dir))
+
+  def qLangTokenStats(s: SparkSession, dir: String): DataFrame =
+    langTokenStats(Tables.documents(s, dir))
+}

@@ -402,6 +402,64 @@ object Dedup {
     minhashLshCore(docs, threshold, n, numPerm, bands, dfCap)
       .orderBy("doc_a", "doc_b")
 
+  /** Incremental ingest dedup: near-dup pairs BETWEEN a new batch and
+    * the existing corpus — the nightly-crawl question ("which of these
+    * new docs already exist?") answered WITHOUT re-pairing the corpus
+    * against itself. The batch predicate must be computable from
+    * `doc_id` alone (it is re-applied to the banded signature frame).
+    *
+    * Same machinery as [[minhashLshCore]], asymmetric join: MinHash
+    * band signatures over all docs (one pinned pass), split into corpus
+    * and batch sides, candidates from the ids-only (band, sig)
+    * corpus⋈batch join — so the join output is bounded by
+    * batch-adjacent collisions, never corpus² — then exact Jaccard
+    * verification on full shingle sets. Hot (band, sig) buckets (> cap
+    * rows across both sides) degrade to a star: each batch doc in the
+    * bucket pairs with the bucket's min CORPUS doc (one verified edge
+    * suffices for the drop decision; an all-batch hot bucket yields no
+    * cross edge by definition). Within-batch duplicates are a separate
+    * concern — run [[minhashLshPairs]] on the batch for those.
+    * Output (corpus_doc_id, batch_doc_id, jaccard). */
+  def incrementalNearDups(docs: DataFrame, isBatch: Column,
+      threshold: Double = 0.8, n: Int = 3, numPerm: Int = 128,
+      bands: Int = 32, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    // Pin once: feeds the hot-bucket aggregation and both join sides
+    // (see minhashLshCore for the cluster checkpoint() substitution).
+    val banded0 = minhashBands(docs, n, numPerm, bands)
+    val banded = if (dfCap.isDefined) banded0.localCheckpoint() else banded0
+    val corpusB = banded.filter(!isBatch)
+    val batchB = banded.filter(isBatch)
+    def cross(c: DataFrame, b: DataFrame): DataFrame =
+      c.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .join(b.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+          .hint("shuffle_hash"), Seq("band", "sig"))
+        .select("doc_a", "doc_b")
+    val cands = (dfCap match {
+      case None => cross(corpusB, batchB)
+      case Some(cap) =>
+        val (hot, nHot) = materializeHot(
+          banded.groupBy("band", "sig")
+            .agg(count(lit(1)).as("cnt"),
+              min(when(!isBatch, col("doc_id"))).as("rep"))
+            .filter(col("cnt") > cap).drop("cnt"))
+        if (nHot == 0) cross(corpusB, batchB)
+        else {
+          log.warn(s"incrementalNearDups: $nHot hot buckets (> $cap rows) " +
+            "reduced to batch-doc -> bucket-min-corpus-doc star edges")
+          val keys = hot.select("band", "sig")
+          val cold = cross(corpusB.join(keys, Seq("band", "sig"), "left_anti"),
+            batchB.join(keys, Seq("band", "sig"), "left_anti"))
+          val star = batchB.join(hot, Seq("band", "sig"))
+            .filter(col("rep").isNotNull)
+            .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+          cold.unionAll(star)
+        }
+    }).distinct()
+    verifyJaccard(cands, shingleDocs(docs, n), threshold)
+      .withColumnRenamed("doc_a", "corpus_doc_id")
+      .withColumnRenamed("doc_b", "batch_doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
@@ -673,6 +731,12 @@ object Dedup {
 
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir))
+
+  /** dedup_incremental — every 10th doc plays the "new batch" ingested
+    * against the rest of the corpus. */
+  def qIncremental(s: SparkSession, dir: String): DataFrame =
+    incrementalNearDups(Tables.documents(s, dir), col("doc_id") % 10 === 0)
+      .orderBy("corpus_doc_id", "batch_doc_id")
 
   def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(s, dir))

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{CorpusOps, Dedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("splitColumn matches an independent md5 recomputation and partitions the corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = docs.select(col("doc_id"), CorpusOps.splitColumn("doc_id").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, split) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expected = hex.charAt(0) match {
+        case c if c <= '9' || c == 'a' || c == 'b' => "train"
+        case 'c' | 'd' => "val"
+        case _ => "test"
+      }
+      assert(split === expected, s"doc $id hex ${hex.take(1)}")
+    }
+    // all three splits are populated at 50 docs with overwhelming
+    // probability (p(missing val or test) < 0.2%); a miss here means the
+    // digit buckets regressed, not bad luck
+    assert(got.values.toSet === Set("train", "val", "test"))
+  }
+
+  test("splitAssign counts reconcile with the corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val agg = CorpusOps.splitAssign(docs)
+    assert(agg.agg(sum("n_docs")).head.getLong(0) === docs.count())
+  }
+
+  test("corpusDrift: identical distributions give js_term 0 for every lang") {
+    // each lang appears the same number of times in slice A (doc_id < 4)
+    // and slice B
+    val docs = Seq(
+      (0L, "x", "en"), (1L, "x", "en"), (2L, "x", "de"), (3L, "x", "de"),
+      (4L, "x", "en"), (5L, "x", "en"), (6L, "x", "de"), (7L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.corpusDrift(docs, col("doc_id") < 4).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("p_a") === r.getAs[Double]("p_b"))
+      assert(r.getAs[Double]("js_term") === 0.0)
+    }
+  }
+
+  test("corpusDrift: disjoint languages give the maximal ln(2)/2 term each side") {
+    val docs = Seq((0L, "x", "en"), (1L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.corpusDrift(docs, col("doc_id") === 0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("js_term")).toMap
+    // p=1 on one side, 0 on the other: term = 0.5·1·ln(1/0.5) = ln(2)/2
+    val half = BigDecimal(math.log(2.0) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("en") === half)
+    assert(out("de") === half)
+    // full JSD over both langs = ln(2): the maximum for disjoint supports
+  }
+
+  test("quantileFilter drops exactly the docs below the k-th smallest token count") {
+    // token counts 1..10; p10 order statistic k = ceil(10/10) = 1 → the
+    // smallest value (1) is the threshold and everything survives
+    val docs = (1 to 10)
+      .map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(CorpusOps.quantileFilter(docs, tenths = 1).count() === 10)
+    // p30: k = ceil(30·10/100) = 3 → threshold 3, docs 1..2 dropped
+    val p30 = CorpusOps.quantileFilter(docs, tenths = 3)
+    assert(p30.count() === 8)
+    assert(p30.agg(min("n_tokens")).head.getLong(0) === 3L)
+    assert(p30.select("p_threshold").distinct().head.getLong(0) === 3L)
+  }
+
+  test("quantileFilter: ties at the threshold are kept (>= semantics)") {
+    val docs = Seq.tabulate(10)(i => (i.toLong, if (i < 5) "a" else "a b"))
+      .toDF("doc_id", "text")
+    // counts: 5×1, 5×2; p50 → k=5 → threshold = 1 → all kept
+    assert(CorpusOps.quantileFilter(docs, tenths = 5).count() === 10)
+  }
+
+  test("langTokenStats: exact per-language medians and totals") {
+    val docs = Seq(
+      (0L, "a", "en"), (1L, "a b", "en"), (2L, "a b c", "en"),
+      (3L, "a b c d", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.langTokenStats(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("n_docs") === 3L)
+    assert(out("en").getAs[Long]("total_tokens") === 6L)
+    assert(out("en").getAs[Double]("p50_tokens") === 2.0)
+    assert(out("de").getAs[Double]("avg_tokens") === 4.0)
+  }
+
+  test("incrementalNearDups equals the exhaustive cross-pair subset") {
+    val docs = Tables.documents(spark, sf0001)
+    val isBatch = col("doc_id") % 10 === 0
+    val inc = Dedup.incrementalNearDups(docs, isBatch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = all.collect {
+      case (a, b, j) if (a % 10 == 0) != (b % 10 == 0) =>
+        if (a % 10 == 0) (b, a, j) else (a, b, j)
+    }.toSet
+    assert(inc === expected)
+  }
+
+  test("incrementalNearDups never pairs within a side") {
+    val docs = Tables.documents(spark, sf0001)
+    val inc = Dedup.incrementalNearDups(docs, col("doc_id") % 10 === 0)
+    assert(inc.filter(col("corpus_doc_id") % 10 === 0).count() === 0)
+    assert(inc.filter(col("batch_doc_id") % 10 =!= 0).count() === 0)
+  }
+
+  test("incrementalNearDups hot buckets degrade to star edges, batch docs still matched") {
+    // 300 near-identical docs (every (band,sig) bucket is hot at cap 16):
+    // each batch doc must still surface with at least one verified
+    // corpus edge through the star path
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 10 === 0
+    val inc = Dedup.incrementalNearDups(docs, isBatch, dfCap = Some(16))
+    val matchedBatch = inc.select("batch_doc_id").distinct().count()
+    assert(matchedBatch === 30L,
+      "every batch doc should have a verified corpus match")
+    assert(inc.filter(col("jaccard") < 1.0).count() === 0)
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{CosineSimilarity, GraftFunctions, TopKByScoreAgg}
+import graft.plans.{RewriteRankLimit, TopKPerGroupStrategy}
 
 /** Spark-native deployment entry point: graft's custom Catalyst
   * expressions as a session EXTENSION, so a cluster user enables the
@@ -27,11 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "cosine_similarity" -> classOf[CosineSimilarity].getName,
     "top_k_by_score" -> classOf[TopKByScoreAgg].getName)
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(docClass(name), name),
         builder))
     }
+    // Whole-operator extension (graft.plans.TopKPerGroup): rewrite
+    // row_number-limit windows into the bounded-heap top-k operator.
+    ext.injectOptimizerRule(_ => RewriteRankLimit)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
 }

@@ -60,6 +60,7 @@ object SparkEntry {
     "q8_window_rank"      -> (Relational.q8WindowRank _),
     "q8b_window_lag"      -> (Relational.q8bWindowLag _),
     "q8c_window_misc"     -> (Relational.q8cWindowMisc _),
+    "q8d_rank_limit"      -> (graft.plans.GraftPlans.qRankLimit _),
     "q9_except"           -> (Relational.q9Except _),
     "q9b_union_count"     -> (Relational.q9bUnionCount _),
     "q9c_intersect"       -> (Relational.q9cIntersect _),
@@ -257,6 +258,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q8d_rank_limit" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q9_except" ->
       """SELECT c_custkey FROM (
         |  SELECT c_custkey FROM customer

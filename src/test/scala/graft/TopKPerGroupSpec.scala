@@ -1,0 +1,133 @@
+package graft
+
+import graft.plans.GraftPlans
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the custom whole-operator path (plans/TopKPerGroup.scala):
+  * rewrite fires on the public window API, the physical plan is the
+  * partial/final heap pair with no window sort, and results are
+  * identical to the unrewritten window on every edge the operator
+  * claims (ties, short groups, k=1, residual predicates). */
+class TopKPerGroupSpec extends AnyFunSuite with SparkFixture {
+
+  /** Child session with the rule + strategy installed, leaving the
+    * shared fixture session untouched (experimental methods are
+    * session-state scoped). */
+  private lazy val ext: SparkSession = {
+    val s = spark.newSession()
+    GraftPlans.install(s)
+    s
+  }
+
+  private def topk(s: SparkSession, k: Int): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, sf0001)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  test("rewrite fires: heap pair replaces window+sort, exchange between phases") {
+    val plan = topk(ext, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Window"), s"window machinery survived the rewrite:\n$plan")
+    assert(!plan.toLowerCase.contains("sort"), s"a sort survived:\n$plan")
+    // partial below the exchange, final above — the shuffle carries at
+    // most partitions × groups × k rows
+    val i1 = plan.indexOf("TopKPerGroup")
+    val i2 = plan.indexOf("TopKPerGroup", i1 + 1)
+    assert(i2 > 0, s"expected a partial+final pair:\n$plan")
+    val between = plan.substring(i1, i2)
+    assert(between.contains("Exchange hashpartitioning"),
+      s"no exchange between final and partial:\n$plan")
+  }
+
+  test("results identical to the unrewritten window, ranks included") {
+    val expected = topk(spark, 3).collect().map(_.toSeq).toSet
+    val got = topk(ext, 3).collect().map(_.toSeq).toSet
+    assert(topk(spark, 3).queryExecution.executedPlan.toString
+      .contains("Window"), "control session must NOT be rewritten")
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("columns and schema are unchanged by the rewrite") {
+    assert(topk(ext, 3).schema === topk(spark, 3).schema)
+  }
+
+  test("k = 1, groups shorter than k, and < / = predicates") {
+    import ext.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 4L, 5.0)).toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    def ranked = df.withColumn("rn", row_number().over(w))
+    val k1 = ranked.filter(col("rn") === 1)
+    assert(k1.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(k1.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("a", 2L), ("b", 4L)))
+    val lt3 = ranked.filter(col("rn") < 3) // k = 2; group b has 1 row
+    assert(lt3.count() === 3)
+    val big = ranked.filter(col("rn") <= 100)
+    assert(big.count() === 4)
+  }
+
+  test("ties on the score keep the deterministic tiebreak order") {
+    import ext.implicits._
+    val df = Seq.tabulate(20)(i => ("g", i.toLong, 1.0))
+      .toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val got = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).orderBy("rn")
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((0L, 1), (1L, 2), (2L, 3), (3L, 4), (4L, 5)))
+  }
+
+  test("residual conjuncts survive as a filter on top") {
+    import ext.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("b", 3L, 5.0))
+      .toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1 && col("score") > 6.0)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(q.collect().map(_.getLong(1)).toSet === Set(2L))
+  }
+
+  test("multi-function windows are NOT rewritten (row_number-only contract)") {
+    import ext.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0)).toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("rn") <= 1)
+    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(q.count() === 1)
+  }
+
+  test("rank()-based limits are NOT rewritten (ties semantics differ)") {
+    import ext.implicits._
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 1.0)).toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc)
+    val q = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 1)
+    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(q.count() === 2) // rank ties: both rows qualify
+  }
+
+  test("q8d wrapper matches the window formulation on sf0.001") {
+    val got = GraftPlans.qRankLimit(ext, sf0001).collect().map(_.toSeq)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = Tables.orders(spark, sf0001)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk").cast("long").as("rnk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+      .collect().map(_.toSeq)
+    assert(got.toSeq === expected.toSeq)
+  }
+}

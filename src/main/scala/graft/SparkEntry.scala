@@ -128,6 +128,8 @@ object SparkEntry {
     "corpus_drift"        -> (CorpusOps.qCorpusDrift _),
     "quantile_filter"     -> (CorpusOps.qQuantileFilter _),
     "lang_token_stats"    -> (CorpusOps.qLangTokenStats _),
+    "corpus_shuffle"      -> (CorpusOps.qCorpusShuffle _),
+    "token_budget_sample" -> (CorpusOps.qTokenBudgetSample _),
     // --- multimodal plumbing ---
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample"     -> (Multimodal.qFrameSample _),
@@ -731,6 +733,20 @@ object SparkEntry {
         |  round(avg(n), 4) AS avg_tokens,
         |  quantile_cont(n, 0.5) AS p50_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT
+        |    AS shuffle_pos
+        |FROM documents ORDER BY shuffle_pos""".stripMargin,
+    "token_budget_sample" ->
+      """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR) AS skey,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens, cum::BIGINT AS cum_tokens
+        |FROM c WHERE cum <= 10000 ORDER BY cum_tokens, doc_id""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id,
         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n

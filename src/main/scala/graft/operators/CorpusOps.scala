@@ -129,6 +129,64 @@ object CorpusOps {
         expr("percentile(n_tokens, 0.5)").as("p50_tokens"))
       .orderBy("lang")
 
+  /** Deterministic corpus shuffle: a contiguous 1..N permutation in
+    * `md5(decimal doc_id)` order — the reproducible global training
+    * order (same permutation in Spark, DuckDB, and every rerun;
+    * `orderBy(rand())` is none of those, and
+    * `monotonically_increasing_id` is not contiguous).
+    *
+    * The interesting part at scale is the GLOBAL rank: a bare
+    * `row_number().over(Window.orderBy(...))` drags the corpus into one
+    * partition. Two-level instead (the [[Packing.packSequences]] shape):
+    * the first two hex digits of the key give 256 ORDER-PRESERVING
+    * buckets (fixed-width hex: prefix order = full-string order), ranks
+    * are windowed WITHIN each bucket (256-way parallel, one shuffle),
+    * and the ≤256-row bucket-count table — the only unpartitioned window
+    * input in the plan — broadcasts back as cumulative offsets. */
+  def corpusShuffle(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("bucket", substring(col("skey"), 1, 2))
+    val wIn = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("bc"))
+      .withColumn("boff", coalesce(sum("bc").over(wB), lit(0L)))
+      .select("bucket", "boff")
+    keyed.withColumn("rn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), (col("boff") + col("rn")).as("shuffle_pos"))
+      .orderBy("shuffle_pos")
+  }
+
+  /** Token-budget subset: the docs a trainer takes, in deterministic
+    * shuffle order ([[corpusShuffle]]'s md5 order), until the running
+    * token total reaches `budgetTokens` — "give me a reproducible
+    * 1T-token slice of this corpus". Keeps every doc whose INCLUSIVE
+    * running total fits the budget. Same two-level cumsum as the rank:
+    * within-bucket windowed token cumsum + broadcast bucket offsets;
+    * nothing corpus-sized ever sits in one partition. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0)
+    val keyed = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"),
+        Packing.nTokensUdf(col("text")).as("n_tokens"))
+      .withColumn("bucket", substring(col("skey"), 1, 2))
+    val wIn = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("bucket").agg(sum("n_tokens").as("bt"))
+      .withColumn("boff", coalesce(sum("bt").over(wB), lit(0L)))
+      .select("bucket", "boff")
+    keyed.withColumn("cum_in", sum("n_tokens").over(wIn))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("cum_tokens", col("boff") + col("cum_in"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("cum_tokens", "doc_id")
+  }
+
   // --- SparkEntry-facing query wrappers ---------------------------------
 
   def qSplitAssign(s: SparkSession, dir: String): DataFrame =
@@ -143,4 +201,11 @@ object CorpusOps {
 
   def qLangTokenStats(s: SparkSession, dir: String): DataFrame =
     langTokenStats(Tables.documents(s, dir))
+
+  def qCorpusShuffle(s: SparkSession, dir: String): DataFrame =
+    corpusShuffle(Tables.documents(s, dir))
+
+  /** token_budget_sample — a 10k-token deterministic slice. */
+  def qTokenBudgetSample(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetSample(Tables.documents(s, dir), 10000L)
 }

@@ -98,6 +98,55 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out("de").getAs[Double]("avg_tokens") === 4.0)
   }
 
+  test("corpusShuffle is a contiguous 1..N permutation matching the md5 order") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = CorpusOps.corpusShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.count()
+    assert(out.map(_._2).toSeq === (1L to n).toSeq, "positions not contiguous")
+    // independent recompute: sort ids by (md5 hex, id) on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = out.map(_._1).sortBy(id => (hex(id), id))
+    assert(out.sortBy(_._2).map(_._1).toSeq === expected.toSeq)
+  }
+
+  test("corpusShuffle: the only unpartitioned window input is the bucket table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = CorpusOps.corpusShuffle(Tables.documents(spark, sf0001))
+      .queryExecution.optimizedPlan
+    val globals = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.size === 1, "expected exactly one global window (offsets)")
+    // it must consume the ≤256-row bucket aggregate, not the corpus
+    assert(globals.head.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "global window must sit on the bucket-count aggregate")
+  }
+
+  test("tokenBudgetSample: maximal prefix under the budget, deterministic") {
+    val docs = Tables.documents(spark, sf0001)
+    val budget = 3000L
+    val out = CorpusOps.tokenBudgetSample(docs, budget).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    assert(total <= budget)
+    assert(out.last.getAs[Long]("cum_tokens") === total)
+    // maximality: recompute the full shuffle-ordered stream and check the
+    // cut is exactly where the budget first overflows
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = CorpusOps.tokenBudgetSample(docs, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens")))
+      .sortBy { case (id, _) => (hex(id), id) }
+    val expectedKeep = all.scanLeft(0L)(_ + _._2).tail
+      .count(_ <= budget)
+    assert(out.length === expectedKeep)
+  }
+
   test("incrementalNearDups equals the exhaustive cross-pair subset") {
     val docs = Tables.documents(spark, sf0001)
     val isBatch = col("doc_id") % 10 === 0

@@ -33,6 +33,22 @@ object SparkEntry {
       .toDF("word", "cnt").orderBy("word")
   }
 
+  /** Q17b — the reference pipeline E2E THROUGH STORAGE: facade word
+    * count → `<job>-<reducerID>.out` sink → read back via the graft-out
+    * DataSource V2 connector → re-aggregate. Shares Q1's oracle, so the
+    * connector's parse/prune path is itself oracle-checked. */
+  private def q17bOutSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, dir).select("text").as[String].rdd
+    val out = java.nio.file.Files.createTempDirectory("graft_out_q17b")
+      .toString
+    MapReduceJob.writeReferenceLayout(
+      MapReduceJob.wordCount(lines, numReducers = 8), out, "word_count")
+    s.read.format("graft-out").load(out)
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+      .orderBy("word")
+  }
+
   /** Batch sliding window: each event lands in window/slide buckets. */
   private def q11bSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -77,6 +93,7 @@ object SparkEntry {
     "q16b_cube"           -> (Relational.q16bCube _),
     "q16c_grouping_sets"  -> (Relational.q16cGroupingSets _),
     "q17_mapreduce_facade" -> (q17Facade _),
+    "q17b_out_source"     -> (q17bOutSource _),
     "q18_range_join"      -> (Relational.q18RangeJoin _),
     "q18b_theta_band"     -> (Relational.q18bThetaBand _),
     "q19_asof_join"       -> (Relational.q19AsofJoin _),
@@ -341,6 +358,7 @@ object SparkEntry {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name), (n_name)) ORDER BY 1, 2""".stripMargin,
     "q17_mapreduce_facade" -> q1Sql,
+    "q17b_out_source" -> q1Sql,
     "q18_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b

@@ -117,6 +117,58 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkFixture {
     assert(q.count() === 2) // rank ties: both rows qualify
   }
 
+  test("SQL-surface queries are rewritten too (optimizer rule, not API hook)") {
+    Tables.orders(ext, sf0001).createOrReplaceTempView("orders_tk")
+    Tables.orders(spark, sf0001).createOrReplaceTempView("orders_sql_control")
+    val q = ext.sql(
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders_tk)
+        |WHERE rn <= 2""".stripMargin)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val expected = spark.sql(
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders_sql_control)
+        |WHERE rn <= 2""".stripMargin)
+    assert(q.collect().map(_.toSeq).toSet === expected.collect().map(_.toSeq).toSet)
+  }
+
+  test("property: rewritten result equals the window on random (group, score, k)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    import ext.implicits._
+    val genRows = Gen.listOf(Gen.zip(
+      Gen.choose(0, 5), Gen.choose(0L, 1000L), Gen.choose(0.0, 10.0)))
+      .map(_.take(60))
+    val prop = Prop.forAll(genRows, Gen.choose(1, 8)) { (rows, k) =>
+      val distinctIds = rows.zipWithIndex
+        .map { case ((g, _, s), i) => (g.toString, i.toLong, s) }
+      val df = distinctIds.toDF("g", "id", "score")
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+      val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      // empty inputs fold to LocalTableScan <empty> before any rule runs
+      if (rows.nonEmpty)
+        assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      // independent driver-side oracle
+      val expected = distinctIds.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((_, id, _), i) => (g, id, i + 1) }
+      }.toSet
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30)
+        .withInitialSeed(Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q8d wrapper matches the window formulation on sf0.001") {
     val got = GraftPlans.qRankLimit(ext, sf0001).collect().map(_.toSeq)
     val w = Window.partitionBy("o_custkey")

@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  private def tokens(c: Column): Column =
-    filter(split(c, " "), w => length(w) > 0)
+  /** Token count per doc — [[Packing.nTokensUdf]]'s single primitive
+    * pass (identical semantics to counting the non-empty single-space
+    * split tokens the oracles pin; the declarative filter/split form
+    * runs the lambda through the interpreted HOF evaluator AND
+    * materializes the token array just to count it — the repo's
+    * measured ~30× rule). */
+  private def nTokens(c: Column): Column = Packing.nTokensUdf(c)
 
   /** Deterministic train/val/test assignment from the first hex digit of
     * `md5(decimal key)` — the same engine-portable trick as
@@ -43,7 +48,7 @@ object CorpusOps {
     * low-cardinality groupBy. */
   def splitAssign(docs: DataFrame): DataFrame =
     docs.select(splitColumn("doc_id").as("split"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        nTokens(col("text")).as("n_tokens"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .orderBy("split", "lang")
@@ -94,8 +99,7 @@ object CorpusOps {
     * order statistic. */
   def quantileFilter(docs: DataFrame, tenths: Int = 1): DataFrame = {
     require(tenths >= 1 && tenths <= 9, s"tenths must be 1..9: $tenths")
-    val t = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val t = docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
     val hist = t.groupBy("n_tokens").agg(count(lit(1)).as("c"))
     // Histogram-sized single-partition window — same bounded-input
     // justification as Packing's bin window (≤ distinct-lengths rows).
@@ -120,8 +124,7 @@ object CorpusOps {
     * largest language's doc count — the q5b trade; a corpus-wide exact
     * percentile would not scale, see [[quantileFilter]]). */
   def langTokenStats(docs: DataFrame): DataFrame =
-    docs.select(col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    docs.select(col("lang"), nTokens(col("text")).as("n_tokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),

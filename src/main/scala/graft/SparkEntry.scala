@@ -49,6 +49,24 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  /** Z-order layout E2E THROUGH STORAGE: events clustered on
+    * (user_id, value) via [[graft.sources.ZOrder.zorderWrite]], read
+    * back with the 2-D range predicate the layout exists for. The oracle
+    * (same predicate over the raw table) content-checks the round-trip;
+    * ZOrderSpec pins the mechanism — per-file min/max footer ranges
+    * narrow enough that a 100 TB scan prunes most files on BOTH columns.
+    */
+  private def qZorderScan(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    sources.ZOrder.zorderWrite(
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+      "user_id", "value", out)
+    s.read.parquet(out)
+      .filter(col("user_id").between(20, 60) && col("value").between(50.0, 150.0))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** Batch sliding window: each event lands in window/slide buckets. */
   private def q11bSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -94,6 +112,7 @@ object SparkEntry {
     "q16c_grouping_sets"  -> (Relational.q16cGroupingSets _),
     "q17_mapreduce_facade" -> (q17Facade _),
     "q17b_out_source"     -> (q17bOutSource _),
+    "zorder_scan"         -> (qZorderScan _),
     "q18_range_join"      -> (Relational.q18RangeJoin _),
     "q18b_theta_band"     -> (Relational.q18bThetaBand _),
     "q19_asof_join"       -> (Relational.q19AsofJoin _),
@@ -109,6 +128,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     "sim_ivf_probe"       -> ((s: SparkSession, d: String) => Similarity.qIvfProbe(s, d)), // no oracle: approximate; spec-pinned vs ivfTopK
     "sim_batch_topk"      -> (Similarity.qBatchTopK _),
+    "emb_quantize"        -> (Embeddings.qQuantize _),
     // --- dedup family ---
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
@@ -127,6 +147,7 @@ object SparkEntry {
     "text_repetition"     -> (TextAnalysis.qRepetition _),
     "text_filter_verdict" -> (TextAnalysis.qFilterVerdicts _),
     "text_redact"         -> (Redaction.qRedact _),
+    "text_normalize_dedup" -> (TextAnalysis.qNormalizeDedup _),
     // --- corpus-level text statistics ---
     "text_top_terms"      -> (TextStats.qTopTerms _),
     "text_collocations"   -> (TextStats.qCollocations _),
@@ -145,6 +166,7 @@ object SparkEntry {
     "corpus_drift"        -> (CorpusOps.qCorpusDrift _),
     "quantile_filter"     -> (CorpusOps.qQuantileFilter _),
     "lang_token_stats"    -> (CorpusOps.qLangTokenStats _),
+    "mixture_weights"     -> (CorpusOps.qMixtureWeights _),
     "corpus_shuffle"      -> (CorpusOps.qCorpusShuffle _),
     "token_budget_sample" -> (CorpusOps.qTokenBudgetSample _),
     // --- multimodal plumbing ---
@@ -359,6 +381,10 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((r_name), (n_name)) ORDER BY 1, 2""".stripMargin,
     "q17_mapreduce_facade" -> q1Sql,
     "q17b_out_source" -> q1Sql,
+    "zorder_scan" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id BETWEEN 20 AND 60 AND value BETWEEN 50.0 AND 150.0
+        |ORDER BY event_id""".stripMargin,
     "q18_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b
@@ -648,6 +674,14 @@ object SparkEntry {
         |SELECT event_id, event_type, props, props_redacted,
         |  (props <> props_redacted) AS changed
         |FROM red ORDER BY event_id""".stripMargin,
+    "text_normalize_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |    trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY k) AS canonical_id,
+        |  count(*) OVER (PARTITION BY k) AS group_size
+        |FROM k ORDER BY doc_id""".stripMargin,
     "text_inverted_index" ->
       """WITH w AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
@@ -656,6 +690,23 @@ object SparkEntry {
         |SELECT term, count(*)::BIGINT AS df,
         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
         |FROM t GROUP BY term ORDER BY term""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(round(x / scale) AS INT))
+        |    END AS qv
+        |  FROM s),
+        |r AS (SELECT vec_id, scale,
+        |    list_sum(qv)::BIGINT AS q_sum,
+        |    list_max(list_transform(range(1, len(v) + 1),
+        |      i -> abs(v[i] - qv[i] * scale))) AS err
+        |  FROM q)
+        |SELECT vec_id, round(scale, 4) AS scale, q_sum,
+        |  round(err, 4) AS max_abs_err
+        |FROM r ORDER BY vec_id""".stripMargin,
     "sim_batch_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 7),
@@ -751,6 +802,18 @@ object SparkEntry {
         |  round(avg(n), 4) AS avg_tokens,
         |  quantile_cont(n, 0.5) AS p50_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "mixture_weights" ->
+      """WITH s AS (SELECT lang,
+        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::DOUBLE
+        |      AS tokens
+        |  FROM documents GROUP BY lang),
+        |p AS (SELECT lang, tokens, pow(tokens, 0.5) AS pt FROM s),
+        |t AS (SELECT sum(pt) AS tot FROM p)
+        |SELECT lang, tokens::BIGINT AS total_tokens,
+        |  round(pt / tot, 4) AS weight,
+        |  floor(100000.0 * pt / tot)::BIGINT AS target_tokens,
+        |  round(100000.0 * (pt / tot) / tokens, 4) AS upsample_factor
+        |FROM p, t ORDER BY lang""".stripMargin,
     "corpus_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT

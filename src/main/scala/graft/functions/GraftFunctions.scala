@@ -29,6 +29,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         "top_k_by_score expects (score, id, k literal int), got " +
           other.map(_.sql).mkString(", "))
+    },
+    "nfc_normalize" -> {
+      case Seq(s) => NfcNormalize(s)
+      case other => throw new IllegalArgumentException(
+        s"nfc_normalize expects 1 argument, got ${other.size}")
     })
 
   def register(spark: SparkSession): Unit =

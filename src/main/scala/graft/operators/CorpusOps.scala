@@ -132,6 +132,39 @@ object CorpusOps {
         expr("percentile(n_tokens, 0.5)").as("p50_tokens"))
       .orderBy("lang")
 
+  /** Temperature-scaled data-mixing weight table — the artifact a
+    * multilingual / multi-domain training run is configured from.
+    * Uniform-by-tokens sampling (τ=1) drowns low-resource groups;
+    * τ<1 flattens the distribution (the standard multilingual recipe:
+    * w_g ∝ tokens_g^τ, renormalized). Emits, per group: observed
+    * tokens, mixture weight, the token allocation under `budgetTokens`,
+    * and the implied up/down-sampling factor vs the observed corpus.
+    *
+    * ONE aggregation scan (the per-group token totals); Σ tokens^τ is a
+    * window over the post-agg table, which is vocabulary-of-languages
+    * sized — the deliberately unpartitioned window input is ≤ #groups
+    * rows, never the corpus (same documented shape as
+    * [[corpusShuffle]]'s bucket table), and the corpus is scanned
+    * exactly once (a broadcast-total crossJoin would re-run the
+    * aggregation subtree for the second branch). */
+  def mixtureWeights(docs: DataFrame, tau: Double = 0.5,
+      budgetTokens: Long = 100000L): DataFrame = {
+    val wAll = Window.partitionBy()
+    docs
+      .select(col("lang"), nTokens(col("text")).as("n_tokens"))
+      .groupBy("lang").agg(sum("n_tokens").cast("double").as("tokens"))
+      .withColumn("pt", pow(col("tokens"), lit(tau)))
+      .withColumn("tot_pt", sum("pt").over(wAll))
+      .select(col("lang"),
+        col("tokens").cast("long").as("total_tokens"),
+        round(col("pt") / col("tot_pt"), 4).as("weight"),
+        floor(lit(budgetTokens.toDouble) * col("pt") / col("tot_pt"))
+          .cast("long").as("target_tokens"),
+        round(lit(budgetTokens.toDouble) * (col("pt") / col("tot_pt"))
+          / col("tokens"), 4).as("upsample_factor"))
+      .orderBy("lang")
+  }
+
   /** Deterministic corpus shuffle: a contiguous 1..N permutation in
     * `md5(decimal doc_id)` order — the reproducible global training
     * order (same permutation in Spark, DuckDB, and every rerun;
@@ -204,6 +237,9 @@ object CorpusOps {
 
   def qLangTokenStats(s: SparkSession, dir: String): DataFrame =
     langTokenStats(Tables.documents(s, dir))
+
+  def qMixtureWeights(s: SparkSession, dir: String): DataFrame =
+    mixtureWeights(Tables.documents(s, dir))
 
   def qCorpusShuffle(s: SparkSession, dir: String): DataFrame =
     corpusShuffle(Tables.documents(s, dir))

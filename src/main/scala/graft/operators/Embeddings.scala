@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-storage operators for the training pipeline: symmetric
+  * per-vector int8 quantization.
+  *
+  * At 100 TB an `array<float>` embedding column is usually the widest
+  * thing in the table; quantizing to int8 with one float scale per
+  * vector cuts it ~4× with a bounded reconstruction error of scale/2 =
+  * max|x|/254 per element — the standard storage form for ANN corpora.
+  * Everything here is codegen'd built-ins (`transform` / `aggregate` /
+  * `zip_with`) over one shuffle-free scan: per-row work, embarrassingly
+  * parallel, no UDF.
+  */
+object Embeddings {
+
+  /** Per-vector symmetric int8 quantization audit: the scale
+    * (max|x|/127), the sum of quantized values (an integer content
+    * fingerprint of the quantized vector), and the max reconstruction
+    * error — which the spec pins at ≤ scale/2, the guarantee downstream
+    * similarity search relies on. All math in double so the DuckDB
+    * oracle matches bit-for-bit at 4-decimal rounding. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    emb
+      .select(col("vec_id"), v.as("v"), (maxAbs / 127.0).as("scale"))
+      .select(col("vec_id"), col("v"), col("scale"),
+        when(col("scale") === 0.0, transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => round(x / col("scale")).cast("int"))).as("qv"))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(
+          zip_with(col("v"), col("qv"), (x, q) => abs(x - q * col("scale"))),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("err"))
+      // Round in a SEPARATE projection: `round(scale, 4).as("scale")`
+      // in the same select list would lateral-alias-shadow the raw
+      // `scale` the error expression needs.
+      .select(col("vec_id"), round(col("scale"), 4).as("scale"),
+        col("q_sum"), round(col("err"), 4).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  // --- SparkEntry-facing wrapper ----------------------------------------
+
+  def qQuantize(s: SparkSession, dir: String): DataFrame =
+    quantizeInt8(Tables.embeddings(s, dir))
+}

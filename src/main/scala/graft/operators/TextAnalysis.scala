@@ -180,7 +180,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Exact-dedup mapping on the Unicode-NORMALIZED text key: NFC
+    * composition (graft's native [[graft.functions.NfcNormalize]]
+    * expression — ASCII rows take the zero-copy fast path), lowercase,
+    * whitespace collapse. Sources that encode "é" differently (U+00E9 vs
+    * e+U+0301) collapse to one bucket, which plain `q12_dedup_exact`
+    * cannot see. Output is the per-doc canonical mapping: each doc, the
+    * smallest doc_id of its normalized group, and the group size — the
+    * shape a downstream `filter(doc_id = canonical_id)` keeps-one pass
+    * consumes. One hash shuffle on the normalized key; no driver state.
+    */
+  def normalizeDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftColumnBridge
+    val nfc = GraftColumnBridge.column(graft.functions.NfcNormalize(
+      GraftColumnBridge.expression(lower(col("text")))))
+    // Group on md5(key), not the key itself: the exchange then carries
+    // (doc_id, 16-byte digest) instead of whole documents — at 100 TB
+    // the shuffle IS the cost, and a 128-bit digest collides never in
+    // practice (2^-128 per pair). The DuckDB oracle groups on the raw
+    // key; equivalent modulo md5 collisions.
+    val w = Window.partitionBy(col("kh"))
+    docs
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(nfc, "\\s+", " "))).as("kh"))
+      .select(col("doc_id"),
+        min("doc_id").over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy("doc_id")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
+
+  def qNormalizeDedup(s: SparkSession, dir: String): DataFrame =
+    normalizeDedup(Tables.documents(s, dir))
+
 
   def qTokenCounts(s: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.documents(s, dir))

@@ -168,6 +168,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(inc.filter(col("batch_doc_id") % 10 =!= 0).count() === 0)
   }
 
+  test("mixtureWeights: weights sum to 1, budget respected, τ<1 flattens the mix") {
+    val docs = Tables.documents(spark, sf0001)
+    val budget = 100000L
+    val half = CorpusOps.mixtureWeights(docs, tau = 0.5, budgetTokens = budget)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("weight"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("total_tokens"))).toMap
+    assert(half.nonEmpty)
+    val wsum = half.values.map(_._1).sum
+    assert(math.abs(wsum - 1.0) < 1e-2 * half.size,
+      s"weights should sum to ~1, got $wsum")
+    assert(half.values.map(_._2).sum <= budget,
+      "floor'd allocations must not exceed the budget")
+    // Temperature flattening: at τ=0.5 the smallest group's SHARE must
+    // exceed its τ=1 (proportional-to-tokens) share, and the largest
+    // group's share must shrink — the whole point of the knob.
+    val flat = CorpusOps.mixtureWeights(docs, tau = 1.0, budgetTokens = budget)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Double]("weight")).toMap
+    if (half.size > 1) {
+      val minLang = half.minBy(_._2._3)._1
+      val maxLang = half.maxBy(_._2._3)._1
+      assert(half(minLang)._1 > flat(minLang),
+        "τ=0.5 must upweight the smallest group vs proportional")
+      assert(half(maxLang)._1 < flat(maxLang),
+        "τ=0.5 must downweight the largest group vs proportional")
+    }
+  }
+
   test("incrementalNearDups hot buckets degrade to star edges, batch docs still matched") {
     // 300 near-identical docs (every (band,sig) bucket is hot at cap 16):
     // each batch doc must still surface with at least one verified

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Embeddings
+
+class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
+
+  test("int8 quantization: error bounded by scale/2, codes within [-127,127]") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val audit = Embeddings.quantizeInt8(emb).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_abs_err")
+      // Symmetric rounding quantization guarantees |x - q·scale| ≤ scale/2;
+      // both columns are rounded to 4dp, so allow that quantum.
+      assert(err <= scale / 2 + 2e-4,
+        s"vec ${r.getAs[Long]("vec_id")}: err $err > scale/2 ${scale / 2}")
+    }
+    // Codes stay in int8 range: max|q| ≤ 127 by construction (scale =
+    // max|x|/127). Recompute the raw code extrema independently.
+    val v = col("embedding").cast("array<double>")
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val codes = emb.select(
+      transform(v, x => round(x / (maxAbs / 127.0)).cast("int")).as("qv"))
+      .select(aggregate(col("qv"), lit(0),
+        (acc, q) => greatest(acc, abs(q))).as("m"))
+      .agg(max("m")).head().getInt(0)
+    assert(codes <= 127)
+  }
+
+  test("quantization is deterministic across runs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = Embeddings.quantizeInt8(emb).collect().toSeq
+    val b = Embeddings.quantizeInt8(emb).collect().toSeq
+    assert(a === b)
+  }
+}

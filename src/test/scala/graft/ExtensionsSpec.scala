@@ -6,13 +6,58 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite with SparkFixture {
 
-  test("GraftExtensions injects both functions into a fresh registry") {
+  test("GraftExtensions injects all functions into a fresh registry") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
     val reg = GraftColumnBridge.freshRegistryWith(ext)
-    for (name <- Seq("cosine_similarity", "top_k_by_score"))
+    for (name <- Seq("cosine_similarity", "top_k_by_score", "nfc_normalize"))
       assert(reg.functionExists(FunctionIdentifier(name)),
         s"$name not injected")
+  }
+
+  test("nfc_normalize composes combining marks and is identity on ASCII/NFC") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.GraftFunctions.register(spark)
+    // e + COMBINING ACUTE (U+0301) composes to U+00E9; ohm sign U+2126
+    // canonically maps to U+03A9 (greek capital omega).
+    val decomposed = "cafe\u0301 \u2126"
+    val composed = "caf\u00e9 \u03a9"
+    val rows = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS a, nfc_normalize('$composed') AS b, " +
+        "nfc_normalize('plain ascii') AS c, nfc_normalize(CAST(NULL AS STRING)) AS d")
+      .collect()
+    assert(rows.head.getString(0) === composed)
+    assert(rows.head.getString(1) === composed)
+    assert(rows.head.getString(2) === "plain ascii")
+    assert(rows.head.isNullAt(3))
+    // ASCII fast path: byte count == char count returns the SAME object,
+    // no String round-trip — the property the 100 TB hot path relies on.
+    val ascii = UTF8String.fromString("hello world")
+    assert(NfcNormalize.normalize(ascii) eq ascii)
+    // Already-NFC multi-byte input also avoids re-encoding.
+    val nfcIn = UTF8String.fromString(composed)
+    assert(NfcNormalize.normalize(nfcIn) eq nfcIn)
+    assert(NfcNormalize.normalize(UTF8String.fromString(decomposed)).toString
+      === composed)
+  }
+
+  test("interpreted and codegen'd nfc_normalize agree") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = "Ame\u0301lie \u2126 resume\u0301 plain"
+    val expr = NfcNormalize(Literal(UTF8String.fromString(in), StringType))
+    val interpreted = expr.eval(null).toString
+    // Force the codegen path via a projection over a bound reference.
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(
+        Seq(NfcNormalize(BoundReference(0, StringType, nullable = true))))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(in))
+    assert(proj(row).getUTF8String(0).toString === interpreted)
+    assert(interpreted === "Am\u00e9lie \u03a9 resum\u00e9 plain")
   }
 
   test("SQL top_k_by_score through the session registry matches the Column API") {

@@ -162,6 +162,50 @@ object Similarity {
     kmeansCentroids(sample, math.min(numCentroids, sample.length))
   }
 
+  /** Distributed spherical-Lloyd refinement of sample-fit centroids over
+    * the FULL corpus — the 100 TB k-means recipe: fit on a bounded
+    * driver-side sample ([[fitCentroids]]), then refine with distributed
+    * passes so centroids reflect the whole distribution, not the sample.
+    *
+    * Each pass: one codegen'd argmax [[assignCentroids]] scan, then the
+    * per-centroid per-dimension mean via posexplode + partial
+    * aggregation — map-side combine collapses the shuffle to
+    * O(partitions × k × d) rows regardless of corpus size, and only the
+    * k × d means (e.g. 16 × 64 = 1,024 values) cross to the driver, the
+    * same bounded-scalar budget as the centroid sample itself. Means are
+    * re-normalized to unit length (spherical k-means: the unit mean is
+    * the cosine-optimal centroid); a centroid that captures no rows
+    * keeps its previous position. Deterministic given input centroids —
+    * pinned by SimilaritySpec alongside the objective-improvement
+    * property. */
+  def refineCentroids(e: DataFrame, centroids: Array[Array[Double]],
+      iters: Int = 2): Array[Array[Double]] = {
+    var cur = centroids
+    for (_ <- 1 to iters) {
+      val means = assignCentroids(
+          e.select(col("vec_id"), col("embedding")), cur)
+        .select(col("cid"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val m = new Array[Double](cur(0).length)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          cid -> m
+        }
+      cur = cur.zipWithIndex.map { case (old, i) =>
+        means.get(i) match {
+          case Some(m) =>
+            val norm = math.sqrt(m.map(x => x * x).sum)
+            if (norm > 0) m.map(_ / norm) else old
+          case None => old
+        }
+      }
+    }
+    cur
+  }
+
   /** IVF step 2 — shuffle-free argmax assignment: each row scores every
     * centroid with the native fused [[CosineSimilarity]] expression (the
     * centroid rides along as a literal array) and takes the argmax. The

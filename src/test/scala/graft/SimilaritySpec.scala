@@ -185,4 +185,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(ivf.intersect(brute).size >= 2,
       s"recall too low: got $ivf vs $brute")
   }
+
+  test("distributed Lloyd refinement improves the spherical objective and is deterministic") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val e = Tables.embeddings(spark, sf0001)
+    val init = Similarity.fitCentroids(e, numCentroids = 8)
+
+    // Mean assigned-cosine over the corpus: higher = tighter clusters.
+    def objective(cs: Array[Array[Double]]): Double =
+      Similarity.assignCentroids(e, cs)
+        .select(org.apache.spark.sql.functions.array_max(
+          org.apache.spark.sql.functions.array(cs.toIndexedSeq.map(cv =>
+            org.apache.spark.sql.functions.nanvl(
+              graft.functions.VectorFunctions.cosine(
+                col("embedding"),
+                org.apache.spark.sql.functions.typedLit(cv.toSeq)),
+              org.apache.spark.sql.functions.lit(-2.0))): _*)).as("best"))
+        .agg(fsum("best")).head().getDouble(0)
+
+    val refined = Similarity.refineCentroids(e, init, iters = 2)
+    assert(refined.length === init.length)
+    assert(refined.forall(c =>
+      math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9),
+      "refined centroids must be unit-normalized")
+    val objInit = objective(init)
+    val objRefined = objective(refined)
+    assert(objRefined >= objInit - 1e-9,
+      s"refinement worsened the objective: $objInit -> $objRefined")
+    // Deterministic given the same init.
+    val again = Similarity.refineCentroids(e, init, iters = 2)
+    assert(refined.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }

@@ -67,6 +67,36 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Copy-on-write upsert E2E THROUGH STORAGE: documents written as a
+    * range-clustered parquet table, a mixed update+insert batch merged
+    * via [[graft.sources.CopyOnWrite.upsert]] (only key-containing
+    * files rewritten), read back and fingerprinted. Oracle = the same
+    * merge in SQL over the raw table, so the file-level rewrite
+    * machinery is content-checked row for row; CopyOnWriteSpec pins the
+    * untouched-files-stay-untouched property the 100 TB cost model
+    * depends on. */
+  private def qCowUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_cow")
+      .resolve("tbl").toString
+    docs.repartitionByRange(8, col("doc_id")).write.parquet(tbl)
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(lit("V2 "), col("text")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 3).as("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          col("lang"), col("source"))
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars")))
+    sources.CopyOnWrite.upsert(s, tbl, updates, "doc_id")
+    s.read.parquet(tbl)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Batch sliding window: each event lands in window/slide buckets. */
   private def q11bSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -113,6 +143,7 @@ object SparkEntry {
     "q17_mapreduce_facade" -> (q17Facade _),
     "q17b_out_source"     -> (q17bOutSource _),
     "zorder_scan"         -> (qZorderScan _),
+    "cow_upsert"          -> (qCowUpsert _),
     "q18_range_join"      -> (Relational.q18RangeJoin _),
     "q18b_theta_band"     -> (Relational.q18bThetaBand _),
     "q19_asof_join"       -> (Relational.q19AsofJoin _),
@@ -385,6 +416,20 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE user_id BETWEEN 20 AND 60 AND value BETWEEN 50.0 AND 150.0
         |ORDER BY event_id""".stripMargin,
+    "cow_upsert" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'V2 ' || text AS text, lang, source,
+        |    n_chars + 3 AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc ' || doc_id::VARCHAR, lang, source,
+        |    length('new doc ' || doc_id::VARCHAR)::BIGINT
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |m AS (SELECT * FROM documents
+        |      WHERE doc_id NOT IN (SELECT doc_id FROM u)
+        |      UNION ALL SELECT * FROM u)
+        |SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q18_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b

@@ -88,7 +88,10 @@ object ScaleSmoke {
     SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       // the documents/embeddings corpus family; text_redact reads the
       // EVENTS table (nanos-timestamp source, not replicated here)
-      (n.startsWith("dedup_") || n.startsWith("text_")) && n != "text_redact"
+      ((n.startsWith("dedup_") || n.startsWith("text_") ||
+        n.startsWith("emb_") || n == "sim_quantized_topk" ||
+        n == "mixture_weights" || n == "cow_upsert")
+        && n != "text_redact")
     }
 
   private def timeFamily(s: SparkSession, dir: String): Seq[(String, Double, Long)] =

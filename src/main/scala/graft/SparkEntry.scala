@@ -160,6 +160,7 @@ object SparkEntry {
     "sim_ivf_probe"       -> ((s: SparkSession, d: String) => Similarity.qIvfProbe(s, d)), // no oracle: approximate; spec-pinned vs ivfTopK
     "sim_batch_topk"      -> (Similarity.qBatchTopK _),
     "emb_quantize"        -> (Embeddings.qQuantize _),
+    "sim_quantized_topk"  -> (Embeddings.qQuantizedTopK _),
     // --- dedup family ---
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
@@ -735,6 +736,19 @@ object SparkEntry {
         |SELECT term, count(*)::BIGINT AS df,
         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
         |FROM t GROUP BY term ORDER BY term""".stripMargin,
+    "sim_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> round(x / scale)) END AS qv
+        |  FROM s),
+        |q AS (SELECT qv AS qq FROM c WHERE vec_id = 0)
+        |SELECT c.vec_id, round(list_cosine_similarity(c.qv, q.qq), 4) AS cos_sim
+        |FROM c, q WHERE c.vec_id <> 0
+        |ORDER BY list_cosine_similarity(c.qv, q.qq) DESC, c.vec_id
+        |LIMIT 5""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -31,6 +31,18 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
     assert(codes <= 127)
   }
 
+  test("int8 quantized search keeps high recall vs full-precision top-k") {
+    val full = graft.operators.Similarity.bruteForceTopK(spark, sf0001, 0, 5)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Embeddings.quantizedTopK(Tables.embeddings(spark, sf0001))
+      .collect().map(_.getLong(0)).toSet
+    assert(quant.size === 5)
+    // int8 codes perturb cosine by O(1/127) per element; on 64-dim
+    // vectors the true neighbors dominate that noise.
+    assert(quant.intersect(full).size >= 3,
+      s"recall too low: quantized $quant vs full $full")
+  }
+
   test("quantization is deterministic across runs") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Embeddings.quantizeInt8(emb).collect().toSeq

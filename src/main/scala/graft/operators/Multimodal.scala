@@ -61,6 +61,31 @@ object Multimodal {
     }
   }
 
+  /** Directory-of-blobs ingest — the real 100 TB multimodal input
+    * layout: media FILES on shared/object storage, one blob per file,
+    * with a metadata table alongside. Spark's built-in `binaryFile`
+    * source lists and reads them distributed (one task per file group),
+    * `pathGlobFilter` prunes by extension BEFORE any bytes are read,
+    * and each file arrives as one row (path, modificationTime, length,
+    * content). Mapped straight onto [[MediaRecord]]: id =
+    * xxhash64(path) (stable across reruns), kind = file extension.
+    * Callers size `spark.sql.files.maxPartitionBytes` down as with any
+    * blob scan. */
+  def readMediaDirectory(s: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaRecord] = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("id"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+          .as("kind"),
+        col("content").as("bytes"),
+        col("path").as("sourceUri"))
+      .as[MediaRecord]
+  }
+
   /** Deterministic frame sampling plumbing: given per-record frame counts,
     * emit every `stride`-th frame index — the explode/posexplode shape of
     * video frame extraction, minus the codec. */

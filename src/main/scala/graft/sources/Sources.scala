@@ -40,6 +40,18 @@ object Sources {
     * FileSourceScanExec, not a per-chunk rescan. */
   def text(s: SparkSession, path: String): DataFrame = s.read.text(path)
 
+  /** XML (built into Spark 4's spark-sql — no external connector):
+    * `rowTag`-delimited records with the same PERMISSIVE corrupt-record
+    * capture as csv/json. The legacy-feed format an engine migration
+    * has to ingest at least once. */
+  def xml(s: SparkSession, path: String, schema: StructType,
+      rowTag: String = "row"): DataFrame =
+    s.read.schema(withCorrupt(schema))
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .format("xml").load(path)
+
   /** ORC — the other columnar at-rest format; same pushdown/pruning
     * behavior as parquet (PushedFilters + ReadSchema in the scan). ORC
     * files are self-describing, but production reads still declare the

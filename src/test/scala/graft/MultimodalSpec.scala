@@ -74,6 +74,37 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r((224L, 224L)) === ((224L, 224L)))
   }
 
+  test("binaryFile directory ingest: glob-pruned listing, stable ids, decodable blobs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.img", Array[Byte](1, 2, 3, 4, 5))
+    put("b.img", Array[Byte](9, 8, 7))
+    put("c.aud", Array[Byte](42))
+    put("skip.txt", Array[Byte](0)) // outside the glob — never read
+
+    val media = Multimodal.readMediaDirectory(
+      spark, dir.toString, glob = "*.{img,aud}")
+    val rows = media.collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.kind).sorted.toSeq === Seq("aud", "img", "img"))
+    // ids are stable across reruns (hash of path, no zipWithIndex order
+    // dependence)
+    val again = Multimodal.readMediaDirectory(
+      spark, dir.toString, glob = "*.{img,aud}")
+      .collect().map(r => r.sourceUri -> r.id).toMap
+    rows.foreach(r => assert(again(r.sourceUri) === r.id))
+    // blobs feed the same batched decode seam as any other media
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f).toMap
+    rows.foreach { r =>
+      val (w, h, c) = Multimodal.stubDecode(r.bytes)
+      val f = feats(r.id)
+      assert((f.width, f.height, f.checksum) === ((w, h, c)))
+      assert(f.nBytes === r.bytes.length.toLong)
+    }
+  }
+
   test("features drop the payload column (blobs never reach the shuffle)") {
     val schema = implicitly[org.apache.spark.sql.Encoder[MediaFeatures]]
       .schema.fieldNames.toSet

@@ -45,6 +45,25 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     java.nio.file.Files.deleteIfExists(f); java.nio.file.Files.deleteIfExists(dir)
   }
 
+  test("xml reader parses rowTag records and captures malformed ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    val f = dir.resolve("data.xml")
+    java.nio.file.Files.writeString(f,
+      """<rows>
+        |<row><id>1</id><name>alpha</name><score>0.5</score></row>
+        |<row><id>oops</id><name>beta</name><score>bad</score></row>
+        |<row><id>3</id><name>gamma</name><score>1.25</score></row>
+        |</rows>
+        |""".stripMargin)
+    val df = Sources.xml(spark, f.toString, schema).cache()
+    try {
+      val valid = Sources.validRecords(df).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(valid === Set((1L, "alpha", 0.5), (3L, "gamma", 1.25)))
+      assert(Sources.corruptRecords(df).count() === 1)
+    } finally df.unpersist()
+  }
+
   test("orc roundtrip preserves rows and pushes filters into the scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_orc")
       .resolve("orders_orc").toString

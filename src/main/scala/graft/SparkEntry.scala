@@ -154,6 +154,8 @@ object SparkEntry {
     "q24_scalar_subquery" -> (Relational.q24ScalarSubquery _),
     "q25_correlated_exists" -> (Relational.q25CorrelatedExists _),
     "q26_hash_sample"     -> (Sampling.q26HashSample _),
+    "sessionize_events"   -> (Sessions.qSessionize _),
+    "funnel_conversion"   -> (Sessions.qFunnel _),
     "q27_cooccurrence"    -> (Relational.q27Cooccurrence _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
@@ -493,6 +495,42 @@ object SparkEntry {
         |WHERE substring(md5(o_orderkey::VARCHAR), 1, 1)
         |  IN ('0', '1', '2', '3')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sessionize_events" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR date_diff('second',
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |              ts) > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS session_seq
+        |  FROM o)
+        |SELECT user_id, session_seq::BIGINT AS session_seq,
+        |  count(*)::BIGINT AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "funnel_conversion" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN t1 USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |      GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN t2 USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |      GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 'signup' AS stage, 1::BIGINT AS stage_idx,
+        |    (SELECT count(*) FROM t1)::BIGINT AS users
+        |  UNION ALL SELECT 'click_after', 2::BIGINT,
+        |    (SELECT count(*) FROM t2)::BIGINT
+        |  UNION ALL SELECT 'purchase_after', 3::BIGINT,
+        |    (SELECT count(*) FROM t3)::BIGINT)
+        |ORDER BY stage_idx""".stripMargin,
     "q27_cooccurrence" ->
       """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
         |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),

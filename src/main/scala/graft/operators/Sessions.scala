@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-stream analytics over `events`: gap-based sessionization
+  * and ordered funnel conversion — the two queries every behavioral
+  * analytics engine ships.
+  *
+  * Both partition by `user_id` and nothing else: ONE hash shuffle per
+  * query no matter the corpus size, with all window/aggregation work
+  * pipelined inside each user partition. Users are numerous and small,
+  * so the partitioning is even by construction (the streaming
+  * sessionizer in [[graft.streaming.StreamingOps]] is the incremental
+  * twin of the batch shape here).
+  */
+object Sessions {
+
+  /** Gap-based sessionization: a new session starts where the gap to
+    * the user's previous event exceeds `gapMinutes`. session_seq is the
+    * running count of session starts (the standard lag-flag-cumsum
+    * idiom); output is one row per session with its bounds and size. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = col("ts").cast("long") -
+      lag(col("ts").cast("long"), 1).over(wOrd)
+    events
+      .withColumn("ns",
+        when(gapSec.isNull || gapSec > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("ns").over(wOrd))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Ordered funnel: users who signed up, then clicked AFTER the
+    * signup, then purchased AFTER that click (strict event-time order,
+    * first qualifying timestamp per stage). Three chained windows over
+    * the SAME user partitioning — Catalyst plans one Exchange and
+    * pipelines the window evaluations, so the funnel costs a single
+    * shuffle. Output: one row per stage with the surviving user count. */
+  def funnel(events: DataFrame,
+      stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(stages.length == 3, "funnel expects exactly 3 stages")
+    val wU = Window.partitionBy("user_id")
+    val staged = events
+      .withColumn("t1",
+        min(when(col("event_type") === stages(0), col("ts"))).over(wU))
+      .withColumn("t2",
+        min(when(col("event_type") === stages(1) && col("ts") > col("t1"),
+          col("ts"))).over(wU))
+      .withColumn("t3",
+        min(when(col("event_type") === stages(2) && col("ts") > col("t2"),
+          col("ts"))).over(wU))
+      .groupBy("user_id")
+      .agg(max(col("t1").isNotNull).as("r1"),
+        max(col("t2").isNotNull).as("r2"),
+        max(col("t3").isNotNull).as("r3"))
+    staged
+      .agg(
+        sum(when(col("r1"), 1L).otherwise(0L)).as("u1"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("u2"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("u3"))
+      .selectExpr(s"""stack(3,
+        '${stages(0)}', 1, u1,
+        '${stages(1)}_after', 2, u2,
+        '${stages(2)}_after', 3, u3) AS (stage, stage_idx, users)""")
+      .select(col("stage"), col("stage_idx").cast("long").as("stage_idx"),
+        col("users"))
+      .orderBy("stage_idx")
+  }
+
+  // --- SparkEntry-facing wrappers ---------------------------------------
+
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir))
+
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir))
+}

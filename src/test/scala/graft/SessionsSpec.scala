@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sessions
+
+class SessionsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("sessionize splits strictly beyond the gap; boundary gap stays in-session") {
+    // user 1: 0,10 | 50,80  (40min gap splits; the exactly-30min gap
+    // 50->80 does NOT — the split is strict '>')
+    // user 2: one lone event
+    val ev = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(10)), (3L, 1L, ts(50)), (4L, 1L, ts(80)),
+      (5L, 2L, ts(7)))
+      .toDF("event_id", "user_id", "ts")
+    val got = Sessions.sessionize(ev, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))).toMap
+    assert(got.size === 3)
+    assert(got((1L, 1L)) === ((2L, ts(0), ts(10))))
+    assert(got((1L, 2L)) === ((2L, ts(50), ts(80))))
+    assert(got((2L, 1L)) === ((1L, ts(7), ts(7))))
+  }
+
+  test("funnel honors strict event-time order between stages") {
+    // user 1 completes signup -> click -> purchase in order.
+    // user 2 clicked BEFORE signing up and never clicked after: falls
+    // out at stage 2 (and the pre-signup purchase cannot count either).
+    // user 3 signs up, clicks, but purchases BEFORE the click.
+    val ev = Seq(
+      (1L, 1L, "signup", ts(0)), (2L, 1L, "click", ts(5)),
+      (3L, 1L, "purchase", ts(9)),
+      (4L, 2L, "click", ts(1)), (5L, 2L, "signup", ts(2)),
+      (6L, 2L, "purchase", ts(3)),
+      (7L, 3L, "signup", ts(0)), (8L, 3L, "purchase", ts(4)),
+      (9L, 3L, "click", ts(6)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.funnel(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("signup") === 3L)
+    assert(got("click_after") === 2L)     // users 1, 3
+    assert(got("purchase_after") === 1L)  // user 1 only
+  }
+
+  test("funnel costs ONE user-key shuffle: windows and per-user agg share the exchange") {
+    val plan = Sessions.funnel(Tables.events(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    val userExchanges = "hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(userExchanges === 1,
+      s"expected exactly 1 user_id hash exchange, plan:\n$plan")
+  }
+}

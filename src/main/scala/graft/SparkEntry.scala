@@ -156,6 +156,8 @@ object SparkEntry {
     "q26_hash_sample"     -> (Sampling.q26HashSample _),
     "sessionize_events"   -> (Sessions.qSessionize _),
     "funnel_conversion"   -> (Sessions.qFunnel _),
+    "cohort_retention"    -> (Sessions.qCohortRetention _),
+    "resample_hourly"     -> (Sessions.qResampleHourly _),
     "q27_cooccurrence"    -> (Relational.q27Cooccurrence _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
@@ -531,6 +533,32 @@ object SparkEntry {
         |  UNION ALL SELECT 'purchase_after', 3::BIGINT,
         |    (SELECT count(*) FROM t3)::BIGINT)
         |ORDER BY stage_idx""".stripMargin,
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, ts,
+        |    date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+        |      ::TIMESTAMP AS cohort_week
+        |  FROM events),
+        |d AS (SELECT DISTINCT user_id, cohort_week,
+        |    (date_diff('day', cohort_week, date_trunc('week', ts)::TIMESTAMP) // 7)
+        |      AS week_offset
+        |  FROM f)
+        |SELECT cohort_week, week_offset::BIGINT AS week_offset,
+        |  count(*)::BIGINT AS active_users
+        |FROM d GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "resample_hourly" ->
+      """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |    AS bucket FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |b AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.bucket, t.event_type, coalesce(b.n, 0)::BIGINT AS n
+        |FROM grid g CROSS JOIN types t
+        |LEFT JOIN b ON b.bucket = g.bucket AND b.event_type = t.event_type
+        |ORDER BY g.bucket, t.event_type""".stripMargin,
     "q27_cooccurrence" ->
       """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
         |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),

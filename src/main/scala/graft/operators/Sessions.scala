@@ -74,6 +74,51 @@ object Sessions {
       .orderBy("stage_idx")
   }
 
+  /** Weekly cohort retention: cohort = week of the user's FIRST event,
+    * a user is retained in week-offset w if they have any event in
+    * cohort_week + w. The first-event window shares the user_id
+    * Exchange with nothing else needed — one user shuffle, then the
+    * (cohort, offset) aggregation over the distinct per-user-week rows.
+    * Output is the classic retention triangle in long form. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    events
+      .withColumn("cohort_week",
+        date_trunc("week", min(col("ts")).over(wU)))
+      .select(col("user_id"), col("cohort_week"),
+        expr("datediff(date_trunc('week', ts), cohort_week) div 7")
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Hourly resample with gap filling: the time-series shape model
+    * training and monitoring both need — EVERY hour between the corpus
+    * bounds appears for every event type, missing hours as explicit
+    * zeros (a downstream window/forecast op cannot tell "no data" from
+    * "not emitted" otherwise). The grid is `sequence()`-generated from
+    * two driver-side bound scalars, so its size is the TIME RANGE ×
+    * #types — independent of corpus row count; the counts side is one
+    * partial-aggregated shuffle. */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val b = events.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi")).head()
+    val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+    val counts = events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    events.select("event_type").distinct()
+      .withColumn("bucket",
+        explode(sequence(lit(lo), lit(hi), expr("INTERVAL 1 HOUR"))))
+      .join(counts, Seq("bucket", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .orderBy("bucket", "event_type")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -81,4 +126,10 @@ object Sessions {
 
   def qFunnel(s: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(s, dir))
+
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.events(s, dir))
+
+  def qResampleHourly(s: SparkSession, dir: String): DataFrame =
+    resampleHourly(Tables.events(s, dir))
 }

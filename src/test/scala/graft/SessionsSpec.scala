@@ -49,6 +49,41 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
     assert(got("purchase_after") === 1L)  // user 1 only
   }
 
+  test("cohort retention counts a user once per active week offset") {
+    // Weeks are Monday-truncated; 2026-08-10 is a Monday. User 1's
+    // first event is in week 0, active again in week 2 (twice — counted
+    // once). User 2 starts a week later (its own cohort).
+    def at(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2026-08-$day%02d $hour%02d:00:00")
+    val ev = Seq(
+      (1L, 1L, at(10, 9)), (2L, 1L, at(24, 9)), (3L, 1L, at(25, 10)),
+      (4L, 2L, at(17, 8)))
+      .toDF("event_id", "user_id", "ts")
+    val got = Sessions.cohortRetention(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w0 = Timestamp.valueOf("2026-08-10 00:00:00")
+    val w1 = Timestamp.valueOf("2026-08-17 00:00:00")
+    assert(got === Map(
+      (w0, 0L) -> 1L, (w0, 2L) -> 1L, (w1, 0L) -> 1L))
+  }
+
+  test("hourly resample fills gap hours with explicit zeros") {
+    def at(hour: Int) = Timestamp.valueOf(f"2026-08-10 $hour%02d:00:30")
+    val ev = Seq(
+      (1L, 1L, "click", at(1)), (2L, 1L, "click", at(1)),
+      (3L, 2L, "view", at(3))) // hour 2 has NO events: must appear as 0
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.resampleHourly(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    def h(hour: Int) = Timestamp.valueOf(f"2026-08-10 $hour%02d:00:00")
+    // 3 hours x 2 types = 6 rows, zeros explicit
+    assert(got.size === 6)
+    assert(got((h(1), "click")) === 2L)
+    assert(got((h(2), "click")) === 0L)
+    assert(got((h(2), "view")) === 0L)
+    assert(got((h(3), "view")) === 1L)
+  }
+
   test("funnel costs ONE user-key shuffle: windows and per-user agg share the exchange") {
     val plan = Sessions.funnel(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString

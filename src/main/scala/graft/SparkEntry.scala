@@ -158,6 +158,8 @@ object SparkEntry {
     "funnel_conversion"   -> (Sessions.qFunnel _),
     "cohort_retention"    -> (Sessions.qCohortRetention _),
     "resample_hourly"     -> (Sessions.qResampleHourly _),
+    "graph_triangles"     -> (Graph.qTriangles _),
+    "dq_audit"            -> (Quality.qDqAudit _),
     "q27_cooccurrence"    -> (Relational.q27Cooccurrence _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
@@ -559,6 +561,43 @@ object SparkEntry {
         |FROM grid g CROSS JOIN types t
         |LEFT JOIN b ON b.bucket = g.bucket AND b.event_type = t.event_type
         |ORDER BY g.bucket, t.event_type""".stripMargin,
+    "graph_triangles" ->
+      """WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |    FROM lineitem),
+        |e AS (SELECT x.s AS a, y.s AS b FROM so x
+        |      JOIN so y ON x.o = y.o AND x.s < y.s
+        |      GROUP BY 1, 2 HAVING count(*) >= 25),
+        |t AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |      JOIN e e3 ON e2.b = e3.b AND e1.a = e3.a),
+        |n AS (SELECT unnest([n1, n2, n3]) AS supplier FROM t)
+        |SELECT supplier, count(*)::BIGINT AS n_triangles
+        |FROM n GROUP BY supplier
+        |ORDER BY n_triangles DESC, supplier LIMIT 10""".stripMargin,
+    "dq_audit" ->
+      """WITH d AS (SELECT
+        |    (count(*) - count(DISTINCT doc_id))::BIGINT AS dup_doc_id,
+        |    count(*) FILTER (text IS NULL)::BIGINT AS null_text,
+        |    count(*) FILTER (length(trim(text)) = 0)::BIGINT AS empty_text,
+        |    count(*) FILTER (n_chars <> length(text))::BIGINT AS bad_n_chars
+        |  FROM documents),
+        |e AS (SELECT
+        |    (count(*) - count(DISTINCT event_id))::BIGINT AS dup_event_id,
+        |    count(*) FILTER (value < 0)::BIGINT AS neg_value,
+        |    count(*) FILTER (ts < TIMESTAMP '2000-01-01'
+        |      OR ts > TIMESTAMP '2035-01-01')::BIGINT AS ts_oor
+        |  FROM events),
+        |r AS (
+        |  SELECT 'documents.doc_id_unique' AS check_name,
+        |    dup_doc_id AS violations FROM d
+        |  UNION ALL SELECT 'documents.text_not_null', null_text FROM d
+        |  UNION ALL SELECT 'documents.text_not_empty', empty_text FROM d
+        |  UNION ALL SELECT 'documents.n_chars_consistent', bad_n_chars FROM d
+        |  UNION ALL SELECT 'events.event_id_unique', dup_event_id FROM e
+        |  UNION ALL SELECT 'events.value_nonnegative', neg_value FROM e
+        |  UNION ALL SELECT 'events.ts_in_range', ts_oor FROM e)
+        |SELECT check_name, violations, (violations = 0) AS passed
+        |FROM r ORDER BY check_name""".stripMargin,
     "q27_cooccurrence" ->
       """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
         |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),

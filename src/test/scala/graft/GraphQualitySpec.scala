@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, Quality}
+
+class GraphQualitySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("triangle count: ordered adjacency counts each triangle once; threshold prunes edges") {
+    // Orders o1,o2 each supplied by {1,2,3} -> edges (1,2),(1,3),(2,3)
+    // with 2 shared orders each = one triangle. Order o3's lone {1,4}
+    // pair stays below minShared=2 and must not create an edge.
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 4L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = Graph.triangleTopNodes(li, minShared = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangle count on a 4-clique: four triangles, each node in three") {
+    // Orders replicated so every pair clears the threshold; K4 has
+    // C(4,3)=4 triangles and each node sits in C(3,2)=3 of them.
+    val li = (1L to 3L).flatMap(o =>
+      Seq(1L, 2L, 3L, 4L).map(sup => (o, sup)))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = Graph.triangleTopNodes(li, minShared = 3, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("dq audit reports exact violation counts per check") {
+    val docs = Seq(
+      (1L, "hello", 5L),
+      (1L, "world", 5L),          // duplicate doc_id
+      (2L, null.asInstanceOf[String], 0L), // null text
+      (3L, "   ", 3L),            // empty after trim (n_chars consistent)
+      (4L, "abc", 99L))           // n_chars mismatch
+      .toDF("doc_id", "text", "n_chars")
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), -5.0),
+      (2L, Timestamp.valueOf("1999-12-31 00:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 2.0)) // dup event_id
+      .toDF("event_id", "ts", "value")
+    val got = Quality.audit(docs, events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got("documents.doc_id_unique") === ((1L, false)))
+    assert(got("documents.text_not_null") === ((1L, false)))
+    assert(got("documents.text_not_empty") === ((1L, false)))
+    assert(got("documents.n_chars_consistent") === ((1L, false)))
+    assert(got("events.event_id_unique") === ((1L, false)))
+    assert(got("events.value_nonnegative") === ((1L, false)))
+    assert(got("events.ts_in_range") === ((1L, false)))
+  }
+
+  test("dq audit passes a clean batch") {
+    val docs = Seq((1L, "ok", 2L), (2L, "fine", 4L))
+      .toDF("doc_id", "text", "n_chars")
+    val events = Seq((1L, Timestamp.valueOf("2024-06-01 12:00:00"), 3.5))
+      .toDF("event_id", "ts", "value")
+    val got = Quality.audit(docs, events).collect()
+    assert(got.length === 7)
+    assert(got.forall(_.getBoolean(2)), "all checks should pass")
+    assert(got.forall(_.getLong(1) === 0L))
+  }
+}

@@ -158,6 +158,7 @@ object SparkEntry {
     "funnel_conversion"   -> (Sessions.qFunnel _),
     "cohort_retention"    -> (Sessions.qCohortRetention _),
     "resample_hourly"     -> (Sessions.qResampleHourly _),
+    "rolling_metrics"     -> (Sessions.qRollingMetrics _),
     "graph_triangles"     -> (Graph.qTriangles _),
     "dq_audit"            -> (Quality.qDqAudit _),
     "q27_cooccurrence"    -> (Relational.q27Cooccurrence _),
@@ -561,6 +562,25 @@ object SparkEntry {
         |FROM grid g CROSS JOIN types t
         |LEFT JOIN b ON b.bucket = g.bucket AND b.event_type = t.event_type
         |ORDER BY g.bucket, t.event_type""".stripMargin,
+    "rolling_metrics" ->
+      """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |    AS bucket FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |b AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT g.bucket, t.event_type, coalesce(b.n, 0)::BIGINT AS n
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN b ON b.bucket = g.bucket AND b.event_type = t.event_type)
+        |SELECT bucket, event_type, n,
+        |  round(avg(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 4) AS ma24,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_n
+        |FROM r ORDER BY bucket, event_type""".stripMargin,
     "graph_triangles" ->
       """WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
         |    FROM lineitem),

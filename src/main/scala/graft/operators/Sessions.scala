@@ -119,6 +119,25 @@ object Sessions {
       .orderBy("bucket", "event_type")
   }
 
+  /** Rolling metrics over the gap-filled hourly series: 24-bucket
+    * moving average + running total per event type. Runs on TOP of
+    * [[resampleHourly]] deliberately — a moving average over a series
+    * with silent holes is wrong (24 ROWS ≠ 24 hours when hours are
+    * missing), which is exactly why the resample emits explicit zeros.
+    * Bounded ROWS frame, partitioned by type: state per window is 24
+    * values regardless of corpus size. */
+  def rollingMetrics(events: DataFrame, windowBuckets: Int = 24): DataFrame = {
+    val wMa = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(-(windowBuckets - 1), 0)
+    val wCum = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    resampleHourly(events)
+      .select(col("bucket"), col("event_type"), col("n"),
+        round(avg("n").over(wMa), 4).as("ma24"),
+        sum("n").over(wCum).as("cum_n"))
+      .orderBy("bucket", "event_type")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -132,4 +151,7 @@ object Sessions {
 
   def qResampleHourly(s: SparkSession, dir: String): DataFrame =
     resampleHourly(Tables.events(s, dir))
+
+  def qRollingMetrics(s: SparkSession, dir: String): DataFrame =
+    rollingMetrics(Tables.events(s, dir))
 }

@@ -84,6 +84,23 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
     assert(got((h(3), "view")) === 1L)
   }
 
+  test("rolling metrics window the gap-filled series (zeros pull the average down)") {
+    def at(hour: Int) = Timestamp.valueOf(f"2026-08-10 $hour%02d:00:30")
+    // clicks at hours 1 and 3 with a silent hour 2: the 2-bucket moving
+    // average at hour 3 must average against the EXPLICIT zero of hour
+    // 2, not against hour 1.
+    val ev = Seq(
+      (1L, 1L, "click", at(1)), (2L, 1L, "click", at(1)),
+      (3L, 2L, "click", at(3)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.rollingMetrics(ev, windowBuckets = 2).collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 13), r.getString(1))
+        -> (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got(("01", "click")) === ((2L, 2.0, 2L)))
+    assert(got(("02", "click")) === ((0L, 1.0, 2L))) // (2+0)/2
+    assert(got(("03", "click")) === ((1L, 0.5, 3L))) // (0+1)/2
+  }
+
   test("funnel costs ONE user-key shuffle: windows and per-user agg share the exchange") {
     val plan = Sessions.funnel(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString

@@ -176,6 +176,7 @@ object SparkEntry {
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "dedup_filtered"      -> (Dedup.qDedupFiltered _),
     "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
+    "dedup_hist_sampled"  -> (Dedup.qJaccardHistogramSampled _),
     "dedup_segments"      -> (Segments.qDedupSegments _),
     "dedup_incremental"   -> (Dedup.qIncremental _),
     // --- text analysis ---
@@ -221,9 +222,11 @@ object SparkEntry {
 
   /** Shared n-gram-shingle CTE prefix for the dedup oracles (word
     * 3-grams, distinct per doc, docs ≥ 3 words). */
-  private val shingleCte =
-    """tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
-      |  FROM documents),
+  /** Exhaustive pairwise-Jaccard CTE over `src` (any relation with
+    * doc_id + text) — shared by every dedup-family oracle. */
+  private def shingleCteOn(src: String) =
+    s"""tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM $src),
       |sh AS (SELECT doc_id,
       |    unnest(list_distinct(list_transform(range(1, len(w) - 1),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
@@ -236,6 +239,8 @@ object SparkEntry {
       |  FROM common
       |  JOIN sizes sa ON da = sa.doc_id
       |  JOIN sizes sb ON db = sb.doc_id)""".stripMargin
+
+  private val shingleCte = shingleCteOn("documents")
 
   private val jaccardPairsSql =
     s"""WITH $shingleCte
@@ -677,6 +682,15 @@ object SparkEntry {
       s"""WITH $shingleCte
          |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
          |  count(*)::BIGINT AS n_pairs
+         |FROM jac WHERE j >= 0.05 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dedup_hist_sampled: deterministic doc_id % 4 sample — the oracle
+    // reproduces the exact sample, so the sampled histogram is
+    // hash-checkable even though it ESTIMATES the population counts.
+    "dedup_hist_sampled" ->
+      s"""WITH ${shingleCteOn("(SELECT * FROM documents WHERE doc_id % 4 = 0)")}
+         |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
+         |  count(*)::BIGINT AS n_pairs,
+         |  (count(*) * 16)::BIGINT AS est_n_pairs
          |FROM jac WHERE j >= 0.05 GROUP BY 1 ORDER BY 1""".stripMargin,
     // dedup_incremental: exact verification on LSH candidates, so it
     // shares the exhaustive shingle oracle restricted to cross pairs

@@ -91,6 +91,60 @@ object Dedup {
     docs.select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
   }
 
+  /** (doc_id, shingles: array<bigint>) — distinct word n-grams per doc as
+    * 64-bit hashes, one UDF pass. The dedup pipelines only ever need SET
+    * semantics over shingles (membership, intersection size, document
+    * frequency), so carrying the n-gram STRINGS through the candidate
+    * joins pays 20–40 bytes of shuffle key per posting row where 8 do:
+    * every downstream exchange (df aggregation, posting self-join,
+    * verification rejoin) shrinks ~3–4× by hashing at the source. A
+    * 64-bit hash over a ~10⁸-shingle vocabulary has collision probability
+    * ~(10⁸)²/2⁶⁵ ≈ 3e-4 for ONE colliding pair somewhere in the corpus —
+    * and a collision only perturbs one pair's intersection count by 1,
+    * so the sf-scale oracle comparison is unaffected in practice.
+    *
+    * Hashing: per-word XXH64 (seed 42) over UTF-8 bytes, then the n word
+    * hashes are chained with XXH64.hashLong — position-sensitive mixing,
+    * no StringBuilder concat per shingle (the string path builds every
+    * n-gram string only to hash it moments later; this never materializes
+    * them). Distinctness is first-occurrence on the HASH values, matching
+    * [[shingleDocs]]' set semantics. */
+  def hashedShingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val shingleUdf = udf { text: String =>
+      val words =
+        if (text == null) Array.empty[String]
+        else text.split(" ").filter(_.nonEmpty)
+      if (words.length < n) Seq.empty[Long]
+      else {
+        val wh = new Array[Long](words.length)
+        var i = 0
+        while (i < words.length) {
+          val bytes = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          wh(i) = XXH64.hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
+          i += 1
+        }
+        val set = new java.util.LinkedHashSet[java.lang.Long]
+        i = 0
+        while (i <= words.length - n) {
+          var h = 42L
+          var j = 0
+          while (j < n) { h = XXH64.hashLong(wh(i + j), h); j += 1 }
+          set.add(h)
+          i += 1
+        }
+        val out = new Array[Long](set.size)
+        val it = set.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
+    docs.select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
+  }
+
   /** Eagerly materialize the hot-key side of a skew guard WITHOUT ever
     * collecting it to the driver: the aggregate is computed
     * distributively, pinned with a localCheckpoint (truncates lineage so
@@ -221,7 +275,7 @@ object Dedup {
   private[operators] def ngramJaccardCore(docs: DataFrame,
       threshold: Double = 0.8, n: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
-    val sh = shingleDocs(docs, n)
+    val sh = hashedShingleDocs(docs, n)
     val posting1 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // Same pin-once reasoning as minhashLshCore: with the cap on, the
     // posting list feeds the hot-key aggregation job and then the main
@@ -265,13 +319,86 @@ object Dedup {
     }
   }
 
-  /** Exact pairwise Jaccard ≥ threshold via the shared-shingle join:
-    * only doc pairs sharing ≥1 (non-hot) shingle are ever formed, as
-    * bare id pairs; Jaccard is then verified exactly on the full shingle
-    * sets. Output (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  /** AllPairs-style prefix-filtered candidate generation + exact
+    * verification — the scale path for threshold-based n-gram Jaccard
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07 —
+    * public literature, not reference code).
+    *
+    * WHY: the plain shared-shingle self-join ([[ngramJaccardCore]])
+    * produces Σ_shingle df² candidate rows. Growing the corpus k× grows
+    * every natural-language shingle's document frequency ~k×, so every
+    * sub-cap shingle's pair contribution grows k²× — the 10× scale smoke
+    * measured 34× wall on DISTINCT-document replicas (linear output!)
+    * purely from that term. The df cap bounds the per-key worst case but
+    * not the aggregate.
+    *
+    * THE FILTER: fix one global total order on shingles — ascending
+    * document frequency, ties by hash value. For Jaccard(A,B) ≥ t the
+    * overlap obeys |A∩B| ≥ ⌈t·|A|⌉ (because |B| ≥ t·|A| forces
+    * o ≥ t(|A|+|B|)/(1+t) ≥ t·|A|), and the classic prefix lemma then
+    * says A and B must share a token within their first
+    * |X| − ⌈t·|X|⌉ + 1 ordered tokens. So only the PREFIX posting — each
+    * doc's (1−t)·n+1 RAREST shingles — enters the self-join: at t=0.8
+    * that is 5× fewer posting rows, and because the global order puts
+    * minimum-df tokens first, the Σ df'² of the prefix posting collapses
+    * (common phrases never appear in any prefix). The join also carries
+    * each side's set size so the length filter |A| ≥ t·|B| prunes
+    * incompatible pairs before the groupBy. Candidates are then verified
+    * EXACTLY on the full hashed shingle sets — the filter is lossless,
+    * so output ≡ the exhaustive oracle.
+    *
+    * Hot keys: a prefix token shared by > dfCap docs (a corpus of > cap
+    * near-identical docs makes even its rarest tokens hot) degrades to
+    * star candidates ([[splitHotKeysStar]]) exactly like the other
+    * candidate paths, so giant duplicate groups survive as clusters. */
+  private[operators] def prefixJaccardCore(docs: DataFrame,
+      threshold: Double = 0.8, n: Int = 3,
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one UDF pass feeds the posting, the window and the verification —
+    // pin it (a real cluster would use reliable checkpoint())
+    val sh = hashedShingleDocs(docs, n).localCheckpoint()
+    val posting = sh
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix0 = posting
+      .join(dfreq.hint("shuffle_hash"), Seq("shingle"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+      .select("doc_id", "shingle", "n_sh")
+    // the prefix posting feeds the hot-key aggregation and both join
+    // sides — pin it so the df-join + window chain runs once
+    val prefix = if (dfCap.isDefined) prefix0.localCheckpoint() else prefix0
+    val (cold, star) = dfCap match {
+      case None => (prefix, None)
+      case Some(cap) =>
+        splitHotKeysStar(prefix, Seq("shingle"), "doc_id", cap,
+          "prefixJaccardCore")
+    }
+    val l = cold.select(col("doc_id").as("doc_a"), col("shingle"),
+      col("n_sh").as("na"))
+    val r = cold.select(col("doc_id").as("doc_b"), col("shingle"),
+      col("n_sh").as("nb"))
+    // corpus-sized both sides — never broadcast (see ngramJaccardCore)
+    val selfCands = l.join(r.hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          greatest(col("na"), col("nb")) * threshold)
+      .select("doc_a", "doc_b")
+    val cands = star.fold(selfCands)(selfCands.unionAll).distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact pairwise Jaccard ≥ threshold. Candidates come from the
+    * prefix-filtered posting self-join ([[prefixJaccardCore]] — lossless,
+    * linear-ish in corpus size), then exact verification on full hashed
+    * shingle sets. Output (doc_a, doc_b, jaccard) with doc_a < doc_b. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
       n: Int = 3, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
-    ngramJaccardCore(docs, threshold, n, dfCap).orderBy("doc_a", "doc_b")
+    prefixJaccardCore(docs, threshold, n, dfCap).orderBy("doc_a", "doc_b")
 
   // ---------------------------------------------------------------------
   // MinHash + LSH
@@ -292,13 +419,10 @@ object Dedup {
     *
     * The signature is computed per-row from the doc's shingles by a
     * single Scala function — no explode-by-numPerm blowup, no shuffle.
-    * Shingle hashing happens INSIDE the UDF's primitive loop (catalyst
-    * XXH64 over the UTF-8 bytes, seed 42 — bit-identical to the
-    * `xxhash64` SQL function this replaces): the previous declarative
-    * `transform(shingles, s => xxhash64(s))` ran through the interpreted
-    * higher-order-function evaluator (CodegenFallback, the repo's
-    * measured ~30× rule at [[shingleDocs]]) and then handed the UDF a
-    * boxed Seq[Long] to unbox again. bandsPerSig × rowsPerBand =
+    * Shingles arrive as 64-bit hashes ([[hashedShingleDocs]] — the
+    * n-gram strings are never materialized anywhere in this pipeline);
+    * the UDF folds each into the 31-bit permutation domain and runs the
+    * numPerm permutations in a primitive loop. bandsPerSig × rowsPerBand =
     * numPerm; with (32 bands × 4 rows) the probability of MISSING a pair
     * at Jaccard 0.8 is (1−0.8⁴)³² ≈ 5e-8, so LSH candidates + exact
     * verification below is exact-in-practice (and never has false
@@ -313,19 +437,15 @@ object Dedup {
     // primitive arrays (same reasoning as the hyperplane sketch below)
     val coeffA = coeffs.map(_._1)
     val coeffB = coeffs.map(_._2)
-    val sign = udf { shingles: Seq[String] =>
+    val sign = udf { shingles: Seq[Long] =>
       if (shingles.isEmpty) Seq.empty[Long]
       else {
         val sig = Array.fill(numPerm)(Long.MaxValue)
         val it = shingles.iterator
         while (it.hasNext) {
-          val bytes = it.next()
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val h64 = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(bytes,
-              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-              bytes.length, 42L)
-          val h = (h64 & Long.MaxValue) % MinhashP
+          // shingles arrive pre-hashed ([[hashedShingleDocs]], XXH64
+          // chain) — fold into the 31-bit permutation domain
+          val h = (it.next() & Long.MaxValue) % MinhashP
           var i = 0
           while (i < numPerm) {
             val v = (coeffA(i) * h + coeffB(i)) % MinhashP
@@ -342,7 +462,7 @@ object Dedup {
         }
       }
     }
-    shingleDocs(docs, n)
+    hashedShingleDocs(docs, n)
       .select(col("doc_id"), posexplode(sign(col("shingles"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
@@ -393,7 +513,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
     val cands = star.fold(selfCands)(selfCands.unionAll).distinct()
-    verifyJaccard(cands, shingleDocs(docs, n), threshold)
+    verifyJaccard(cands, hashedShingleDocs(docs, n), threshold)
   }
 
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
@@ -455,7 +575,7 @@ object Dedup {
           cold.unionAll(star)
         }
     }).distinct()
-    verifyJaccard(cands, shingleDocs(docs, n), threshold)
+    verifyJaccard(cands, hashedShingleDocs(docs, n), threshold)
       .withColumnRenamed("doc_a", "corpus_doc_id")
       .withColumnRenamed("doc_b", "batch_doc_id")
   }
@@ -783,7 +903,14 @@ object Dedup {
     * >cap mutual near-dups the high deciles are LOWER BOUNDS, not exact
     * counts. Pass `dfCap = None` for exact counts when the corpus is
     * known to have no hot shingles (quadratic in the hottest bucket
-    * otherwise). */
+    * otherwise).
+    *
+    * SCALE: at lo = 0.05 the prefix filter is pointless (the prefix is
+    * 95% of the set), so this query inherently pays the Σ df² candidate
+    * join — the one dedup-family query whose exact form is quadratic in
+    * corpus growth. That is a property of the QUESTION (all pairs above a
+    * near-zero similarity), not the plan; the at-scale answer is
+    * [[jaccardHistogramSampled]]. */
   def jaccardHistogram(docs: DataFrame, lo: Double = 0.05, n: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
     ngramJaccardCore(docs, lo, n, dfCap)
@@ -791,6 +918,30 @@ object Dedup {
       .groupBy("band10").agg(count(lit(1)).as("n_pairs"))
       .orderBy("band10")
 
+  /** Sampled Jaccard-band histogram — the scale path for threshold
+    * tuning. Deterministic 1/`mod` document sample (`doc_id % mod = 0` —
+    * exactly reproducible by any engine, which is what makes it
+    * oracle-checkable, unlike rand()-based sampling); a pair survives
+    * with probability 1/mod², so `est_n_pairs = n_pairs · mod²` is an
+    * unbiased estimate of each band's population count. Cost shrinks
+    * mod²× (the candidate join is quadratic in sample density), which
+    * turns the one inherently-quadratic dedup query into a constant-
+    * factor choice: tune `mod` so the sample's pair join fits the
+    * cluster. Bands whose true count is ≪ mod² may sample to zero —
+    * fine for threshold tuning, where the interesting bands are the
+    * populated ones. */
+  def jaccardHistogramSampled(docs: DataFrame, lo: Double = 0.05,
+      n: Int = 3, mod: Int = 4,
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+    ngramJaccardCore(docs.filter(col("doc_id") % mod === 0), lo, n, dfCap)
+      .withColumn("band10", floor(col("jaccard") * 10).cast("long"))
+      .groupBy("band10").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("est_n_pairs", col("n_pairs") * lit(mod.toLong * mod))
+      .orderBy("band10")
+
   def qJaccardHistogram(s: SparkSession, dir: String): DataFrame =
     jaccardHistogram(Tables.documents(s, dir))
+
+  def qJaccardHistogramSampled(s: SparkSession, dir: String): DataFrame =
+    jaccardHistogramSampled(Tables.documents(s, dir))
 }

@@ -172,6 +172,48 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(h === Map(5L -> 1L, 10L -> 1L))
   }
 
+  test("prefix filter is lossless: matches the unfiltered exhaustive core at every threshold") {
+    // richer corpus: near-dup pairs at several similarity levels plus a
+    // 6-doc identical group, so prefixes, length filter and the hot-key
+    // star all get exercised against the Σdf² exhaustive path
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy cat near the river"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (5L, "one two three four five six seven eight nine ten eleven"),
+      (6L, "one two three four five six seven DIFF nine ten twelve"),
+      (7L, "completely unrelated words in this particular document body")) ++
+      Seq.tabulate(6)(i => (100L + i, "same exact duplicate text repeated verbatim here")))
+      .toDF("doc_id", "text")
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exhaustive = asSet(Dedup.ngramJaccardPairs(docs, threshold = t,
+        dfCap = None))
+      // sanity: the corpus actually produces pairs at this threshold
+      assert(exhaustive.nonEmpty)
+      val prefix = asSet(Dedup.ngramJaccardPairs(docs, threshold = t))
+      assert(prefix === exhaustive, s"threshold $t")
+    }
+  }
+
+  test("sampled histogram: doc_id%4 sample with mod² estimator") {
+    // docs 0,4,8,12 are the sampled ids; plant an identical pair inside
+    // the sample and one straddling it (16 ∉ sample? 16%4=0 — use 5,6)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "one two three four five six seven eight nine ten eleven"),
+      (6L, "one two three four five six seven eight nine ten eleven"),
+      (8L, "completely unrelated words in this particular document body"))
+      .toDF("doc_id", "text")
+    val h = Dedup.jaccardHistogramSampled(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the 0≈4 pair is inside the sample; 5≈6 must not appear
+    assert(h.toSeq === Seq((10L, 1L, 16L)))
+  }
+
   test("every dedup operator returns empty on an empty corpus, no crash") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(noDocs).count() === 0)

@@ -159,7 +159,9 @@ object SparkEntry {
     "cohort_retention"    -> (Sessions.qCohortRetention _),
     "resample_hourly"     -> (Sessions.qResampleHourly _),
     "rolling_metrics"     -> (Sessions.qRollingMetrics _),
+    "trend_by_type"       -> (Sessions.qTrendByType _),
     "graph_triangles"     -> (Graph.qTriangles _),
+    "graph_pagerank"      -> (Graph.qPageRank _),
     "dq_audit"            -> (Quality.qDqAudit _),
     "q27_cooccurrence"    -> (Relational.q27Cooccurrence _),
     // --- similarity search ---
@@ -193,6 +195,8 @@ object SparkEntry {
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
+    "text_bm25"           -> (TextStats.qBm25 _),
+    "corpus_vocab_stats"  -> (TextStats.qVocabStats _),
     // --- benchmark decontamination ---
     "decon_hits"          -> (Decontamination.qDeconHits _),
     "decon_bloom"         -> (Decontamination.qDeconBloom _),
@@ -241,6 +245,37 @@ object SparkEntry {
       |  JOIN sizes sb ON db = sb.doc_id)""".stripMargin
 
   private val shingleCte = shingleCteOn("documents")
+
+  /** 5-iteration PageRank over the co-supply graph, UNROLLED — DuckDB
+    * (following Postgres) forbids aggregation in a recursive CTE term,
+    * so each iteration is its own CTE; generated by the same loop count
+    * as Graph.pageRank's, with the arithmetic written in the identical
+    * operation order (the only cross-engine divergence is per-node
+    * neighbor-sum addend order, absorbed by the driver's 4dp canon). */
+  private val pageRankSql: String = {
+    val iters = 5
+    val head =
+      """WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |    FROM lineitem),
+        |pe AS (SELECT x.s AS a, y.s AS b FROM so x
+        |       JOIN so y ON x.o = y.o AND x.s < y.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 25),
+        |edges AS (SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe),
+        |deg AS (SELECT a, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+        |nodes AS (SELECT a AS node FROM deg),
+        |nc AS (SELECT count(*)::DOUBLE AS c FROM deg),
+        |p0 AS (SELECT node, 1.0 / (SELECT c FROM nc) AS s FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT n.node,
+         |  (1 - 0.85) / (SELECT c FROM nc) + 0.85 * coalesce(f.inflow, 0) AS s
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.b AS node, sum(p.s / deg.d) AS inflow
+         |    FROM edges e JOIN deg ON e.a = deg.a JOIN p${i - 1} p ON e.a = p.node
+         |    GROUP BY e.b) f ON n.node = f.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, round(s, 6) AS pagerank FROM p$iters ORDER BY node"
+  }
 
   private val jaccardPairsSql =
     s"""WITH $shingleCte
@@ -599,6 +634,20 @@ object SparkEntry {
         |SELECT supplier, count(*)::BIGINT AS n_triangles
         |FROM n GROUP BY supplier
         |ORDER BY n_triangles DESC, supplier LIMIT 10""".stripMargin,
+    "graph_pagerank" -> pageRankSql,
+    // trend_by_type: x = hour-truncated epoch days (exact integer-valued
+    // doubles in both engines); slope/intercept written in the identical
+    // operation order as the Spark side.
+    "trend_by_type" ->
+      """WITH t AS (SELECT event_type,
+        |    epoch(date_trunc('hour', ts)) / 86400.0 AS x, value
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(covar_pop(x, value) / var_pop(x), 4) AS slope_per_day,
+        |  round(avg(value) - covar_pop(x, value) / var_pop(x) * avg(x), 4)
+        |    AS intercept
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dq_audit" ->
       """WITH d AS (SELECT
         |    (count(*) - count(DISTINCT doc_id))::BIGINT AS dup_doc_id,
@@ -800,6 +849,39 @@ object SparkEntry {
         |FROM bc JOIN uc u1 ON split_part(bg, ' ', 1) = u1.u
         |        JOIN uc u2 ON split_part(bg, ' ', 2) = u2.u, tot
         |ORDER BY cb DESC, bg LIMIT 20""".stripMargin,
+    // text_bm25: formula written with the IDENTICAL operator order and
+    // literals as the Scala side; the only cross-engine divergence is
+    // the per-doc sum's addend order (≤3 terms), inside 4dp rounding —
+    // the q11 rounded-double-sum convention. The cutoff orders by the
+    // ROUNDED score with doc_id tiebreak in both engines.
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |       WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, count(*)::BIGINT AS n_hit_terms,
+        |  round(sum(ln(1 + (nd - df + 0.5) / (df + 0.5))
+        |    * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+        |    AS bm25
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "corpus_vocab_stats" ->
+      """WITH t AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, count(*)::BIGINT AS n_tokens FROM t GROUP BY 1),
+        |d AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |v AS (SELECT source, count(DISTINCT term)::BIGINT AS n_distinct_terms
+        |      FROM t GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_distinct_terms,
+        |  round(n_distinct_terms::DOUBLE / n_tokens, 4) AS ttr
+        |FROM c JOIN d USING (source) JOIN v USING (source)
+        |ORDER BY source""".stripMargin,
     "text_rarity" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),

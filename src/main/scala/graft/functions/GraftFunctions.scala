@@ -34,6 +34,13 @@ object GraftFunctions {
       case Seq(s) => NfcNormalize(s)
       case other => throw new IllegalArgumentException(
         s"nfc_normalize expects 1 argument, got ${other.size}")
+    },
+    "hashed_shingles" -> {
+      // n must be a literal int: it is part of the expression's shape.
+      case Seq(s, Literal(n: Int, IntegerType)) => HashedShingles(s, n)
+      case other => throw new IllegalArgumentException(
+        "hashed_shingles expects (text, n literal int), got " +
+          other.map(_.sql).mkString(", "))
     })
 
   def register(spark: SparkSession): Unit =

@@ -92,58 +92,28 @@ object Dedup {
   }
 
   /** (doc_id, shingles: array<bigint>) — distinct word n-grams per doc as
-    * 64-bit hashes, one UDF pass. The dedup pipelines only ever need SET
-    * semantics over shingles (membership, intersection size, document
-    * frequency), so carrying the n-gram STRINGS through the candidate
-    * joins pays 20–40 bytes of shuffle key per posting row where 8 do:
-    * every downstream exchange (df aggregation, posting self-join,
-    * verification rejoin) shrinks ~3–4× by hashing at the source. A
-    * 64-bit hash over a ~10⁸-shingle vocabulary has collision probability
-    * ~(10⁸)²/2⁶⁵ ≈ 3e-4 for ONE colliding pair somewhere in the corpus —
-    * and a collision only perturbs one pair's intersection count by 1,
-    * so the sf-scale oracle comparison is unaffected in practice.
+    * 64-bit hashes, one codegen'd pass. The dedup pipelines only ever
+    * need SET semantics over shingles (membership, intersection size,
+    * document frequency), so carrying the n-gram STRINGS through the
+    * candidate joins pays 20–40 bytes of shuffle key per posting row
+    * where 8 do: every downstream exchange (df aggregation, posting
+    * self-join, verification rejoin) shrinks ~3–4× by hashing at the
+    * source. A 64-bit hash over a ~10⁸-shingle vocabulary has collision
+    * probability ~(10⁸)²/2⁶⁵ ≈ 3e-4 for ONE colliding pair somewhere in
+    * the corpus — and a collision only perturbs one pair's intersection
+    * count by 1, so the sf-scale oracle comparison is unaffected in
+    * practice.
     *
-    * Hashing: per-word XXH64 (seed 42) over UTF-8 bytes, then the n word
-    * hashes are chained with XXH64.hashLong — position-sensitive mixing,
-    * no StringBuilder concat per shingle (the string path builds every
-    * n-gram string only to hash it moments later; this never materializes
-    * them). Distinctness is first-occurrence on the HASH values, matching
-    * [[shingleDocs]]' set semantics. */
-  def hashedShingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    val shingleUdf = udf { text: String =>
-      val words =
-        if (text == null) Array.empty[String]
-        else text.split(" ").filter(_.nonEmpty)
-      if (words.length < n) Seq.empty[Long]
-      else {
-        val wh = new Array[Long](words.length)
-        var i = 0
-        while (i < words.length) {
-          val bytes = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          wh(i) = XXH64.hashUnsafeBytes(bytes,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            bytes.length, 42L)
-          i += 1
-        }
-        val set = new java.util.LinkedHashSet[java.lang.Long]
-        i = 0
-        while (i <= words.length - n) {
-          var h = 42L
-          var j = 0
-          while (j < n) { h = XXH64.hashLong(wh(i + j), h); j += 1 }
-          set.add(h)
-          i += 1
-        }
-        val out = new Array[Long](set.size)
-        val it = set.iterator()
-        var k = 0
-        while (it.hasNext) { out(k) = it.next(); k += 1 }
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
-      }
-    }
-    docs.select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
-  }
+    * The kernel is the native [[graft.functions.HashedShingles]]
+    * expression (in-place XXH64 over the UTF8String's bytes, zero
+    * per-word allocation, inside whole-stage codegen) — see its doc for
+    * why it replaced the UDF formulation. */
+  def hashedShingleDocs(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.HashedShingles(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), n))
+        .as("shingles"))
 
   /** Eagerly materialize the hot-key side of a skew guard WITHOUT ever
     * collecting it to the driver: the aggregate is computed
@@ -201,9 +171,14 @@ object Dedup {
     * the hot vocabulary itself is huge. Returns (coldRows, starPairs)
     * where starPairs has columns (doc_a, doc_b), doc_a < doc_b (the
     * representative is the bucket minimum). */
+  /** Hot side of a [[splitHotKeysStar]]: the star candidate pairs plus
+    * the hot key set itself (callers that can cheapen verification need
+    * to know WHICH keys were degraded — see [[ngramJaccardCore]]). */
+  private[operators] case class HotSplit(star: DataFrame, hotKeys: DataFrame)
+
   private def splitHotKeysStar(df: DataFrame, keys: Seq[String],
       idCol: String, cap: Int, what: String)
-      : (DataFrame, Option[DataFrame]) = {
+      : (DataFrame, Option[HotSplit]) = {
     val (hot, nHot) = materializeHot(
       df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("rep"))
@@ -218,7 +193,7 @@ object Dedup {
         .filter(col(idCol) =!= col("rep"))
         .select(col("rep").as("doc_a"), col(idCol).as("doc_b"))
         .distinct()
-      (cold, Some(star))
+      (cold, Some(HotSplit(star, hot.select(keys.map(col): _*))))
     }
   }
 
@@ -267,11 +242,20 @@ object Dedup {
     * nothing (knowable on the driver — the hot-key COUNT is computed
     * either way), that count IS the exact intersection size, so Jaccard comes
     * straight from `|A∩B| / (|A|+|B|−|A∩B|)` with two narrow size joins
-    * — no shingle-array rejoin, no array_intersect. Only when hot
-    * shingles actually existed is the count a lower bound; then the full
-    * array-verification path runs on the counted candidates UNIONed with
-    * the hot buckets' star candidates (see [[splitHotKeysStar]]), so
-    * groups of > dfCap near-identical docs still surface. */
+    * — no shingle-array rejoin, no array_intersect.
+    *
+    * When hot shingles DID exist, a pair's count is a lower bound only
+    * if the pair could share a hot shingle — i.e. only if at least one
+    * endpoint CONTAINS a hot shingle. So the count-trick still settles
+    * every pair whose endpoints are both hot-free, and array
+    * verification is restricted to the hot-adjacent pairs plus the hot
+    * buckets' star candidates ([[splitHotKeysStar]]). That split is what
+    * keeps the low-threshold histogram affordable on a near-dup-heavy
+    * corpus: the 10× scale smoke measured verification-of-everything at
+    * 83× wall on neardup replicas, where hot docs are 2% of the corpus —
+    * the exact-by-count majority never needed the rejoin. The counted
+    * pair table is pinned before fanning out to its three consumers
+    * (safe/risky/verify) so the Σ df′² join runs once. */
   private[operators] def ngramJaccardCore(docs: DataFrame,
       threshold: Double = 0.8, n: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
@@ -284,7 +268,7 @@ object Dedup {
     // shares one exchange and the checkpoint would be pure overhead.
     val posting0 =
       if (dfCap.isDefined) posting1.localCheckpoint() else posting1
-    val (posting, star) = dfCap match {
+    val (posting, hotSplit) = dfCap match {
       case None => (posting0, None)
       case Some(cap) =>
         splitHotKeysStar(posting0, Seq("shingle"), "doc_id", cap,
@@ -297,17 +281,12 @@ object Dedup {
     // threshold, and broadcasting a fact-sized posting list is wrong at
     // every scale (driver collect + single-threaded build locally, OOM on
     // a cluster)
-    val counted = a.join(b.hint("shuffle_hash"), Seq("shingle"))
+    val counted0 = a.join(b.hint("shuffle_hash"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
-    if (star.isDefined) {
-      // counts are a lower bound → candidates only; add the hot buckets'
-      // star pairs and verify everything on full shingle sets
-      val cands = counted.select("doc_a", "doc_b")
-        .unionAll(star.get).distinct()
-      verifyJaccard(cands, sh, threshold)
-    } else {
+    // exact Jaccard from the shared-shingle count + two narrow size joins
+    def fromCounts(counted: DataFrame): DataFrame = {
       val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
       counted
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -316,6 +295,41 @@ object Dedup {
           (col("na") + col("nb") - col("n_common")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+    hotSplit match {
+      case None => fromCounts(counted0)
+      case Some(HotSplit(star, hotKeys)) =>
+        // Three consumers below — materialize the Σ df′² join output
+        // once, DISK_ONLY + eager count: on a near-dup-heavy corpus the
+        // pair table is the largest thing in the query (tens of millions
+        // of rows at the smoke's 10× scale), and holding it in the
+        // unified memory pool starves the very hash aggregations that
+        // produce and consume it (measured: AGGREGATE_OUT_OF_MEMORY at
+        // x10 neardup with a memory-resident pin). Disk blocks cost a
+        // sequential write + three streamed reads and zero heap. The
+        // ContextCleaner reclaims the blocks when the plan is GC'd (the
+        // lazy result can't unpersist eagerly).
+        val counted = counted0.persist(
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        counted.count()
+        // docs that CONTAIN a hot shingle: only pairs touching one can
+        // have undercounted intersections (the pinned posting0 makes
+        // this a cheap join over materialized blocks)
+        val hotDocs = posting0
+          .join(hotKeys, Seq("shingle"), "left_semi")
+          .select("doc_id").distinct().localCheckpoint()
+        val hotA = hotDocs.select(col("doc_id").as("doc_a"))
+        val hotB = hotDocs.select(col("doc_id").as("doc_b"))
+        val safe = counted
+          .join(hotA, Seq("doc_a"), "left_anti")
+          .join(hotB, Seq("doc_b"), "left_anti")
+        val risky = counted.select("doc_a", "doc_b")
+          .join(hotA, Seq("doc_a"), "left_semi")
+          .unionAll(counted.select("doc_a", "doc_b")
+            .join(hotB, Seq("doc_b"), "left_semi"))
+          .unionAll(star)
+          .distinct()
+        fromCounts(safe).unionAll(verifyJaccard(risky, sh, threshold))
     }
   }
 
@@ -372,7 +386,7 @@ object Dedup {
     // the prefix posting feeds the hot-key aggregation and both join
     // sides — pin it so the df-join + window chain runs once
     val prefix = if (dfCap.isDefined) prefix0.localCheckpoint() else prefix0
-    val (cold, star) = dfCap match {
+    val (cold, hotSplit) = dfCap match {
       case None => (prefix, None)
       case Some(cap) =>
         splitHotKeysStar(prefix, Seq("shingle"), "doc_id", cap,
@@ -388,7 +402,8 @@ object Dedup {
         least(col("na"), col("nb")).cast("double") >=
           greatest(col("na"), col("nb")) * threshold)
       .select("doc_a", "doc_b")
-    val cands = star.fold(selfCands)(selfCands.unionAll).distinct()
+    val cands = hotSplit.fold(selfCands)(h => selfCands.unionAll(h.star))
+      .distinct()
     verifyJaccard(cands, sh, threshold)
   }
 
@@ -500,7 +515,7 @@ object Dedup {
     // only add a materialization pass)
     val banded0 = minhashBands(docs, n, numPerm, bands)
     val banded = if (dfCap.isDefined) banded0.localCheckpoint() else banded0
-    val (capped, star) = dfCap match {
+    val (capped, hotSplit) = dfCap match {
       case None => (banded, None)
       case Some(cap) =>
         splitHotKeysStar(banded, Seq("band", "sig"), "doc_id", cap,
@@ -512,7 +527,8 @@ object Dedup {
     val selfCands = l.join(r.hint("shuffle_hash"), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val cands = star.fold(selfCands)(selfCands.unionAll).distinct()
+    val cands = hotSplit.fold(selfCands)(h => selfCands.unionAll(h.star))
+      .distinct()
     verifyJaccard(cands, hashedShingleDocs(docs, n), threshold)
   }
 

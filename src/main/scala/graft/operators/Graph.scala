@@ -20,19 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Per-node triangle participation, top `k` nodes. Edges = supplier
-    * pairs sharing at least `minShared` distinct orders. */
-  def triangleTopNodes(lineitem: DataFrame, minShared: Int = 25,
-      k: Int = 10): DataFrame = {
+  /** Ordered co-supply edges (a < b): supplier pairs sharing at least
+    * `minShared` distinct orders. The per-order pair blowup is bounded
+    * by per-order supplier count; the threshold keeps the graph sparse. */
+  def coSupplyEdges(lineitem: DataFrame, minShared: Int = 25): DataFrame = {
     val so = lineitem
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       .distinct()
-    val e = so.as("x").join(so.as("y"),
+    so.as("x").join(so.as("y"),
         col("x.o") === col("y.o") && col("x.s") < col("y.s"))
       .groupBy(col("x.s").as("a"), col("y.s").as("b"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minShared)
       .select("a", "b")
+  }
+
+  /** Per-node triangle participation, top `k` nodes, over
+    * [[coSupplyEdges]]. */
+  def triangleTopNodes(lineitem: DataFrame, minShared: Int = 25,
+      k: Int = 10): DataFrame = {
+    val e = coSupplyEdges(lineitem, minShared)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -47,8 +54,63 @@ object Graph {
       .limit(k)
   }
 
-  // --- SparkEntry-facing wrapper ----------------------------------------
+  /** Damped PageRank over an undirected edge list, FIXED `iters`
+    * iterations — fixed (not convergence-tested) so the result is a
+    * closed-form function of the graph and therefore oracle-checkable by
+    * an unrolled SQL formulation. Undirected: each edge (a,b) is
+    * symmetrized, outdeg = degree, and every node in the edge list has
+    * degree ≥ 1, so there is no dangling-mass term.
+    *
+    * Scale shape: per iteration, contributions = edges ⋈ degree ⋈ scores
+    * on the source key then groupBy destination — all hash-partitioned
+    * on a node key, cost O(E) per round, never materializing anything
+    * quadratic. Scores are pinned with a localCheckpoint every other
+    * round (the [[Dedup.connectedComponents]] lineage discipline; a real
+    * cluster would use reliable checkpoint()). The node count — the only
+    * driver-side scalar — is one count over the degree table. */
+  def pageRank(edgesAB: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val edges = edgesAB.select(col("a"), col("b"))
+      .unionAll(edgesAB.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg")).persist()
+    val nodes = deg.select(col("a").as("node"))
+    val nC = deg.count()
+    if (nC == 0) {
+      edges.unpersist(); deg.unpersist()
+      return nodes.withColumn("score", lit(0.0)).limit(0)
+    }
+    val baseScore = (1.0 - damping) / nC
+    var pr = nodes.withColumn("score", lit(1.0 / nC))
+    for (i <- 1 to iters) {
+      val contrib = edges
+        .join(deg, "a")
+        .join(pr.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"),
+          (col("score") / col("deg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inflow"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseScore) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("score"))
+      if (i % 2 == 0) pr = pr.localCheckpoint()
+    }
+    val out = pr
+      .select(col("node"), round(col("score"), 6).as("pagerank"))
+      .orderBy("node")
+      .localCheckpoint()
+    edges.unpersist()
+    deg.unpersist()
+    out
+  }
+
+  // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qTriangles(s: SparkSession, dir: String): DataFrame =
     triangleTopNodes(Tables(s, dir, "lineitem"))
+
+  /** Registered query (`graph_pagerank`): 5-iteration PageRank over the
+    * co-supply graph; output (node, pagerank) keyed by supplier. */
+  def qPageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(coSupplyEdges(Tables(s, dir, "lineitem")))
 }

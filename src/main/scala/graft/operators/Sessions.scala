@@ -138,10 +138,39 @@ object Sessions {
       .orderBy("bucket", "event_type")
   }
 
+  /** Per-type linear trend of `value` over time — closed-form least
+    * squares (slope = covar_pop/var_pop, intercept = ȳ − slope·x̄) in
+    * ONE conditional-aggregate scan; no window, no join, trivially
+    * map-side-combinable at any scale. x is days since epoch from the
+    * HOUR-truncated timestamp: truncation makes the epoch value an
+    * exact integer-valued double in both engines (sub-second handling
+    * differs between Spark's unix_timestamp and DuckDB's epoch), and
+    * day units keep slope magnitudes in a range where the driver's 4dp
+    * canon rounding is meaningful. Doubles: covariance/variance
+    * accumulate in co-moment form on both engines; addend-order drift
+    * is absorbed by the 4dp rounding (the q11 convention). */
+  def trendByType(events: DataFrame): DataFrame = {
+    val x = unix_timestamp(date_trunc("hour", col("ts"))) / lit(86400.0)
+    val slope = covar_pop(col("x"), col("value")) / var_pop(col("x"))
+    events
+      .select(col("event_type"), x.as("x"), col("value"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(slope, 4).as("slope_per_day"),
+        round(avg(col("value")) - slope * avg(col("x")), 4).as("intercept"))
+      .orderBy("event_type")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     sessionize(Tables.events(s, dir))
+
+  /** Registered query (`trend_by_type`). */
+  def qTrendByType(s: SparkSession, dir: String): DataFrame =
+    trendByType(Tables.events(s, dir))
 
   def qFunnel(s: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(s, dir))

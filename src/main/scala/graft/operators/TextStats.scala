@@ -177,8 +177,82 @@ object TextStats {
           .as("postings"))
       .orderBy("term")
 
+  /** BM25 ranked retrieval for a bag-of-words query — the IR scoring
+    * half on top of [[invertedIndex]]: score(d) = Σ_t idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), idf(t) = ln(1 + (N−df+0.5)
+    * /(df+0.5)) (Robertson–Spärck Jones; public IR literature). The
+    * corpus here is the token-bearing docs (dl ≥ 1): N and avgdl are
+    * defined over that set, computed in ONE aggregate and broadcast as a
+    * 1-row frame.
+    *
+    * Plan shape: the term stream is filtered to the query terms AT THE
+    * SCAN (isin over a literal list → pushed predicate), so the tf
+    * aggregation shuffles only matching rows — at 100 TB the shuffle is
+    * bounded by the query terms' posting lists, not the token stream.
+    * The doc-length table joins on doc_id (key-partitioned); the df side
+    * is ≤ |query| rows and broadcasts. Ordering is by the ROUNDED score
+    * (then doc_id), so the top-k cut is reproducible cross-engine — the
+    * same 4dp-rounded-double convention as the q11 oracle; ties inside
+    * one rounded score resolve by doc_id. */
+  def bm25Retrieval(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Retrieval needs ≥1 query term")
+    val terms = termStream(docs)
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), avg(col("dl")).as("avgdl"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        round(sum(col("contrib")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Per-source vocabulary statistics — the corpus-mixture diagnostic
+    * (which slices are token-rich, which are repetitive): doc count,
+    * token count, exact distinct-term count and type-token ratio per
+    * `source`. All-integer aggregates plus one final rounded division,
+    * so exactly reproducible cross-engine. Two shuffles, both
+    * key-partitioned: (source, term) pre-aggregation (map-side combine
+    * collapses the token stream to the per-source vocab), then the
+    * per-source rollup joined with the docs/tokens aggregate. */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val counts = st.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"))
+      .join(docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "source")
+    val vocab = st.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(count(lit(1)).as("n_distinct_terms"))
+    counts.join(vocab, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_terms"),
+        round(col("n_distinct_terms").cast("double") / col("n_tokens"), 4)
+          .as("ttr"))
+      .orderBy("source")
+  }
+
   def qTopTerms(s: SparkSession, dir: String): DataFrame =
     topTerms(Tables.documents(s, dir))
+
+  /** Registered query (`text_bm25`): 3-term BM25 retrieval, top 10. */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Retrieval(Tables.documents(s, dir), Seq("hash", "join", "vector"))
+
+  /** Registered query (`corpus_vocab_stats`). */
+  def qVocabStats(s: SparkSession, dir: String): DataFrame =
+    vocabStats(Tables.documents(s, dir))
 
   def qCollocations(s: SparkSession, dir: String): DataFrame =
     collocations(Tables.documents(s, dir))

@@ -127,7 +127,8 @@ object StreamingOps {
     * canonical streaming-join shape. Inner-join matches emit as soon as
     * both rows have arrived (no watermark wait), so append mode needs no
     * sentinel. */
-  def streamStreamIntervalJoin(events: DataFrame): DataFrame = {
+  def streamStreamIntervalJoin(events: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = events.filter(col("event_type") === "view")
       .withWatermark("ts", "2 hours")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
@@ -138,9 +139,23 @@ object StreamingOps {
     p.join(v,
       col("user_id") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("p_id"), col("v_id"), col("user_id"))
   }
+
+  /** Left-outer stream-stream interval join: purchases with NO view in
+    * the preceding hour still emit — with a null v_id — once the
+    * watermark passes the last instant a matching view could arrive.
+    * Same bounded state as the inner join (both sides watermarked, event
+    * time bounded in the condition); the only behavioral addition is the
+    * watermark-delayed emission of unmatched rows, which is why the
+    * oracle-checked registered query uses the inner form (outer-row
+    * timing depends on micro-batch boundaries — deterministic under a
+    * controlled MemoryStream, pinned in StreamingSpec, but not a
+    * function of the INPUT alone under file replay). */
+  def streamStreamLeftOuterJoin(events: DataFrame): DataFrame =
+    streamStreamIntervalJoin(events, "left_outer")
 
   /** SparkEntry wrapper: the interval join run over the events replay,
     * append mode.

@@ -27,6 +27,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(sh(6L).isEmpty)
   }
 
+  test("hashed shingles: native expression matches string shingle sets; null/short docs empty") {
+    val withNull = corpus.unionAll(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val str = Dedup.shingleDocs(withNull).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val hashed = Dedup.hashedShingleDocs(withNull).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // same per-doc set cardinality (64-bit hashing is injective here) and
+    // equal docs hash to equal sets
+    str.foreach { case (id, s) => assert(hashed(id).size === s.size, s"doc $id") }
+    assert(hashed(3L) === hashed(4L))
+    assert(hashed(6L).isEmpty && hashed(9L).isEmpty)
+    // consecutive spaces tokenize like split(" ")+nonEmpty filter
+    val spaced = Seq((1L, "a  b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sp = Dedup.hashedShingleDocs(spaced).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sp(1L) === sp(2L))
+  }
+
   test("exact ngram jaccard finds planted pairs and nothing else") {
     val pairs = Dedup.ngramJaccardPairs(corpus, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -10,9 +10,39 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
     val reg = GraftColumnBridge.freshRegistryWith(ext)
-    for (name <- Seq("cosine_similarity", "top_k_by_score", "nfc_normalize"))
+    for (name <- Seq("cosine_similarity", "top_k_by_score", "nfc_normalize",
+        "hashed_shingles"))
       assert(reg.functionExists(FunctionIdentifier(name)),
         s"$name not injected")
+  }
+
+  test("interpreted and codegen'd hashed_shingles agree; SQL door matches Column API") {
+    import graft.functions.HashedShingles
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = "one two three two one two three four"
+    val expr = HashedShingles(org.apache.spark.sql.catalyst.expressions
+      .Literal(UTF8String.fromString(in), StringType), 3)
+    val interpreted = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray
+    // 6 trigram positions, "one two three" repeats → 5 distinct
+    assert(interpreted.length === 5)
+    assert(interpreted.distinct.length === 5)
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(
+        Seq(HashedShingles(BoundReference(0, StringType, nullable = true), 3)))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(in))
+    assert(proj(row).getArray(0).toLongArray.toSeq === interpreted.toSeq)
+    // null input → EMPTY array (not null), through codegen too
+    assert(proj(org.apache.spark.sql.catalyst.InternalRow(null))
+      .getArray(0).numElements() === 0)
+    // SQL registration door
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(s"SELECT hashed_shingles('$in', 3) AS hs")
+      .head.getSeq[Long](0)
+    assert(viaSql === interpreted.toSeq)
   }
 
   test("nfc_normalize composes combining marks and is identity on ASCII/NFC") {

@@ -34,6 +34,30 @@ class GraphQualitySpec extends AnyFunSuite with SparkFixture {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("pagerank: uniform on a symmetric clique; hub outranks leaves on a star") {
+    // 3-clique: perfect symmetry → every node keeps score 1/3 at every
+    // iteration (exact fixed point, independent of iteration count)
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val cl = Graph.pageRank(clique).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cl.keySet === Set(1L, 2L, 3L))
+    cl.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
+    // star 0–{1,2,3}: the hub receives all leaf mass → strictly higher
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val st = Graph.pageRank(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(st(0L) > st(1L))
+    assert(math.abs(st(1L) - st(2L)) < 1e-12 &&
+      math.abs(st(1L) - st(3L)) < 1e-12)
+    // probability mass is conserved (no dangling nodes by construction)
+    assert(math.abs(st.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pagerank on an empty edge list returns empty, no crash") {
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.pageRank(none).count() === 0)
+  }
+
   test("dq audit reports exact violation counts per check") {
     val docs = Seq(
       (1L, "hello", 5L),

@@ -17,7 +17,8 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     * broadcast 1-row query vector, and the broadcast 1-row corpus-total
     * scalars of the corpus-stats queries. */
   private val bnljAllowed = Set("q18b_theta_band", "q15_cosine_topk",
-    "text_top_terms", "sim_batch_topk", "corpus_drift", "quantile_filter")
+    "text_top_terms", "sim_batch_topk", "corpus_drift", "quantile_filter",
+    "text_bm25")
 
   test("no registered query plans a cartesian product; BNLJ only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1)

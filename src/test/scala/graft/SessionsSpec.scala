@@ -101,6 +101,23 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
     assert(got(("03", "click")) === ((1L, 0.5, 3L))) // (0+1)/2
   }
 
+  test("trend: exact slope/intercept on a planted linear series; flat series slope 0") {
+    // type "up": value = 2·day + 1 sampled at days 0,1,2 (hour-aligned
+    // timestamps) → slope exactly 2, intercept exactly 1.
+    // type "flat": constant 5 → slope 0, intercept 5.
+    def dayTs(d: Int) = new Timestamp(d * 86400000L)
+    val ev = Seq(
+      (1L, 1L, dayTs(0), "up", 1.0), (2L, 1L, dayTs(1), "up", 3.0),
+      (3L, 1L, dayTs(2), "up", 5.0),
+      (4L, 2L, dayTs(0), "flat", 5.0), (5L, 2L, dayTs(2), "flat", 5.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Sessions.trendByType(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("up") === ((3L, 3.0, 2.0, 1.0)))
+    assert(got("flat") === ((2L, 5.0, 0.0, 5.0)))
+  }
+
   test("funnel costs ONE user-key shuffle: windows and per-user agg share the exchange") {
     val plan = Sessions.funnel(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString

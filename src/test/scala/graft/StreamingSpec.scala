@@ -263,6 +263,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
   }
 
+  test("left-outer interval join: unmatched purchases emit null views only after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Long) = new Timestamp(h * 3600000L)
+    // columns: event_id, ts, user_id, event_type
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val joined = StreamingOps.streamStreamLeftOuterJoin(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+    val name = s"lojoin_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1: view at 9h, purchase at 10h (matched within 1h)
+      // user 2: purchase at 10h with NO view → outer row, later
+      mem.addData((1L, ts(9), 1L, "view"), (2L, ts(10), 1L, "purchase"),
+        (3L, ts(10), 2L, "purchase"))
+      q.processAllAvailable()
+      val early = spark.table(name).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      // matched pair emits immediately; the unmatched purchase must NOT
+      // have emitted yet (watermark still at 10h − 2h = 8h)
+      assert(early.toSet === Set((2L, 1L)))
+      // the query watermark is the MIN across both watermarked branches
+      // (view and purchase filters of the one stream), so BOTH sides
+      // need a far-future event to advance it to 40h − 2h = 38h — well
+      // past purchase 3's last matchable instant → outer row emits.
+      // Distinct users (8 ≠ 9) keep the two advancing events unmatched.
+      mem.addData((9L, ts(40), 9L, "view"), (10L, ts(40), 8L, "purchase"))
+      q.processAllAvailable()
+      val late = spark.table(name).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(late.toSet === Set((2L, 1L), (3L, -1L)))
+    } finally q.stop()
+  }
+
   test("sliding windows double-count each event across overlapping windows") {
     def ts(min: Long) = new Timestamp(min * 60000L)
     val events = Seq((1L, ts(61), 1L, "click", 1.0, "{}"))

@@ -111,6 +111,40 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r.length === 1 && r.head.getLong(1) === 3L) // 3 bigrams
   }
 
+  test("bm25: term-hit doc ranks above partial hits; missing terms score nothing") {
+    val docs = Seq(
+      (1L, "hash join vector hash join"),   // all 3 query terms, tf-heavy
+      (2L, "hash table scan row batch"),    // 1 query term
+      (3L, "merge sort run length code"),   // 0 query terms → absent
+      (4L, "join vector join vector join")) // 2 query terms
+      .toDF("doc_id", "text")
+    val got = TextStats.bm25Retrieval(docs, Seq("hash", "join", "vector"))
+      .collect()
+    assert(got.map(_.getLong(0)).toSet === Set(1L, 2L, 4L)) // doc 3 absent
+    val byDoc = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(1L) === 3L && byDoc(4L) === 2L && byDoc(2L) === 1L)
+    // full-coverage doc outranks the single-hit doc
+    val order = got.map(_.getLong(0)).toSeq
+    assert(order.indexOf(1L) < order.indexOf(2L))
+  }
+
+  test("bm25 plan: query-term filter is pushed to the scan side, df side broadcasts") {
+    val plan = TextStats.bm25Retrieval(docs, Seq("alpha", "beta"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("vocabStats: exact per-source token and vocab counts") {
+    val docs = Seq(
+      (1L, "a b a", "s1"), (2L, "a c", "s1"), (3L, "x y z x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextStats.vocabStats(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("s1") === ((2L, 5L, 3L, 0.6)))   // tokens a,b,a,a,c; vocab a,b,c
+    assert(got("s2") === ((1L, 4L, 3L, 0.75)))  // x,y,z,x; vocab x,y,z
+  }
+
   test("topTerms plan: the only window is doc_id-partitioned") {
     val plan = TextStats.topTerms(docs).queryExecution.executedPlan.toString
     assert(plan.contains("Window"), plan)

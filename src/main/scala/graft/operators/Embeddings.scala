@@ -73,8 +73,15 @@ object Embeddings {
   def quantizedTopK(emb: DataFrame, queryId: Long = 0L,
       k: Int = 5): DataFrame = {
     val codes = codeVectors(emb)
-    val qcodes = codes.filter(col("vec_id") === queryId)
-      .head().getSeq[Double](1)
+    val qrows = codes.filter(col("vec_id") === queryId).head(1)
+    require(qrows.nonEmpty,
+      s"quantizedTopK: query vec_id=$queryId not found in the corpus")
+    val qcodes = qrows(0).getSeq[Double](1)
+    // An all-zero query quantizes to all-zero codes, whose cosine against
+    // everything is NaN — NaN sorts ABOVE every real double in Spark, so
+    // the "top-k" would be silently garbage rather than failing.
+    require(qcodes.exists(_ != 0.0),
+      s"quantizedTopK: query vec_id=$queryId has zero norm — cosine undefined")
     codes.filter(col("vec_id") =!= queryId)
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine(col("qv"), typedLit(qcodes)))

@@ -60,17 +60,23 @@ object Sessions {
       .agg(max(col("t1").isNotNull).as("r1"),
         max(col("t2").isNotNull).as("r2"),
         max(col("t3").isNotNull).as("r3"))
+    // Stage labels are DATA, not SQL: built with lit()/struct(), never
+    // interpolated into a parsed expression string — a quote or SQL
+    // fragment in a caller-supplied stage name stays an inert label.
     staged
       .agg(
         sum(when(col("r1"), 1L).otherwise(0L)).as("u1"),
         sum(when(col("r2"), 1L).otherwise(0L)).as("u2"),
         sum(when(col("r3"), 1L).otherwise(0L)).as("u3"))
-      .selectExpr(s"""stack(3,
-        '${stages(0)}', 1, u1,
-        '${stages(1)}_after', 2, u2,
-        '${stages(2)}_after', 3, u3) AS (stage, stage_idx, users)""")
-      .select(col("stage"), col("stage_idx").cast("long").as("stage_idx"),
-        col("users"))
+      .select(explode(array(
+        struct(lit(stages(0)).as("stage"),
+          lit(1L).as("stage_idx"), col("u1").as("users")),
+        struct(lit(s"${stages(1)}_after").as("stage"),
+          lit(2L).as("stage_idx"), col("u2").as("users")),
+        struct(lit(s"${stages(2)}_after").as("stage"),
+          lit(3L).as("stage_idx"), col("u3").as("users")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_idx").as("stage_idx"),
+        col("r.users").as("users"))
       .orderBy("stage_idx")
   }
 
@@ -107,6 +113,12 @@ object Sessions {
     val b = events.agg(
       date_trunc("hour", min(col("ts"))).as("lo"),
       date_trunc("hour", max(col("ts"))).as("hi")).head()
+    // Empty events → null bounds; lit(null) in sequence() would be an
+    // analysis error, so short-circuit to an empty frame with the output
+    // schema instead.
+    if (b.isNullAt(0) || b.isNullAt(1))
+      return events.select(date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"), lit(0L).as("n")).limit(0)
     val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
     val counts = events
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))

@@ -72,7 +72,17 @@ object CopyOnWrite {
         s"part-cow-${java.util.UUID.randomUUID.toString.take(8)}-$i.parquet")
       require(fs.rename(p, dst), s"COW commit: rename $p -> $dst failed")
     }
-    touched.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
+    // A silently-failed delete would leave BOTH copies of the rewritten
+    // rows in the table — permanent duplicate keys with no error. Guard
+    // it like the renames above: fail loudly, mid-commit, rather than
+    // corrupt the table. (delete() returning false with the file still
+    // present is the failure; false on an already-gone file is fine.)
+    touched.foreach { f =>
+      val p = new Path(new java.net.URI(f))
+      require(fs.delete(p, false) || !fs.exists(p),
+        s"COW commit: delete of rewritten original $p failed — table now " +
+          "holds duplicate keys; re-run the upsert after removing the file")
+    }
     fs.delete(staging, true)
     touched.length
   }

@@ -43,6 +43,18 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
       s"recall too low: quantized $quant vs full $full")
   }
 
+  test("quantizedTopK: missing query id and zero-norm query fail loudly") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 2f)), (2L, Array(2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val missing = intercept[IllegalArgumentException](
+      Embeddings.quantizedTopK(emb, queryId = 99L))
+    assert(missing.getMessage.contains("99"))
+    val zero = intercept[IllegalArgumentException](
+      Embeddings.quantizedTopK(emb, queryId = 0L))
+    assert(zero.getMessage.contains("zero norm"))
+  }
+
   test("quantization is deterministic across runs") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Embeddings.quantizeInt8(emb).collect().toSeq

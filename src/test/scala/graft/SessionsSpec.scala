@@ -118,6 +118,25 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
     assert(got("flat") === ((2L, 5.0, 0.0, 5.0)))
   }
 
+  test("resample and rolling metrics return empty (not NPE) on an empty events table") {
+    val ev = Seq.empty[(Long, Long, String, Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val rs = Sessions.resampleHourly(ev)
+    assert(rs.columns.toSeq === Seq("bucket", "event_type", "n"))
+    assert(rs.count() === 0)
+    assert(Sessions.rollingMetrics(ev).count() === 0)
+  }
+
+  test("funnel stage names are data, not SQL: quotes in a stage label are safe") {
+    val ev = Seq((1L, 1L, "sign'up", ts(0)), (2L, 1L, "cl'ick", ts(5)),
+      (3L, 1L, "pur'chase", ts(9)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.funnel(ev, Seq("sign'up", "cl'ick", "pur'chase"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map(
+      "sign'up" -> 1L, "cl'ick_after" -> 1L, "pur'chase_after" -> 1L))
+  }
+
   test("funnel costs ONE user-key shuffle: windows and per-user agg share the exchange") {
     val plan = Sessions.funnel(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString

@@ -763,8 +763,10 @@ object Dedup {
     * round, so convergence is O(log diameter), not O(diameter)).
     * Convergence is detected by the monotonically-decreasing label sum
     * (one cheap aggregate per round instead of a join); lineage is
-    * truncated with a localCheckpoint every [[CcCheckpointEvery]] rounds
-    * (a real cluster would use reliable `checkpoint()` on HDFS).
+    * truncated via [[Lineage.pin]] every [[CcCheckpointEvery]] rounds —
+    * reliable `checkpoint()` when the caller configured a checkpoint dir
+    * (the cluster path: state survives executor loss), localCheckpoint
+    * otherwise.
     * Output: (doc_id, canonical_doc_id = component minimum). */
   private val CcCheckpointEvery = 4
   def connectedComponents(pairs: DataFrame,
@@ -829,7 +831,7 @@ object Dedup {
           coalesce(col("llabel"), col("label"))).as("label"))
       val next =
         (if (iter % CcCheckpointEvery == CcCheckpointEvery - 1)
-          stepped.localCheckpoint()
+          Lineage.pin(stepped)
         else stepped).persist()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
@@ -841,12 +843,12 @@ object Dedup {
     if (!converged)
       log.warn(s"connectedComponents: not converged after $maxIter rounds — " +
         "labels may be non-canonical for components with huge diameter")
-    // Eagerly pin the result (localCheckpoint materializes and truncates
-    // lineage), then release every cache this call created so nothing
-    // leaks into the shared session.
-    val result = labels
-      .select(col("node").as("doc_id"), col("label").as("canonical_doc_id"))
-      .localCheckpoint()
+    // Eagerly pin the result ([[Lineage.pin]] materializes and truncates
+    // lineage — reliable checkpoint when the context has a checkpoint
+    // dir, local otherwise), then release every cache this call created
+    // so nothing leaks into the shared session.
+    val result = Lineage.pin(labels
+      .select(col("node").as("doc_id"), col("label").as("canonical_doc_id")))
     labels.unpersist()
     edges.unpersist()
     p.unpersist()

@@ -64,10 +64,12 @@ object Graph {
     * Scale shape: per iteration, contributions = edges ⋈ degree ⋈ scores
     * on the source key then groupBy destination — all hash-partitioned
     * on a node key, cost O(E) per round, never materializing anything
-    * quadratic. Scores are pinned with a localCheckpoint every other
-    * round (the [[Dedup.connectedComponents]] lineage discipline; a real
-    * cluster would use reliable checkpoint()). The node count — the only
-    * driver-side scalar — is one count over the degree table. */
+    * quadratic. Scores are pinned via [[Lineage.pin]] every other round
+    * (the [[Dedup.connectedComponents]] lineage discipline): reliable
+    * checkpoint() when the caller configured a checkpoint dir — the
+    * cluster path, where per-round state survives executor loss —
+    * localCheckpoint otherwise. The node count — the only driver-side
+    * scalar — is one count over the degree table. */
   def pageRank(edgesAB: DataFrame, iters: Int = 5,
       damping: Double = 0.85): DataFrame = {
     val edges = edgesAB.select(col("a"), col("b"))
@@ -93,12 +95,11 @@ object Graph {
         .select(col("node"),
           (lit(baseScore) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
             .as("score"))
-      if (i % 2 == 0) pr = pr.localCheckpoint()
+      if (i % 2 == 0) pr = Lineage.pin(pr)
     }
-    val out = pr
+    val out = Lineage.pin(pr
       .select(col("node"), round(col("score"), 6).as("pagerank"))
-      .orderBy("node")
-      .localCheckpoint()
+      .orderBy("node"))
     edges.unpersist()
     deg.unpersist()
     out

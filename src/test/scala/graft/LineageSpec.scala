@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Graph, Lineage}
+
+/** The reliable-checkpoint seam (VERDICT r11 item 4): iterative
+  * operators pin lineage with `localCheckpoint()` on local mode, but an
+  * executor loss on a real cluster destroys local-checkpoint blocks
+  * mid-iteration. When the caller configures
+  * `sparkContext.setCheckpointDir(...)`, [[Lineage.pin]] must switch to
+  * reliable `checkpoint()` — state on shared storage — with results
+  * unchanged. */
+class LineageSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def countFiles(dir: java.nio.file.Path): Long = {
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+    finally walk.close()
+  }
+
+  private def withCheckpointDir[A](f: java.nio.file.Path => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try f(dir)
+    finally org.apache.spark.CheckpointDirTestAccess.clear(spark.sparkContext)
+  }
+
+  test("pin: local checkpoint without a dir, reliable checkpoint with one") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    assert(Lineage.pin(df).collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+    withCheckpointDir { dir =>
+      val pinned = Lineage.pin(df)
+      assert(pinned.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+      // the reliable path wrote partition files under the configured dir
+      assert(countFiles(dir) > 0,
+        "no checkpoint files written — pin did not take the reliable path")
+      // and the pinned plan reads back from the reliable checkpoint
+      assert(pinned.rdd.toDebugString.contains("ReliableCheckpointRDD"),
+        pinned.rdd.toDebugString)
+    }
+  }
+
+  test("connected components on a reliable checkpoint dir: files land, labels unchanged") {
+    val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L), (12L, 11L))
+      .toDF("doc_a", "doc_b")
+    def run(): Set[(Long, Long)] =
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    assert(local === Set(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    withCheckpointDir { dir =>
+      assert(run() === local)
+      assert(countFiles(dir) > 0,
+        "CC wrote no reliable-checkpoint state despite a configured dir")
+    }
+  }
+
+  test("pagerank on a reliable checkpoint dir: scores unchanged") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    def run(): Map[Long, Double] =
+      Graph.pageRank(edges).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = run()
+    withCheckpointDir { dir =>
+      assert(run() === local)
+      assert(countFiles(dir) > 0,
+        "PageRank wrote no reliable-checkpoint state despite a configured dir")
+    }
+  }
+}

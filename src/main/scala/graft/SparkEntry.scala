@@ -727,16 +727,23 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)
          |ORDER BY d.doc_id""".stripMargin,
+    // dedup_threshold_hist: the exact form runs at the lo=0.3 floor
+    // (below it the pair join is corpus-quadratic; jaccardHistogram
+    // gates lower thresholds behind allowFullScan, and the sampled query
+    // below is the at-scale path for low-threshold tuning).
     "dedup_threshold_hist" ->
       s"""WITH $shingleCte
          |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
          |  count(*)::BIGINT AS n_pairs
-         |FROM jac WHERE j >= 0.05 GROUP BY 1 ORDER BY 1""".stripMargin,
-    // dedup_hist_sampled: deterministic doc_id % 4 sample — the oracle
-    // reproduces the exact sample, so the sampled histogram is
-    // hash-checkable even though it ESTIMATES the population counts.
+         |FROM jac WHERE j >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dedup_hist_sampled: deterministic md5-hash 1/4 sample (first hex
+    // digit of md5(decimal doc_id) in 0-3 — decorrelated from id
+    // strides, unlike a residue-class sample) — the oracle reproduces
+    // the exact sample, so the sampled histogram is hash-checkable even
+    // though it ESTIMATES the population counts.
     "dedup_hist_sampled" ->
-      s"""WITH ${shingleCteOn("(SELECT * FROM documents WHERE doc_id % 4 = 0)")}
+      s"""WITH ${shingleCteOn(
+        "(SELECT * FROM documents WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3'))")}
          |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
          |  count(*)::BIGINT AS n_pairs,
          |  (count(*) * 16)::BIGINT AS est_n_pairs

@@ -929,33 +929,63 @@ object Dedup {
     * corpus growth. That is a property of the QUESTION (all pairs above a
     * near-zero similarity), not the plan; the at-scale answer is
     * [[jaccardHistogramSampled]]. */
-  def jaccardHistogram(docs: DataFrame, lo: Double = 0.05, n: Int = 3,
-      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+  /** Floor below which the EXACT histogram refuses to run without an
+    * explicit opt-in: at lo ≪ MinExactLo the AllPairs prefix filter
+    * keeps nearly every shingle as a candidate ((1−lo)·n+1 of n), so the
+    * pair join degenerates toward all-pairs-sharing-a-shingle — the one
+    * inherently corpus-quadratic question in the family (r12 smoke:
+    * 4.1× wall at 10× rows even post-prefix-filter, vs ≤2.4× for the
+    * thresholded dedup queries). [[jaccardHistogramSampled]] answers the
+    * same threshold-tuning question at 1/mod² the cost and is the
+    * documented at-scale path. */
+  val MinExactLo = 0.3
+
+  def jaccardHistogram(docs: DataFrame, lo: Double = MinExactLo, n: Int = 3,
+      dfCap: Option[Int] = Some(DefaultDfCap),
+      allowFullScan: Boolean = false): DataFrame = {
+    require(lo >= MinExactLo || allowFullScan,
+      s"jaccardHistogram: lo=$lo below the $MinExactLo floor makes the " +
+        "exact pair join quadratic in near-dup-saturated corpora; use " +
+        "jaccardHistogramSampled (the at-scale path) or opt in with " +
+        "allowFullScan=true")
     ngramJaccardCore(docs, lo, n, dfCap)
       .withColumn("band10", floor(col("jaccard") * 10).cast("long"))
       .groupBy("band10").agg(count(lit(1)).as("n_pairs"))
       .orderBy("band10")
+  }
 
   /** Sampled Jaccard-band histogram — the scale path for threshold
-    * tuning. Deterministic 1/`mod` document sample (`doc_id % mod = 0` —
-    * exactly reproducible by any engine, which is what makes it
-    * oracle-checkable, unlike rand()-based sampling); a pair survives
-    * with probability 1/mod², so `est_n_pairs = n_pairs · mod²` is an
-    * unbiased estimate of each band's population count. Cost shrinks
-    * mod²× (the candidate join is quadratic in sample density), which
-    * turns the one inherently-quadratic dedup query into a constant-
-    * factor choice: tune `mod` so the sample's pair join fits the
-    * cluster. Bands whose true count is ≪ mod² may sample to zero —
-    * fine for threshold tuning, where the interesting bands are the
-    * populated ones. */
+    * tuning. Deterministic 1/`mod` document sample by HASH, not residue:
+    * keep docs whose `md5(decimal doc_id)` starts with one of the first
+    * `16/mod` hex digits (the [[Sampling]] idiom — exactly reproducible
+    * by any engine, which is what makes it oracle-checkable, unlike
+    * rand()-based sampling). Hashing decorrelates the sample from id-
+    * assignment patterns: a residue-class sample (`doc_id % mod`) keeps
+    * or drops near-dup groups AS A BLOCK whenever a generator strides
+    * ids by a multiple of mod, skewing band estimates systematically;
+    * under md5 the estimator is unbiased for any id pattern short of an
+    * adversarially md5-aligned one. A pair survives with probability
+    * 1/mod², so `est_n_pairs = n_pairs · mod²` estimates each band's
+    * population count. Cost shrinks mod²× (the candidate join is
+    * quadratic in sample density), which turns the one inherently-
+    * quadratic dedup query into a constant-factor choice: tune `mod` so
+    * the sample's pair join fits the cluster. Bands whose true count is
+    * ≪ mod² may sample to zero — fine for threshold tuning, where the
+    * interesting bands are the populated ones. */
   def jaccardHistogramSampled(docs: DataFrame, lo: Double = 0.05,
       n: Int = 3, mod: Int = 4,
-      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
-    ngramJaccardCore(docs.filter(col("doc_id") % mod === 0), lo, n, dfCap)
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    require(16 % mod == 0, s"mod=$mod must divide 16 (hex-digit sampling)")
+    val keep = "0123456789abcdef".take(16 / mod).map(_.toString)
+    ngramJaccardCore(
+      docs.filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin(keep: _*)),
+      lo, n, dfCap)
       .withColumn("band10", floor(col("jaccard") * 10).cast("long"))
       .groupBy("band10").agg(count(lit(1)).as("n_pairs"))
       .withColumn("est_n_pairs", col("n_pairs") * lit(mod.toLong * mod))
       .orderBy("band10")
+  }
 
   def qJaccardHistogram(s: SparkSession, dir: String): DataFrame =
     jaccardHistogram(Tables.documents(s, dir))

@@ -217,19 +217,35 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("sampled histogram: doc_id%4 sample with mod² estimator") {
-    // docs 0,4,8,12 are the sampled ids; plant an identical pair inside
-    // the sample and one straddling it (16 ∉ sample? 16%4=0 — use 5,6)
+  test("exact histogram gates sub-floor thresholds behind an explicit opt-in") {
     val docs = Seq(
-      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-      (5L, "one two three four five six seven eight nine ten eleven"),
-      (6L, "one two three four five six seven eight nine ten eleven"),
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i x"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.jaccardHistogram(docs, lo = 0.05))
+    assert(e.getMessage.contains("jaccardHistogramSampled"))
+    // explicit opt-in still runs the exact form at a low floor…
+    assert(Dedup.jaccardHistogram(docs, lo = 0.05, allowFullScan = true)
+      .count() === 1)
+    // …and thresholds at/above the floor are unaffected
+    assert(Dedup.jaccardHistogram(docs, lo = 0.3).count() === 1)
+  }
+
+  test("sampled histogram: md5-hash sample with 16× estimator") {
+    // The md5(decimal doc_id) first-hex-in-{0..3} sample keeps ids 6 and
+    // 19 of the set below (0, 1 and 8 hash to 'c'): only the 6≈19
+    // identical pair lies inside the sample, and the 0≈1 pair — which a
+    // residue-class sample correlated with id strides might keep or drop
+    // as a block — must not appear.
+    val docs = Seq(
+      (0L, "one two three four five six seven eight nine ten eleven"),
+      (1L, "one two three four five six seven eight nine ten eleven"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (19L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (8L, "completely unrelated words in this particular document body"))
       .toDF("doc_id", "text")
     val h = Dedup.jaccardHistogramSampled(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // only the 0≈4 pair is inside the sample; 5≈6 must not appear
     assert(h.toSeq === Seq((10L, 1L, 16L)))
   }
 

@@ -168,6 +168,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
     "sim_ivf_probe"       -> ((s: SparkSession, d: String) => Similarity.qIvfProbe(s, d)), // no oracle: approximate; spec-pinned vs ivfTopK
     "sim_batch_topk"      -> (Similarity.qBatchTopK _),
+    "sim_recall"          -> ((s: SparkSession, d: String) => Similarity.qRecall(s, d)),
     "emb_quantize"        -> (Embeddings.qQuantize _),
     "sim_quantized_topk"  -> (Embeddings.qQuantizedTopK _),
     // --- dedup family ---
@@ -1006,6 +1007,15 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rnk::BIGINT AS rnk, vec_id, round(cos, 4) AS cos_sim
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // sim_recall: the recall value itself is engine-internal (the oracle
+    // cannot re-run IVF), but the CONTRACT is oracle-checkable — the
+    // query emits pass = (recall ≥ bound), so a recall regression flips
+    // pass to false and hash-mismatches against this constant row. The
+    // driver thereby gates the approximate ANN path every round instead
+    // of only a spec doing so.
+    "sim_recall" ->
+      """SELECT 3::BIGINT AS k, 8::BIGINT AS n_queries,
+        |  CAST(0.6 AS DOUBLE) AS bound, true AS pass""".stripMargin,
     // --- training-batch assembly: exact integer arithmetic end to end ---
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,

@@ -186,6 +186,17 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"recall too low: got $ivf vs $brute")
   }
 
+  test("sim_recall (registered): recall@k vs exact top-k in-engine, clears its bound") {
+    val recall = Similarity.recallAtK(spark, sf0001)
+    assert(recall >= 0.0 && recall <= 1.0)
+    val rows = Similarity.qRecall(spark, sf0001).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 8L)
+    assert(r.getBoolean(3),
+      s"IVF probe recall $recall fell below the registered bound ${r.getDouble(2)}")
+  }
+
   test("distributed Lloyd refinement improves the spherical objective and is deterministic") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val e = Tables.embeddings(spark, sf0001)

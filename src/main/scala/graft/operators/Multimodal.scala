@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * are opaque `binary` columns with typed metadata, processed in
   * partition-sized batches.
   *
-  * The actual codecs (JPEG decode, resampling, frame extraction) are NOT
-  * in this container, so the decode kernel is a clearly marked
-  * deterministic STUB — but everything Spark-side is real and load-bearing
-  * at scale: the schema, the `Dataset[MediaRecord]` encoder, the
+  * IMAGE decode is REAL: [[imageDecode]] reads true dimensions from the
+  * encoded bytes via javax.imageio (ships in every JDK — PNG/JPEG/BMP/
+  * GIF/WBMP), header-only so blobs are never fully rasterized for a
+  * metadata scan. The remaining codecs (audio resampling, video frame
+  * extraction) are NOT in this container, so those kinds take a clearly
+  * marked deterministic STUB — and everything Spark-side is real and
+  * load-bearing at scale either way: the schema, the `Dataset[MediaRecord]` encoder, the
   * mapPartitions batching (one kernel invocation per partition, not per
   * row — the same shape a native/py arrow-batch kernel needs), and the
   * partition sizing story (binary blobs make rows wide; callers size
@@ -31,11 +34,43 @@ object Multimodal {
   case class MediaFeatures(id: Long, kind: String, nBytes: Long,
       width: Int, height: Int, checksum: Long)
 
-  /** STUB decode kernel — deterministic fake standing in for an image
-    * decoder (the real one would go here; the container ships no codec
-    * libraries). Derives pseudo-dimensions from the payload so tests and
-    * oracles are reproducible. Marked prominently so nobody mistakes it
-    * for a real decoder. */
+  /** Media kinds routed to the REAL image decoder — the extension kinds
+    * [[readMediaDirectory]] emits for formats javax.imageio ships
+    * decoders for in every JDK. Synthetic kinds ("text", "image", …)
+    * and non-image media stay on the stub. */
+  private val ImageKinds = Set("png", "jpg", "jpeg", "bmp", "gif", "wbmp")
+
+  /** Real image decode via javax.imageio (in the JDK — no external
+    * codec library): (width, height) of the encoded image, or None when
+    * the payload is not a decodable image (corrupt file, unsupported
+    * format). In-memory only — the disk cache ImageIO defaults to would
+    * mean a tmp-file write PER BLOB on every executor. */
+  def imageDecode(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            // Header-only: getWidth/getHeight read the metadata block,
+            // never the pixel payload — at 100 TB of blobs that is the
+            // difference between a metadata scan and a full decode.
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } finally if (in != null) in.close()
+    } catch { case _: Exception => None }
+
+  /** STUB decode kernel — deterministic fake standing in for the
+    * non-image codecs (audio/video decode aren't in this container).
+    * Derives pseudo-dimensions from the payload so tests and oracles are
+    * reproducible. Marked prominently so nobody mistakes it for a real
+    * decoder; image kinds take [[imageDecode]] instead (see
+    * [[extractFeatures]]). */
   def stubDecode(bytes: Array[Byte]): (Int, Int, Long) = {
     var checksum = 0L
     var i = 0
@@ -49,13 +84,21 @@ object Multimodal {
   }
 
   /** Batched feature extraction: one pass per partition, blobs dropped on
-    * output. This is the seam where a real pipeline swaps in an arrow-batch
-    * / JNI / external-process codec without touching the plan around it. */
+    * output. Image kinds go through the REAL [[imageDecode]] kernel
+    * (header-only dims via javax.imageio), falling back to the stub for
+    * undecodable payloads; everything else takes the stub. The checksum
+    * is always the byte fold — it identifies the BLOB, independent of
+    * which kernel read it. This is the seam where a real pipeline swaps
+    * in an arrow-batch / JNI / external-process codec without touching
+    * the plan around it. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val (w, h, checksum) = stubDecode(m.bytes)
+        val (sw, sh, checksum) = stubDecode(m.bytes)
+        val (w, h) =
+          if (ImageKinds(m.kind)) imageDecode(m.bytes).getOrElse((sw, sh))
+          else (sw, sh)
         MediaFeatures(m.id, m.kind, m.bytes.length.toLong, w, h, checksum)
       }
     }

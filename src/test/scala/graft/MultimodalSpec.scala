@@ -105,6 +105,38 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("real image decode: ImageIO kinds get true dimensions, corrupt payloads fall back") {
+    import java.awt.image.BufferedImage
+    val dir = java.nio.file.Files.createTempDirectory("graft_img")
+    def write(name: String, w: Int, h: Int, fmt: String): Unit = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      javax.imageio.ImageIO.write(img, fmt, dir.resolve(name).toFile)
+    }
+    write("a.png", 37, 23, "png")
+    write("b.bmp", 64, 8, "bmp")
+    java.nio.file.Files.write(dir.resolve("c.png"), Array[Byte](1, 2, 3)) // corrupt
+    // kernel level: real bytes decode to exact dims
+    val pngBytes = java.nio.file.Files.readAllBytes(dir.resolve("a.png"))
+    assert(Multimodal.imageDecode(pngBytes) === Some((37, 23)))
+    assert(Multimodal.imageDecode(Array[Byte](1, 2, 3)) === None)
+    // pipeline level: binaryFile ingest → batched decode → features
+    val media = Multimodal.readMediaDirectory(spark, dir.toString,
+      glob = "*.{png,bmp}")
+    val idByName = media.collect()
+      .map(m => m.sourceUri.split('/').last -> m.id).toMap
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f).toMap
+    val a = feats(idByName("a.png"))
+    assert((a.width, a.height) === ((37, 23)))
+    val b = feats(idByName("b.bmp"))
+    assert((b.width, b.height) === ((64, 8)))
+    // corrupt png: decoder yields None → deterministic stub dims, no crash
+    val c = feats(idByName("c.png"))
+    val (sw, sh, _) = Multimodal.stubDecode(Array[Byte](1, 2, 3))
+    assert((c.width, c.height) === ((sw, sh)))
+  }
+
   test("features drop the payload column (blobs never reach the shuffle)") {
     val schema = implicitly[org.apache.spark.sql.Encoder[MediaFeatures]]
       .schema.fieldNames.toSet

@@ -69,6 +69,18 @@ object Bench {
       else "/root/repo/BASELINE.md"
     }
 
+  /** 1-minute load average — the contention guard (VERDICT r11 item 2):
+    * BENCH_r11 ran under ~2× ambient machine load and its absolute
+    * numbers were judged against baselines measured on an idle box.
+    * Recording load at start and end makes a contended run
+    * self-identifying from the artifact alone (flag runs whose load is
+    * a sizable fraction of the core count). -1 where /proc is absent. */
+  private def loadAvg(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(' ')(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -106,7 +118,8 @@ object Bench {
       failed: Seq[(String, String)],
       baselined: Set[String],
       sfName: String,
-      lineBudget: Int = LineBudget): String = {
+      lineBudget: Int = LineBudget,
+      extraJson: String = ""): String = {
     val (must, rest0) = timings.partition { case (k, _) => baselined(k) }
     val rest = rest0.sortBy { case (k, v) => (-v, k) }
     val total = timings.map(_._2).sum
@@ -121,7 +134,7 @@ object Bench {
         s""","omitted":${cut.length},"omitted_sec":${cs(cut.map(_._2).sum)}"""
       }
     def compactLine(nRest: Int, failedJson: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qsMapFor(nRest)}${omittedJson(nRest)},"failed":$failedJson,"sf":"${esc(sfName)}"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qsMapFor(nRest)}${omittedJson(nRest)},"failed":$failedJson$extraJson,"sf":"${esc(sfName)}"}"""
     // Failure MESSAGES can be 200 chars each — enough to blow the tail
     // window exactly when failures matter most. The compact line carries
     // them truncated to 40 chars; if the line still runs long, degrade to
@@ -167,6 +180,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) => only.isEmpty || only.exists(name.contains)
     }
+    val loadStart = loadAvg()
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     if (warmup) selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -220,6 +234,7 @@ object Bench {
         }
       }
     }
+    val loadEnd = loadAvg()
     samples.foreach { case (name, xs) =>
       val s = xs.sorted
       val mid = s.length / 2
@@ -248,9 +263,11 @@ object Bench {
     val onlyJson = only.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val total = timings.values.sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val compact = renderCompact(timings.toSeq, failed.toSeq, baselined, sfName)
+    val loadJson = s""","load":[${cs(loadStart)},${cs(loadEnd)}]"""
+    val compact = renderCompact(timings.toSeq, failed.toSeq, baselined, sfName,
+      extraJson = loadJson)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qsFull,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median","iters":$iters,"queries":$qsFull,"samples":$ss,"failed":$fs,"n_failed":${failed.size},"only":$onlyJson,"warmup":$warmup$loadJson,"sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     val outPath = java.nio.file.Paths.get(out)
     Option(outPath.getParent)

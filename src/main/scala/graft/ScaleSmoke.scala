@@ -84,15 +84,23 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
-  private def family: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+  private def family: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    // Dev aid (mirrors Bench's SPARK_GRAFT_ONLY): SPARK_GRAFT_SMOKE_ONLY=
+    // substr1,substr2 restricts the family to matching names, for quick
+    // re-measures of a single query's scale curve after a fix.
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       // the documents/embeddings corpus family; text_redact reads the
       // EVENTS table (nanos-timestamp source, not replicated here)
       ((n.startsWith("dedup_") || n.startsWith("text_") ||
         n.startsWith("emb_") || n == "sim_quantized_topk" ||
         n == "mixture_weights" || n == "cow_upsert")
-        && n != "text_redact")
+        && n != "text_redact"
+        && (only.isEmpty || only.exists(n.contains)))
     }
+  }
 
   private def timeFamily(s: SparkSession, dir: String): Seq[(String, Double, Long)] =
     family.map { case (name, fn) =>

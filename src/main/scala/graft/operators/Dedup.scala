@@ -948,7 +948,15 @@ object Dedup {
         "exact pair join quadratic in near-dup-saturated corpora; use " +
         "jaccardHistogramSampled (the at-scale path) or opt in with " +
         "allowFullScan=true")
-    ngramJaccardCore(docs, lo, n, dfCap)
+    // The prefix-filtered core, NOT the count-trick core: the count
+    // trick's Σ df² candidate join is threshold-INDEPENDENT (lo only
+    // filters its output), so a near-dup-saturated corpus pays the full
+    // shared-shingle blowup no matter the floor — the r12 smoke measured
+    // 196 s at 10× neardup rows through ngramJaccardCore vs the prefix
+    // core's candidates-from-rarest-(1−lo)n+1-shingles, which is what
+    // makes the lo ≥ 0.3 floor actually bound the work. Lossless:
+    // DedupSpec pins prefix ≡ exhaustive at t = 0.3/0.5/0.8.
+    prefixJaccardCore(docs, lo, n, dfCap)
       .withColumn("band10", floor(col("jaccard") * 10).cast("long"))
       .groupBy("band10").agg(count(lit(1)).as("n_pairs"))
       .orderBy("band10")

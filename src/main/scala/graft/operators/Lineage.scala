@@ -24,7 +24,13 @@ import org.apache.spark.sql.DataFrame
 object Lineage {
   /** Truncate `df`'s lineage: reliable `checkpoint()` when the session's
     * context has a checkpoint dir configured, `localCheckpoint()`
-    * otherwise. */
+    * otherwise.
+    *
+    * Checkpoint-file hygiene on the reliable path: each pin writes a new
+    * rdd-N directory and Spark only deletes superseded ones when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+    * ContextCleaner reclaims them as the RDDs are GC'd); long-running
+    * clusters should set that alongside the checkpoint dir. */
   def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()

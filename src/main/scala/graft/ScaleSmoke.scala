@@ -70,27 +70,38 @@ object ScaleSmoke {
     Tables.embeddings(s, srcDir)
       .select(col("*"), rep)
       .withColumn("vec_id", col("vec_id") + col("rep") * IdStride)
-      // distinct mode: rotate the vector by `rep` positions — a rotated
-      // dense vector is ~orthogonal to the original, so replicas stop
-      // being near-duplicates (exact copies in neardup mode)
+      // distinct mode: rotate the vector by `rep mod dim` positions — a
+      // rotated dense vector is ~orthogonal to the original, so replicas
+      // stop being near-duplicates (exact copies in neardup mode). The
+      // modulus keeps the slice lengths legal at scale > dim (rep=64 on
+      // 64-dim vectors slices a negative length and kills the write);
+      // replicas whose rep is an exact multiple of dim stay unrotated —
+      // a dim-th of the corpus, acceptable for a stress harness.
+      .withColumn("rot",
+        if (mode == "distinct") pmod(col("rep"), size(col("embedding")))
+        else lit(0))
       .withColumn("embedding",
         if (mode == "distinct")
-          when(col("rep") === 0, col("embedding")).otherwise(concat(
-            slice(col("embedding"), col("rep") + 1,
-              size(col("embedding")) - col("rep")),
-            slice(col("embedding"), lit(1), col("rep"))))
+          when(col("rot") === 0, col("embedding")).otherwise(concat(
+            slice(col("embedding"), col("rot") + 1,
+              size(col("embedding")) - col("rot")),
+            slice(col("embedding"), lit(1), col("rot"))))
         else col("embedding"))
-      .drop("rep")
+      .drop("rep", "rot")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  // Dev aid (mirrors Bench's SPARK_GRAFT_ONLY): SPARK_GRAFT_SMOKE_ONLY=
+  // substr1,substr2 restricts the family to matching names, for quick
+  // re-measures of a single query's scale curve after a fix. Recorded in
+  // the output line ("only":[...]) so a partial artifact self-identifies
+  // — a filtered total_ratio must never read as family-wide evidence.
+  private def onlyFilter: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq.empty)
+
   private def family: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
-    // Dev aid (mirrors Bench's SPARK_GRAFT_ONLY): SPARK_GRAFT_SMOKE_ONLY=
-    // substr1,substr2 restricts the family to matching names, for quick
-    // re-measures of a single query's scale curve after a fix.
-    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    val only = onlyFilter
     SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       // the documents/embeddings corpus family; text_redact reads the
       // EVENTS table (nanos-timestamp source, not replicated here)
@@ -144,7 +155,10 @@ object ScaleSmoke {
     }
     val total1 = one.map(_._2).sum
     val totalN = big.map(_._2).sum
+    val onlyJson =
+      if (onlyFilter.isEmpty) ""
+      else onlyFilter.map(s => s""""$s"""").mkString(""""only":[""", ",", "],")
     spark.stop()
-    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,"src":"$srcDir","x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}}""")
+    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,${onlyJson}"src":"$srcDir","x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}}""")
   }
 }

@@ -907,28 +907,6 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
-  /** Jaccard-band histogram — the threshold-tuning tool: how many doc
-    * pairs fall in each similarity decile ≥ `lo` (band10 = ⌊j·10⌋, so 10
-    * = exact duplicates). Same candidate machinery and cost as
-    * [[ngramJaccardPairs]] (the shared-shingle join dominates; the
-    * threshold only filters verified pairs), one extra tiny agg. Banding
-    * is on the 4dp-rounded j with an identical expression in the oracle,
-    * so edge pairs band identically cross-engine.
-    *
-    * CAVEAT: inherits the df-cap hot-bucket guard, which degrades
-    * duplicate groups larger than the cap to star candidates — cluster
-    * membership survives but intra-group PAIRS don't, so on a corpus with
-    * >cap mutual near-dups the high deciles are LOWER BOUNDS, not exact
-    * counts. Pass `dfCap = None` for exact counts when the corpus is
-    * known to have no hot shingles (quadratic in the hottest bucket
-    * otherwise).
-    *
-    * SCALE: at lo = 0.05 the prefix filter is pointless (the prefix is
-    * 95% of the set), so this query inherently pays the Σ df² candidate
-    * join — the one dedup-family query whose exact form is quadratic in
-    * corpus growth. That is a property of the QUESTION (all pairs above a
-    * near-zero similarity), not the plan; the at-scale answer is
-    * [[jaccardHistogramSampled]]. */
   /** Floor below which the EXACT histogram refuses to run without an
     * explicit opt-in: at lo ≪ MinExactLo the AllPairs prefix filter
     * keeps nearly every shingle as a candidate ((1−lo)·n+1 of n), so the
@@ -940,6 +918,19 @@ object Dedup {
     * documented at-scale path. */
   val MinExactLo = 0.3
 
+  /** Jaccard-band histogram — the threshold-tuning tool: how many doc
+    * pairs fall in each similarity decile ≥ `lo` (band10 = ⌊j·10⌋, so 10
+    * = exact duplicates). Banding is on the 4dp-rounded j with an
+    * identical expression in the oracle, so edge pairs band identically
+    * cross-engine.
+    *
+    * CAVEAT: inherits the df-cap hot-bucket guard, which degrades
+    * duplicate groups larger than the cap to star candidates — cluster
+    * membership survives but intra-group PAIRS don't, so on a corpus with
+    * >cap mutual near-dups the high deciles are LOWER BOUNDS, not exact
+    * counts. Pass `dfCap = None` for exact counts when the corpus is
+    * known to have no hot shingles (quadratic in the hottest bucket
+    * otherwise). */
   def jaccardHistogram(docs: DataFrame, lo: Double = MinExactLo, n: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap),
       allowFullScan: Boolean = false): DataFrame = {
@@ -984,10 +975,7 @@ object Dedup {
       n: Int = 3, mod: Int = 4,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     require(16 % mod == 0, s"mod=$mod must divide 16 (hex-digit sampling)")
-    val keep = "0123456789abcdef".take(16 / mod).map(_.toString)
-    ngramJaccardCore(
-      docs.filter(substring(md5(col("doc_id").cast("string")), 1, 1)
-        .isin(keep: _*)),
+    ngramJaccardCore(Sampling.hashSample(docs, "doc_id", 16 / mod),
       lo, n, dfCap)
       .withColumn("band10", floor(col("jaccard") * 10).cast("long"))
       .groupBy("band10").agg(count(lit(1)).as("n_pairs"))

@@ -32,6 +32,15 @@ object Lineage {
     * ContextCleaner reclaims them as the RDDs are GC'd); long-running
     * clusters should set that alongside the checkpoint dir. */
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // Persist before checkpointing (Spark's own RDD.checkpoint
+      // guidance): Dataset.checkpoint materializes with a count job and
+      // the ReliableCheckpointRDD write job then REPLAYS the lineage a
+      // second time unless the plan is cached — without this, every pin
+      // on the cluster path recomputes the whole iteration segment
+      // twice. Unpersist after: the returned frame reads from the
+      // checkpoint files, not the cache.
+      val cached = df.persist()
+      try cached.checkpoint() finally cached.unpersist()
+    } else df.localCheckpoint()
 }

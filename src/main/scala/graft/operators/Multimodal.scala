@@ -47,7 +47,13 @@ object Multimodal {
     * mean a tmp-file write PER BLOB on every executor. */
   def imageDecode(bytes: Array[Byte]): Option[(Int, Int)] =
     try {
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream DIRECTLY — NOT ImageIO
+      // .createImageInputStream, whose default useCache=true spools a
+      // FileCacheImageInputStream temp file per blob (a per-blob disk
+      // write on every executor, and a silent total decode outage when
+      // tmpdir is full/read-only since the IOException lands in the
+      // fallback below).
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -62,7 +68,7 @@ object Multimodal {
             Some((r.getWidth(0), r.getHeight(0)))
           } finally r.dispose()
         }
-      } finally if (in != null) in.close()
+      } finally in.close()
     } catch { case _: Exception => None }
 
   /** STUB decode kernel — deterministic fake standing in for the

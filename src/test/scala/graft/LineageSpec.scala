@@ -24,7 +24,15 @@ class LineageSpec extends AnyFunSuite with SparkFixture {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
     try f(dir)
-    finally org.apache.spark.CheckpointDirTestAccess.clear(spark.sparkContext)
+    finally {
+      org.apache.spark.CheckpointDirTestAccess.clear(spark.sparkContext)
+      // delete the checkpoint tree — every run writes rdd-N partition
+      // files and nothing else reclaims them
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   test("pin: local checkpoint without a dir, reliable checkpoint with one") {

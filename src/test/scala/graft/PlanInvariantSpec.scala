@@ -20,6 +20,48 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     "text_top_terms", "sim_batch_topk", "corpus_drift", "quantile_filter",
     "text_bm25")
 
+  /** Queries that intentionally plan an unpartitioned (global) Window —
+    * the canonical 100 TB plan killer when it sits over corpus-sized data.
+    * Every entry here windows a relation whose cardinality is bounded by
+    * CONSTRUCTION, not by the input size, so the single-partition sort is
+    * O(buckets), never O(corpus):
+    *  - pack_sequences / shard_assembly: running offset over per-BUCKET
+    *    totals (Packing.scala:90) — one row per packing bucket.
+    *  - corpus_shuffle / token_budget_sample: same per-bucket offset
+    *    (CorpusOps.scala:187,213).
+    *  - quantile_filter: cumulative histogram over token-count buckets
+    *    (CorpusOps.scala:107) — one row per distinct bucketed length.
+    *  - mixture_weights: grand-total broadcast over one row per language
+    *    (CorpusOps.scala:152).
+    * Any OTHER query planning a global Window fails this suite: either
+    * partition it, or document boundedness here and in the operator. */
+  private val globalWindowAllowed = Set("pack_sequences", "shard_assembly",
+    "corpus_shuffle", "token_budget_sample", "quantile_filter",
+    "mixture_weights")
+
+  test("unpartitioned Window only over construction-bounded relations") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip(name) }
+      .flatMap { case (name, fn) =>
+        // sparkPlan (pre-AQE) keeps WindowExec nodes collectible; AQE
+        // re-plans exchanges, never window placement. Plain collect (not
+        // collectWithSubqueries): pre-execution subquery expressions still
+        // hold LOGICAL plans here, and our subqueries are scalar aggregates.
+        val globals = fn(spark, sf0001).queryExecution.sparkPlan
+          .collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+        if (globals.nonEmpty) Some(name) else None
+      }.toSet
+    val unexpected = offenders -- globalWindowAllowed
+    val stale = globalWindowAllowed -- offenders
+    assert(unexpected.isEmpty,
+      s"global Window over a possibly-unbounded relation in: $unexpected")
+    assert(stale.isEmpty,
+      s"allowlist rot — these no longer plan a global Window: $stale")
+  }
+
   test("no registered query plans a cartesian product; BNLJ only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }

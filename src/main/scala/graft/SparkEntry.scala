@@ -217,6 +217,7 @@ object SparkEntry {
     // --- multimodal plumbing ---
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample"     -> (Multimodal.qFrameSample _),
+    "mm_audio_features"   -> (Multimodal.qAudioFeatures _),
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
@@ -1163,6 +1164,21 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, frame_idx, rs_width, rs_height
          |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm_audio_features: the Spark side round-trips a REAL PCM WAV blob
+    // (byte-exact encode, header-only RIFF parse back); the oracle
+    // recomputes the same metadata from the doc arithmetic that sized the
+    // blob — 16-bit audio, so bytes/frame = 2*channels and the container
+    // is 44 header bytes + payload.
+    "mm_audio_features" ->
+      """WITH p AS (SELECT doc_id,
+        |    (8000 + (doc_id % 5) * 2000)::BIGINT AS sample_rate,
+        |    (1 + doc_id % 2)::BIGINT AS n_channels,
+        |    (n_chars % 100 + 1)::BIGINT AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, sample_rate, n_channels, n_frames,
+        |  (n_frames * 1000 // sample_rate)::BIGINT AS duration_ms,
+        |  (44 + n_frames * n_channels * 2)::BIGINT AS n_bytes
+        |FROM p ORDER BY doc_id""".stripMargin,
     // --- streaming (tumbling replays the stream; sessions run the same
     // operator in batch; both reconstruct in SQL) ---
     "stream_tumbling" -> q11Sql,

@@ -89,6 +89,87 @@ object Multimodal {
     (width, height, checksum)
   }
 
+  /** Parsed WAV/RIFF header metadata. `dataBytes` is the PCM payload
+    * length from the `data` chunk header — frames/duration derive from it
+    * without ever reading a sample. */
+  case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataBytes: Long)
+
+  /** REAL audio encode — a canonical little-endian PCM WAV container
+    * (RIFF / fmt / data), pure JVM byte arithmetic, no codec library.
+    * The payload is deterministic (a byte ramp) so blobs are
+    * reproducible; [[wavDecode]] never reads it, but a standard player
+    * would. */
+  def wavEncode(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Int): Array[Byte] = {
+    val bytesPerFrame = channels * (bitsPerSample / 8)
+    val dataLen = nFrames * bytesPerFrame
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * bytesPerFrame)        // byte rate
+      .putShort(bytesPerFrame.toShort).putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < dataLen) { buf.put((i & 0x7f).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** REAL audio decode — header-only WAV/RIFF parse (magic check, then
+    * chunk iteration for `fmt ` and `data`), mirroring [[imageDecode]]'s
+    * contract: sample payloads are never touched, so a 100 TB blob scan
+    * reads 44-ish bytes per file. Truncated/corrupt/non-WAV input →
+    * None, never a throw. Chunk iteration (not a fixed 44-byte offset)
+    * so containers with extra chunks (LIST/INFO metadata) still parse. */
+  def wavDecode(bytes: Array[Byte]): Option[WavMeta] =
+    try {
+      if (bytes.length < 12) return None
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return None
+      buf.getInt() // declared RIFF size; trust actual bounds instead
+      if (fourcc() != "WAVE") return None
+      var meta: Option[(Int, Int, Int)] = None
+      var data: Option[Long] = None
+      while ((meta.isEmpty || data.isEmpty) && buf.remaining() >= 8) {
+        val id = fourcc()
+        val len = buf.getInt()
+        if (id == "fmt " && len >= 16 && buf.remaining() >= 16) {
+          val mark = buf.position()
+          buf.getShort() // audio format tag (1 = PCM); parsed for effect
+          val ch = buf.getShort().toInt
+          val rate = buf.getInt()
+          buf.getInt(); buf.getShort() // byte rate, block align
+          val bits = buf.getShort().toInt
+          meta = Some((rate, ch, bits))
+          buf.position(mark + len + (len & 1)) // chunks are word-aligned
+        } else if (id == "data") {
+          data = Some(len.toLong & 0xffffffffL)
+          // Header-only: the payload is not required to be present. If
+          // `fmt ` is still outstanding (data-first container), skip the
+          // payload to keep scanning; when it can't be skipped the loop's
+          // remaining() guard ends the scan.
+          if (meta.isEmpty && buf.remaining() >= len + (len & 1))
+            buf.position(buf.position() + len + (len & 1))
+          else if (meta.isEmpty) return None
+        } else {
+          if (buf.remaining() < len + (len & 1)) return meta.flatMap {
+            case (r, c, b) => data.map(WavMeta(r, c, b, _))
+          }
+          buf.position(buf.position() + len + (len & 1))
+        }
+      }
+      for ((rate, ch, bits) <- meta; d <- data)
+        yield WavMeta(rate, ch, bits, d)
+    } catch { case _: Exception => None }
+
   /** Batched feature extraction: one pass per partition, blobs dropped on
     * output. Image kinds go through the REAL [[imageDecode]] kernel
     * (header-only dims via javax.imageio), falling back to the stub for
@@ -194,4 +275,37 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("rs_width"), col("rs_height"))
       .orderBy("doc_id", "frame_idx")
+
+  /** Query entry: the audio half of the multimodal family, with a REAL
+    * codec on both sides. Per document, synthesize a genuine PCM WAV
+    * container ([[wavEncode]] — byte-exact RIFF/fmt/data) whose
+    * parameters derive from the row (rate ∈ {8000..16000}, mono/stereo,
+    * 16-bit, (n_chars mod 100)+1 frames), then recover those parameters
+    * FROM THE BYTES via the header-only [[wavDecode]] parse. The oracle
+    * recomputes the expected metadata from doc arithmetic, so any
+    * encode/decode asymmetry (endianness, chunk alignment, frame math)
+    * breaks the hash match. Blobs live only inside the mapPartitions
+    * batch — what shuffles out is the metadata struct. */
+  def qAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (docId, nChars) =>
+          val rate = 8000 + (docId % 5).toInt * 2000
+          val channels = 1 + (docId % 2).toInt
+          val nFrames = (nChars % 100).toInt + 1
+          val blob = wavEncode(rate, channels, 16, nFrames)
+          val m = wavDecode(blob).getOrElse(
+            sys.error(s"wav round-trip failed for doc $docId"))
+          val frames = m.dataBytes / (m.channels * (m.bitsPerSample / 8))
+          (docId, m.sampleRate.toLong, m.channels.toLong, frames,
+            frames * 1000L / m.sampleRate, blob.length.toLong)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_channels", "n_frames",
+        "duration_ms", "n_bytes")
+      .orderBy("doc_id")
+  }
 }

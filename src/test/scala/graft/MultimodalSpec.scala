@@ -137,6 +137,53 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert((c.width, c.height) === ((sw, sh)))
   }
 
+  test("wav codec: encode/decode round-trip, chunk tolerance, corrupt input") {
+    import Multimodal.{wavEncode, wavDecode, WavMeta}
+    // exact round-trip at the parameter corners the query entry uses
+    for (rate <- Seq(8000, 16000); ch <- Seq(1, 2); frames <- Seq(1, 100)) {
+      val blob = wavEncode(rate, ch, 16, frames)
+      assert(blob.length === 44 + frames * ch * 2)
+      assert(wavDecode(blob) ===
+        Some(WavMeta(rate, ch, 16, frames.toLong * ch * 2)))
+    }
+    // javax.sound agrees the container is genuine WAV (independent reader)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wavEncode(12000, 2, 16, 50)))
+    assert(ais.getFormat.getSampleRate === 12000f)
+    assert(ais.getFormat.getChannels === 2)
+    assert(ais.getFrameLength === 50L)
+    // an extra LIST chunk between fmt and data still parses (chunk walk,
+    // not a fixed 44-byte offset)
+    val base = wavEncode(8000, 1, 16, 4)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val withList = base.slice(0, 36) ++ listChunk ++ base.slice(36, base.length)
+    // fix up the RIFF size field for the inserted chunk
+    java.nio.ByteBuffer.wrap(withList)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withList.length - 8)
+    assert(wavDecode(withList) === Some(WavMeta(8000, 1, 16, 8L)))
+    // header-only contract: the payload may be absent entirely
+    assert(wavDecode(base.slice(0, 44)) === Some(WavMeta(8000, 1, 16, 8L)))
+    // corrupt / truncated / non-WAV → None, never a throw
+    assert(wavDecode(Array[Byte]()) === None)
+    assert(wavDecode("RIFFxxxxJUNK".getBytes("US-ASCII")) === None)
+    assert(wavDecode(base.slice(0, 20)) === None)
+    assert(wavDecode("not a wav at all, just text bytes".getBytes) === None)
+  }
+
+  test("mm_audio_features: real blobs, metadata recovered from bytes") {
+    val out = SparkEntry.queries("mm_audio_features")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      assert(r.getLong(1) === 8000 + (docId % 5) * 2000) // sample_rate
+      assert(r.getLong(2) === 1 + docId % 2)             // n_channels
+      assert(r.getLong(5) === 44 + r.getLong(3) * r.getLong(2) * 2) // n_bytes
+      assert(r.getLong(4) === r.getLong(3) * 1000 / r.getLong(1))   // ms
+    }
+  }
+
   test("features drop the payload column (blobs never reach the shuffle)") {
     val schema = implicitly[org.apache.spark.sql.Encoder[MediaFeatures]]
       .schema.fieldNames.toSet

@@ -214,6 +214,7 @@ object SparkEntry {
     "mixture_weights"     -> (CorpusOps.qMixtureWeights _),
     "corpus_shuffle"      -> (CorpusOps.qCorpusShuffle _),
     "token_budget_sample" -> (CorpusOps.qTokenBudgetSample _),
+    "source_overlap"      -> (CorpusOps.qSourceOverlap _),
     // --- multimodal plumbing ---
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample"     -> (Multimodal.qFrameSample _),
@@ -1126,6 +1127,28 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n AS n_tokens, cum::BIGINT AS cum_tokens
         |FROM c WHERE cum <= 10000 ORDER BY cum_tokens, doc_id""".stripMargin,
+    // source_overlap: pairwise shingle-set Jaccard between sources; the
+    // shingle expression matches the dedup oracles' word-3-gram CTE, keyed
+    // by source instead of doc_id.
+    "source_overlap" ->
+      """WITH tok AS (SELECT source,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |sh0 AS (SELECT source,
+        |    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM tok WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT source, s FROM sh0),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.source AS sa, b.source AS sb, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, c AS n_common,
+        |  round(c::DOUBLE / (za.n + zb.n - c), 4) AS jaccard
+        |FROM common
+        |JOIN sizes za ON sa = za.source
+        |JOIN sizes zb ON sb = zb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id,
         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n

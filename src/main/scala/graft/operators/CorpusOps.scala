@@ -223,6 +223,41 @@ object CorpusOps {
       .orderBy("cum_tokens", "doc_id")
   }
 
+  /** Pairwise shingle-set Jaccard BETWEEN SOURCES — the "how much does
+    * source A duplicate source B" audit run before mixing corpora (a
+    * crawl snapshot vs a curated set, two crawl vintages, …). One row
+    * per overlapping unordered source pair: (source_a, source_b,
+    * n_common, jaccard).
+    *
+    * Scale shape: the only corpus-sized shuffle is the distinct on
+    * (source, shingle) — map-side partially deduplicated, keyed wider
+    * than the corpus only by shingle fanout. Everything after is
+    * OUTPUT-bounded: a shingle appears in at most S sources (S = the
+    * source catalog, a dimension-table cardinality), so the self-join
+    * emits ≤ S²/2 rows per shingle and the final matrix is ≤ S²/2 rows
+    * total. Set sizes are an S-row aggregate joined back broadcast. The
+    * same shape at 100 TB: no per-document pair ever exists, only
+    * per-source-pair counts. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup
+      .shingleDocs(docs.select(col("source"), col("text")), n, key = "source")
+      .select(col("source"), explode(col("shingles")).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.as("za")), col("source_a") === col("za.source"))
+      .join(broadcast(sizes.as("zb")), col("source_b") === col("zb.source"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("za.n") + col("zb.n") - col("n_common")), 4).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   // --- SparkEntry-facing query wrappers ---------------------------------
 
   def qSplitAssign(s: SparkSession, dir: String): DataFrame =
@@ -247,4 +282,7 @@ object CorpusOps {
   /** token_budget_sample — a 10k-token deterministic slice. */
   def qTokenBudgetSample(s: SparkSession, dir: String): DataFrame =
     tokenBudgetSample(Tables.documents(s, dir), 10000L)
+
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(s, dir))
 }

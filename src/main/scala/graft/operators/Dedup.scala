@@ -67,7 +67,8 @@ object Dedup {
     * single-space tokenization, short docs → empty) 30× faster. Same
     * trade as the minhash/simhash/hyperplane UDFs: prefer built-ins
     * until the built-in path demonstrably loses codegen. */
-  def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shingleDocs(docs: DataFrame, n: Int = 3,
+      key: String = "doc_id"): DataFrame = {
     val shingleUdf = udf { text: String =>
       val words =
         if (text == null) Array.empty[String]
@@ -88,7 +89,7 @@ object Dedup {
         scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
       }
     }
-    docs.select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
+    docs.select(col(key), shingleUdf(col("text")).as("shingles"))
   }
 
   /** (doc_id, shingles: array<bigint>) — distinct word n-grams per doc as

@@ -211,4 +211,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       "every batch doc should have a verified corpus match")
     assert(inc.filter(col("jaccard") < 1.0).count() === 0)
   }
+
+  test("sourceOverlap: hand-computed Jaccard on a 3-source fixture") {
+    // srcA: shingles {a b c, b c d} ; srcB: {a b c, b c e} ; srcC: {x y z}
+    val docs = Seq(
+      (1L, "a b c d", "srcA"),
+      (2L, "a b c e", "srcB"),
+      (3L, "x y z", "srcC"),
+      (4L, "a b c", "srcB") // duplicate shingle within source: counted once
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // A∩B = {a b c}: |A|=2, |B|=2 → 1/(2+2-1) = 0.3333; C overlaps nothing
+    assert(out.toSeq === Seq(("srcA", "srcB", 1L, 0.3333)))
+  }
+
+  test("sourceOverlap: self-join fanout is bounded by the source catalog") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = CorpusOps.sourceOverlap(docs)
+    val nSources = docs.select("source").distinct().count()
+    assert(out.count() <= nSources * (nSources - 1) / 2)
+    // symmetric-pair hygiene: strictly ordered, no self-pairs
+    assert(out.filter(col("source_a") >= col("source_b")).count() === 0)
+  }
 }

@@ -97,6 +97,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Snapshot-versioned COW E2E THROUGH STORAGE: documents become
+    * manifest version 0, two update batches commit versions 1 and 2
+    * ([[graft.sources.VersionedTable]] — only key-containing files
+    * rewritten, originals retained for time travel), then EVERY version
+    * is read back via its manifest and fingerprinted. The oracle
+    * recomputes each snapshot's aggregate state from the raw table, so a
+    * manifest pointing at a stale/extra/missing file breaks the match for
+    * that version — content-checking the commit protocol itself. */
+  private def qCowTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_vt")
+      .resolve("tbl").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    sources.VersionedTable.init(s, tbl,
+      docs.repartitionByRange(8, col("doc_id")))
+    sources.VersionedTable.upsert(s, tbl,
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(lit("V1 "), col("text")))
+        .withColumn("n_chars", col("n_chars") + 3)
+        .select(cols: _*),
+      "doc_id")
+    sources.VersionedTable.upsert(s, tbl,
+      docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("text", concat(lit("V2 "), col("text")))
+        .withColumn("n_chars", col("n_chars") + 10)
+        .select(cols: _*)
+        .unionByName(docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text",
+            concat(lit("new doc "), (col("doc_id") - 1000000).cast("string")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select(cols: _*)),
+      "doc_id")
+    (0L to 2L).map { v =>
+      sources.VersionedTable.read(s, tbl, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("doc_id").as("sum_doc_id"), sum("n_chars").as("sum_n_chars"))
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("version", "n_rows", "sum_doc_id", "sum_n_chars")
+      .orderBy("version")
+  }
+
   /** Batch sliding window: each event lands in window/slide buckets. */
   private def q11bSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -144,6 +187,7 @@ object SparkEntry {
     "q17b_out_source"     -> (q17bOutSource _),
     "zorder_scan"         -> (qZorderScan _),
     "cow_upsert"          -> (qCowUpsert _),
+    "cow_time_travel"     -> (qCowTimeTravel _),
     "q18_range_join"      -> (Relational.q18RangeJoin _),
     "q18b_theta_band"     -> (Relational.q18bThetaBand _),
     "q19_asof_join"       -> (Relational.q19AsofJoin _),
@@ -481,6 +525,33 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM u)
         |SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM m ORDER BY doc_id""".stripMargin,
+    // cow_time_travel: each snapshot's expected state recomputed from the
+    // raw table — v0 = documents; v1 = %7 rows get n_chars+3; v2 = %11
+    // rows get n_chars+10 ON TOP of v1 (an %11 update overwrites an
+    // earlier %7 one for doc_ids divisible by 77), plus %97 inserts.
+    "cow_time_travel" ->
+      """WITH v1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |v2b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 10
+        |         WHEN doc_id % 7 = 0 THEN n_chars + 3
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id,
+        |    length('new doc ' || doc_id::VARCHAR)::BIGINT AS n_chars
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |v2 AS (SELECT * FROM v2b UNION ALL SELECT * FROM ins),
+        |s AS (
+        |  SELECT 0 AS version, count(*) AS n_rows, sum(doc_id) AS sum_doc_id,
+        |    sum(n_chars) AS sum_n_chars FROM documents
+        |  UNION ALL
+        |  SELECT 1, count(*), sum(doc_id), sum(n_chars) FROM v1
+        |  UNION ALL
+        |  SELECT 2, count(*), sum(doc_id), sum(n_chars) FROM v2)
+        |SELECT version::BIGINT AS version, n_rows::BIGINT AS n_rows,
+        |  sum_doc_id::BIGINT AS sum_doc_id, sum_n_chars::BIGINT AS sum_n_chars
+        |FROM s ORDER BY version""".stripMargin,
     "q18_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedTable
+
+class VersionedTableSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_vt_spec")
+      .resolve("tbl").toString
+
+  private def dataFiles(dir: String): Set[String] =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+  private def docs = Tables.documents(spark, sf0001)
+
+  test("init → upsert: time travel reads each snapshot exactly; old files survive") {
+    val tbl = freshTable()
+    assert(VersionedTable.init(spark, tbl,
+      docs.repartitionByRange(8, col("doc_id"))) === 0L)
+    assert(VersionedTable.currentVersion(spark, tbl) === Some(0L))
+    val v0Files = dataFiles(tbl)
+
+    val updates = docs.filter(col("doc_id") < 10)
+      .withColumn("text", concat(lit("V1 "), col("text")))
+      .withColumn("n_chars", col("n_chars") + 3)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    assert(VersionedTable.upsert(spark, tbl, updates, "doc_id") === 1L)
+
+    // v0 is byte-for-byte still readable: no original file was deleted
+    assert(v0Files.subsetOf(dataFiles(tbl)))
+    val v0 = VersionedTable.read(spark, tbl, Some(0L))
+    assert(v0.count() === docs.count())
+    assert(v0.filter(col("text").startsWith("V1 ")).count() === 0L)
+
+    // v1 (also the default read) has exactly the merged state
+    val v1 = VersionedTable.read(spark, tbl)
+    assert(v1.count() === docs.count())
+    assert(v1.filter(col("text").startsWith("V1 ")).count() === 10L)
+    val expected = docs.join(updates.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(updates)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = v1.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
+
+  test("upsert rewrites only key-containing files (manifest delta is minimal)") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.repartitionByRange(8, col("doc_id")))
+    val v0Files = dataFiles(tbl)
+    VersionedTable.upsert(spark, tbl,
+      docs.filter(col("doc_id") < 10)
+        .withColumn("n_chars", col("n_chars") + 1)
+        .select(docs.columns.map(col).toIndexedSeq: _*), "doc_id")
+    // keys 0..9 live in the first range file(s): most of v0's files must
+    // be carried into v1's manifest unchanged
+    val v1Reads = VersionedTable.read(spark, tbl, Some(1L))
+      .select(input_file_name()).distinct()
+      .collect().map(r => r.getString(0).split('/').last).toSet
+    val carried = v0Files.intersect(v1Reads)
+    assert(carried.size >= v0Files.size - 2,
+      s"expected ≥${v0Files.size - 2} carried files, got ${carried.size}")
+  }
+
+  test("insert-only upsert appends without dropping any manifest entry") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.repartitionByRange(4, col("doc_id")))
+    val inserts = docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 5000000)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    VersionedTable.upsert(spark, tbl, inserts, "doc_id")
+    assert(VersionedTable.read(spark, tbl).count() === docs.count() + 5)
+    assert(VersionedTable.read(spark, tbl, Some(0L)).count() === docs.count())
+  }
+
+  test("commit is rename-if-absent: a racing writer to the same version loses loudly") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.limit(20))
+    // Both writers read v0 and race to commit v1; the second commit to
+    // the same slot must fail, not silently overwrite the winner's.
+    val table = new org.apache.hadoop.fs.Path(tbl)
+    val v0 = VersionedTable.read(spark, tbl, Some(0L))
+      .select(input_file_name()).distinct()
+      .collect().map(r => r.getString(0).split('/').last).toSeq
+    VersionedTable.commitManifest(spark, table, 1L, v0) // winner
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitManifest(spark, table, 1L, Seq.empty) // loser
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the winner's manifest survives intact
+    assert(VersionedTable.read(spark, tbl, Some(1L)).count() === 20L)
+  }
+
+  test("vacuum reclaims files below the retention floor and keeps live versions intact") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.repartitionByRange(8, col("doc_id")))
+    VersionedTable.upsert(spark, tbl,
+      docs.filter(col("doc_id") < 10)
+        .withColumn("n_chars", col("n_chars") + 1)
+        .select(docs.columns.map(col).toIndexedSeq: _*), "doc_id")
+    val beforeCount = VersionedTable.read(spark, tbl).count()
+    val deleted = VersionedTable.vacuum(spark, tbl, keepFrom = 1L)
+    assert(deleted >= 1, "the rewritten v0 originals should be reclaimed")
+    // latest still reads fully; v0 is gone (its manifest was dropped)
+    assert(VersionedTable.read(spark, tbl).count() === beforeCount)
+    assertThrows[Exception](
+      VersionedTable.read(spark, tbl, Some(0L)).count())
+    // all remaining data files are referenced (no orphans)
+    val referenced = VersionedTable.read(spark, tbl)
+      .select(input_file_name()).distinct()
+      .collect().map(r => r.getString(0).split('/').last).toSet
+    assert(dataFiles(tbl) === referenced)
+  }
+}

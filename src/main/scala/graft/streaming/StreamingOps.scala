@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -244,6 +244,42 @@ object StreamingOps {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Streaming CDC MERGE: drive a stream of upsert records into a
+    * [[graft.sources.VersionedTable]] via foreachBatch — the standard
+    * streaming-ingest-into-a-lakehouse-table pattern. Each micro-batch is
+    * collapsed to one row per key FIRST (last-writer-wins by `orderCol`,
+    * a per-key partitioned window — a key can legally appear many times
+    * inside one batch), then MERGEd copy-on-write, committing one table
+    * version per non-empty batch.
+    *
+    * Delivery contract: foreachBatch is at-least-once under retries, and
+    * the upsert is CONTENT-idempotent (replaying a batch rewrites the
+    * same keys to the same values), so the table converges; what is NOT
+    * idempotent is the version counter — a replayed batch lands as an
+    * extra (identical) version, the usual trade unless the sink records
+    * batchId in the commit. Returns when all available input is
+    * processed. */
+  def runUpsertSink(streamed: DataFrame, tablePath: String, keyCol: String,
+      orderCol: String, checkpoint: String): Unit = {
+    val q = streamed.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCol).orderBy(col(orderCol).desc)
+          val latest = batch
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          graft.sources.VersionedTable.upsert(
+            batch.sparkSession, tablePath, latest, keyCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
       .start()
     try q.processAllAvailable() finally q.stop()
   }

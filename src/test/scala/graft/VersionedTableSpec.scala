@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.VersionedTable
+import graft.streaming.StreamingOps
 
 class VersionedTableSpec extends AnyFunSuite with SparkFixture {
 
@@ -94,6 +95,38 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("concurrent writer"))
     // the winner's manifest survives intact
     assert(VersionedTable.read(spark, tbl, Some(1L)).count() === 20L)
+  }
+
+  test("streaming CDC upsert: micro-batches land as versions, last writer wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import ctx.sparkSession.implicits._
+
+    val tbl = freshTable()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vt_ckpt").toString
+    VersionedTable.init(spark, tbl,
+      Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
+        .toDF("k", "v", "seq"))
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("k", "v", "seq")
+    // batch 1: key 2 updated TWICE in one batch (seq 5 then 7 — the
+    // seq-7 row must win), key 4 inserted
+    mem.addData((2L, "b5", 5L), (2L, "b7", 7L), (4L, "d", 6L))
+    StreamingOps.runUpsertSink(stream, tbl, "k", "seq", ckpt)
+    // batch 2 (same checkpoint — offsets resume): key 1 updated
+    mem.addData((1L, "a9", 9L))
+    StreamingOps.runUpsertSink(stream, tbl, "k", "seq", ckpt)
+
+    val got = VersionedTable.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "a9", 2L -> "b7", 3L -> "c", 4L -> "d"))
+    // one version per non-empty micro-batch on top of v0
+    assert(VersionedTable.currentVersion(spark, tbl) === Some(2L))
+    // and v0 still time-travels
+    assert(VersionedTable.read(spark, tbl, Some(0L))
+      .collect().map(_.getString(1)).sorted.toSeq === Seq("a", "b", "c"))
   }
 
   test("vacuum reclaims files below the retention floor and keeps live versions intact") {

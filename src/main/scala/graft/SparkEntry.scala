@@ -140,6 +140,22 @@ object SparkEntry {
       .orderBy("version")
   }
 
+  /** Heavy hitters via the Misra–Gries aggregate on a LOW-CARDINALITY
+    * column, where the summary provably never decrements (distinct langs
+    * per source ≪ capacity in every partial) and the counts are
+    * therefore EXACT — the oracle checks them against a plain GROUP BY.
+    * The same operator runs approximately on unbounded vocabularies;
+    * HeavyHittersSpec pins the survival/under-estimate guarantees on
+    * that path. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(functions.HeavyHitters(col("lang"), 16).as("hh"))
+      .select(col("source"), explode(col("hh")).as("e"))
+      .select(col("source"), col("e.term").as("term"),
+        col("e.count").as("n"))
+      .orderBy("source", "term")
+
   /** Batch sliding window: each event lands in window/slide buckets. */
   private def q11bSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -237,6 +253,7 @@ object SparkEntry {
     "text_normalize_dedup" -> (TextAnalysis.qNormalizeDedup _),
     // --- corpus-level text statistics ---
     "text_top_terms"      -> (TextStats.qTopTerms _),
+    "hh_lang_by_source"   -> (qHeavyHitters _),
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
@@ -898,6 +915,12 @@ object SparkEntry {
         |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))::BIGINT AS n_stop
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // hh_lang_by_source: capacity 16 exceeds the lang cardinality in
+    // every partial, so the Misra–Gries summary never decrements and its
+    // counts are exact — a plain GROUP BY is the oracle.
+    "hh_lang_by_source" ->
+      """SELECT source, lang AS term, count(*)::BIGINT AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY source, term""".stripMargin,
     "text_top_terms" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),

@@ -276,6 +276,7 @@ object SparkEntry {
     "corpus_shuffle"      -> (CorpusOps.qCorpusShuffle _),
     "token_budget_sample" -> (CorpusOps.qTokenBudgetSample _),
     "source_overlap"      -> (CorpusOps.qSourceOverlap _),
+    "neg_samples"         -> (CorpusOps.qNegativeSamples _),
     // --- multimodal plumbing ---
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample"     -> (Multimodal.qFrameSample _),
@@ -1221,6 +1222,19 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n AS n_tokens, cum::BIGINT AS cum_tokens
         |FROM c WHERE cum <= 10000 ORDER BY cum_tokens, doc_id""".stripMargin,
+    // neg_samples: k=3 ring successors in the md5 shuffle order; the
+    // oracle rebuilds the same permutation with a window rank.
+    "neg_samples" ->
+      """WITH p AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |a AS (SELECT doc_id, pos, n, unnest([1, 2, 3]) AS j FROM p),
+        |t AS (SELECT doc_id, j, ((pos - 1 + j) % n) + 1 AS target_pos FROM a)
+        |SELECT t.doc_id AS doc_id, t.j::BIGINT AS j, b.doc_id AS neg_doc_id
+        |FROM t JOIN p b ON t.target_pos = b.pos
+        |WHERE b.doc_id <> t.doc_id
+        |ORDER BY t.doc_id, j""".stripMargin,
     // source_overlap: pairwise shingle-set Jaccard between sources; the
     // shingle expression matches the dedup oracles' word-3-gram CTE, keyed
     // by source instead of doc_id.

@@ -258,6 +258,36 @@ object CorpusOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Deterministic negative sampling for contrastive training: each doc
+    * gets the `k` SUCCESSORS of its position in the md5 shuffle ring
+    * ([[corpusShuffle]]'s permutation, wrapping at N). The md5 order is
+    * uncorrelated with content, so ring successors are unbiased random
+    * negatives — but REPRODUCIBLE (same corpus → same pairs, any engine),
+    * which `rand()`-based samplers are not.
+    *
+    * Scale shape: never a per-pair random draw or a non-equi join — the
+    * offset j ∈ 1..k is EXPLODED on the anchor side and the partner is
+    * found by an EQUI-join on the target position, so the plan is one
+    * O(N·k) generate + one hash join on a dense integer key. A
+    * `b.pos BETWEEN a.pos+1 AND a.pos+k` formulation would plan a
+    * broadcast-nested-loop at scale; this never does. */
+  def negativeSamples(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"negativeSamples requires k >= 1, got $k")
+    val pos = corpusShuffle(docs) // (doc_id, shuffle_pos), 1..N dense
+    val n = pos.groupBy().agg(count(lit(1)).as("n_total"))
+    val anchors = pos.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("shuffle_pos"), col("n_total"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("target_pos",
+        ((col("shuffle_pos") - 1 + col("j")) % col("n_total")) + 1)
+    anchors.join(pos.select(col("doc_id").as("neg_doc_id"),
+        col("shuffle_pos").as("target_pos")), "target_pos")
+      .filter(col("neg_doc_id") =!= col("doc_id")) // N < k+1 degenerate
+      .select(col("doc_id"), col("j").cast("long").as("j"),
+        col("neg_doc_id"))
+      .orderBy("doc_id", "j")
+  }
+
   // --- SparkEntry-facing query wrappers ---------------------------------
 
   def qSplitAssign(s: SparkSession, dir: String): DataFrame =
@@ -285,4 +315,7 @@ object CorpusOps {
 
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
     sourceOverlap(Tables.documents(s, dir))
+
+  def qNegativeSamples(s: SparkSession, dir: String): DataFrame =
+    negativeSamples(Tables.documents(s, dir), 3)
 }

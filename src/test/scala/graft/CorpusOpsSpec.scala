@@ -226,6 +226,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq === Seq(("srcA", "srcB", 1L, 0.3333)))
   }
 
+  test("negativeSamples: k ring successors, no self-pairs, reproducible") {
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val out = CorpusOps.negativeSamples(docs, k = 3)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc gets exactly k negatives (N ≫ k), none of them itself
+    assert(rows.length === n * 3)
+    assert(rows.groupBy(_._1).values.forall(_.length == 3))
+    assert(rows.forall { case (a, _, b) => a != b })
+    // per anchor the 3 negatives are distinct (ring positions differ)
+    assert(rows.groupBy(_._1).values.forall(_.map(_._3).distinct.length == 3))
+    // deterministic: a second run is identical
+    val again = CorpusOps.negativeSamples(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+    // ring semantics: j=1 negative of X is the shuffle successor of X
+    val pos = CorpusOps.corpusShuffle(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val posOf = pos.map(_.swap)
+    rows.filter(_._2 == 1L).take(50).foreach { case (a, _, b) =>
+      val expect = pos(posOf(a) % n + 1)
+      assert(b === expect, s"j=1 successor of $a should be $expect")
+    }
+  }
+
   test("sourceOverlap: self-join fanout is bounded by the source catalog") {
     val docs = Tables.documents(spark, sf0001)
     val out = CorpusOps.sourceOverlap(docs)

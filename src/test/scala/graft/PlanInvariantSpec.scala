@@ -18,7 +18,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     * scalars of the corpus-stats queries. */
   private val bnljAllowed = Set("q18b_theta_band", "q15_cosine_topk",
     "text_top_terms", "sim_batch_topk", "corpus_drift", "quantile_filter",
-    "text_bm25")
+    "text_bm25",
+    // broadcast 1-row corpus-count scalar crossed onto the anchors
+    "neg_samples")
 
   /** Queries that intentionally plan an unpartitioned (global) Window —
     * the canonical 100 TB plan killer when it sits over corpus-sized data.
@@ -27,8 +29,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     * O(buckets), never O(corpus):
     *  - pack_sequences / shard_assembly: running offset over per-BUCKET
     *    totals (Packing.scala:90) — one row per packing bucket.
-    *  - corpus_shuffle / token_budget_sample: same per-bucket offset
-    *    (CorpusOps.scala:187,213).
+    *  - corpus_shuffle / token_budget_sample / neg_samples: same
+    *    per-bucket offset (CorpusOps.scala:187,213; neg_samples rides on
+    *    corpusShuffle's permutation).
     *  - quantile_filter: cumulative histogram over token-count buckets
     *    (CorpusOps.scala:107) — one row per distinct bucketed length.
     *  - mixture_weights: grand-total broadcast over one row per language
@@ -37,7 +40,7 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     * partition it, or document boundedness here and in the operator. */
   private val globalWindowAllowed = Set("pack_sequences", "shard_assembly",
     "corpus_shuffle", "token_budget_sample", "quantile_filter",
-    "mixture_weights")
+    "mixture_weights", "neg_samples")
 
   test("unpartitioned Window only over construction-bounded relations") {
     import org.apache.spark.sql.execution.window.WindowExec

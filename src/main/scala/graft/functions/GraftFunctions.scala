@@ -41,6 +41,15 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         "hashed_shingles expects (text, n literal int), got " +
           other.map(_.sql).mkString(", "))
+    },
+    "heavy_hitters" -> {
+      // capacity must be a literal int: it sizes the summary at
+      // planning time, like top_k_by_score's k.
+      case Seq(term, Literal(capacity: Int, IntegerType)) =>
+        HeavyHittersAgg(term, capacity).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        "heavy_hitters expects (term, capacity literal int), got " +
+          other.map(_.sql).mkString(", "))
     })
 
   def register(spark: SparkSession): Unit =

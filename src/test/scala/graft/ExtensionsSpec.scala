@@ -11,9 +11,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     new GraftExtensions()(ext)
     val reg = GraftColumnBridge.freshRegistryWith(ext)
     for (name <- Seq("cosine_similarity", "top_k_by_score", "nfc_normalize",
-        "hashed_shingles"))
+        "hashed_shingles", "heavy_hitters"))
       assert(reg.functionExists(FunctionIdentifier(name)),
         s"$name not injected")
+  }
+
+  test("SQL heavy_hitters through the session registry matches the Column API") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq("x", "x", "y", "x", "z", "y").toDF("t").createOrReplaceTempView("hh1")
+    val viaSql = spark.sql(
+      "SELECT heavy_hitters(t, 8) AS hh FROM hh1")
+      .as[Seq[(String, Long)]].head()
+    assert(viaSql === Seq(("x", 3L), ("y", 2L), ("z", 1L)))
+    // capacity must be a literal
+    val e = intercept[Exception](
+      spark.sql("SELECT heavy_hitters(t, length(t)) FROM hh1").collect())
+    assert(e.getMessage.contains("heavy_hitters"))
   }
 
   test("interpreted and codegen'd hashed_shingles agree; SQL door matches Column API") {

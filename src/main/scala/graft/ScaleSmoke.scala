@@ -107,7 +107,9 @@ object ScaleSmoke {
       // EVENTS table (nanos-timestamp source, not replicated here)
       ((n.startsWith("dedup_") || n.startsWith("text_") ||
         n.startsWith("emb_") || n == "sim_quantized_topk" ||
-        n == "mixture_weights" || n == "cow_upsert")
+        n == "mixture_weights" || n == "cow_upsert" ||
+        n == "source_overlap" || n == "neg_samples" ||
+        n == "hh_lang_by_source")
         && n != "text_redact"
         && (only.isEmpty || only.exists(n.contains)))
     }

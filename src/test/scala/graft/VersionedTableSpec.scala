@@ -97,6 +97,25 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     assert(VersionedTable.read(spark, tbl, Some(1L)).count() === 20L)
   }
 
+  test("snapshot isolation: a reader resolved before an upsert sees the old state after it") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.repartitionByRange(4, col("doc_id")))
+    // Reader resolves the CURRENT manifest (v0) — this is the moment a
+    // concurrent reader would start its scan.
+    val reader = VersionedTable.read(spark, tbl)
+    val writeHappens = VersionedTable.upsert(spark, tbl,
+      docs.filter(col("doc_id") < 10)
+        .withColumn("text", lit("OVERWRITTEN"))
+        .select(docs.columns.map(col).toIndexedSeq: _*), "doc_id")
+    assert(writeHappens === 1L)
+    // The pre-resolved frame still evaluates against v0's files — they
+    // were retained, not deleted, so the reader never sees a torn or
+    // duplicated state (the bare-directory COW cannot make this
+    // guarantee mid-commit).
+    assert(reader.filter(col("text") === "OVERWRITTEN").count() === 0L)
+    assert(reader.count() === docs.count())
+  }
+
   test("streaming CDC upsert: micro-batches land as versions, last writer wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -109,8 +109,9 @@ object Dedup {
     * expression (in-place XXH64 over the UTF8String's bytes, zero
     * per-word allocation, inside whole-stage codegen) — see its doc for
     * why it replaced the UDF formulation. */
-  def hashedShingleDocs(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
+  def hashedShingleDocs(docs: DataFrame, n: Int = 3,
+      key: String = "doc_id"): DataFrame =
+    docs.select(col(key),
       org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.HashedShingles(
           org.apache.spark.sql.GraftColumnBridge.expression(col("text")), n))

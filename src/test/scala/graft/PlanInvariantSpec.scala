@@ -36,11 +36,13 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     *    (CorpusOps.scala:107) — one row per distinct bucketed length.
     *  - mixture_weights: grand-total broadcast over one row per language
     *    (CorpusOps.scala:152).
+    *  - source_overlap: dense int codes ranked over the DISTINCT source
+    *    catalog (CorpusOps.sourceOverlap) — one row per source.
     * Any OTHER query planning a global Window fails this suite: either
     * partition it, or document boundedness here and in the operator. */
   private val globalWindowAllowed = Set("pack_sequences", "shard_assembly",
     "corpus_shuffle", "token_budget_sample", "quantile_filter",
-    "mixture_weights", "neg_samples")
+    "mixture_weights", "neg_samples", "source_overlap")
 
   test("unpartitioned Window only over construction-bounded relations") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -91,6 +91,25 @@ object StreamingOps {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Trending terms per tumbling window: the Misra–Gries
+    * [[graft.functions.HeavyHitters]] aggregate INSIDE a watermarked
+    * streaming aggregation. The state store then carries one bounded
+    * summary (≤ capacity counters) per open window instead of one state
+    * row per distinct term — on a high-cardinality term stream this is
+    * the difference between O(windows × capacity) and O(windows × vocab)
+    * state. Same exactness property as the batch side: counts are exact
+    * whenever a window's per-partial distinct count stays under
+    * capacity. Emits one row per (window, term) on window close. */
+  def trendingTerms(events: DataFrame, termCol: String, capacity: Int = 8,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.HeavyHitters(col(termCol), capacity).as("hh"))
+      .select(col("window.start").as("bucket"), explode(col("hh")).as("e"))
+      .select(col("bucket"), col("e.term").as("term"),
+        col("e.count").as("n"))
+
   /** Sliding-window variant (each event contributes to window/slide
     * overlapping windows). */
   def slidingCounts(events: DataFrame, window_ : String = "2 hours",

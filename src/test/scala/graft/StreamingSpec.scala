@@ -113,6 +113,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .toSet === Set((1L, 0L, 2L, 3.0)))
   }
 
+  test("trending terms: bounded heavy-hitter state per window equals batch counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new Timestamp(3600000L + min * 60000L)
+    val mem = MemoryStream[(Timestamp, String)]
+    val streamed = StreamingOps.trendingTerms(
+      mem.toDF().toDF("ts", "event_type"), "event_type", capacity = 8)
+    val name = s"trend_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window 1 (13:00): a×3, b×1; window 2 (14:00): b×2
+      mem.addData((ts(0), "a"), (ts(1), "b"), (ts(2), "a"), (ts(3), "a"),
+        (ts(61), "b"), (ts(62), "b"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      mem.addData((ts(400), "z"))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1.getTime, t._2)).toSeq
+      assert(got === Seq(
+        (ts(0), "a", 3L), (ts(0), "b", 1L),
+        (new Timestamp(ts(60).getTime), "b", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeats arriving within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -141,6 +141,12 @@ object Multimodal {
       while ((meta.isEmpty || data.isEmpty) && buf.remaining() >= 8) {
         val id = fourcc()
         val len = buf.getInt()
+        // A negative declared length (top bit set — legal only for the
+        // >2 GB data chunk of a malformed/hostile blob) would make every
+        // `remaining() >= len` guard below trivially true and the skip
+        // SEEK BACKWARD onto this same header: an infinite loop, not a
+        // parse failure. Reject it outright.
+        if (len < 0) return None
         if (id == "fmt " && len >= 16 && buf.remaining() >= 16) {
           val mark = buf.position()
           buf.getShort() // audio format tag (1 = PCM); parsed for effect

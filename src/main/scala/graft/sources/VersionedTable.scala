@@ -65,29 +65,45 @@ object VersionedTable {
   }
 
   /** Stage-then-rename manifest commit. Fails loudly if `v` was committed
-    * by someone else first (rename-if-absent = optimistic concurrency).
+    * by someone else first. The slot is claimed with
+    * `fs.create(claim, overwrite = false)` — the Hadoop primitive that
+    * FAILS on an existing file (atomic on HDFS; the strongest
+    * check-and-act the FS API offers locally) — because a bare
+    * exists-then-rename is a TOCTOU race: POSIX rename REPLACES an
+    * existing target, so two racing writers would both "succeed" and one
+    * commit would be silently lost. With the claim held, the target
+    * rename cannot collide. A writer that dies between claim and commit
+    * leaks its claim file, which blocks that version slot LOUDLY (the
+    * next committer errors and names the stale claim) — the recoverable
+    * failure, chosen over the silent lost update.
     * Package-visible so the spec can pin the conflict path directly. */
   private[graft] def commitManifest(spark: SparkSession, table: Path, v: Long,
       files: Seq[String]): Unit = {
     val fs = fsOf(spark, table)
     fs.mkdirs(manifestDir(table))
     val target = manifestPath(table, v)
-    require(!fs.exists(target),
-      s"version $v already committed — concurrent writer won; re-read and retry")
-    val tmp = new Path(manifestDir(table),
-      s".tmp-${java.util.UUID.randomUUID}")
-    val fileArr =
-      if (files.isEmpty) "[]"
-      else files.sorted.mkString("[\"", "\",\"", "\"]")
-    val out = fs.create(tmp, false)
-    try out.write(s"""{"version":$v,"files":$fileArr}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      sys.error(s"version $v already committed — concurrent writer won; " +
-        "re-read and retry")
-    }
+    val claim = new Path(manifestDir(table), f"v$v%08d.claim")
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(claimed,
+      s"version $v already committed or mid-commit (claim $claim exists) — " +
+        "concurrent writer won; re-read and retry (delete a stale claim " +
+        "only if its writer is known dead)")
+    try {
+      require(!fs.exists(target),
+        s"version $v already committed — concurrent writer won; re-read and retry")
+      val tmp = new Path(manifestDir(table),
+        s".tmp-${java.util.UUID.randomUUID}")
+      val fileArr =
+        if (files.isEmpty) "[]"
+        else files.sorted.mkString("[\"", "\",\"", "\"]")
+      val out = fs.create(tmp, false)
+      try out.write(s"""{"version":$v,"files":$fileArr}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, target), s"commit: rename $tmp -> $target failed")
+    } finally fs.delete(claim, false)
   }
 
   /** Move every staged part-file into the table directory under a fresh
@@ -175,8 +191,16 @@ object VersionedTable {
   /** Drop every version below `keepFrom`, then delete data files no
     * surviving manifest references. Returns the number of data files
     * deleted. Time travel below `keepFrom` stops working — that is the
-    * point: bounded storage. */
-  def vacuum(spark: SparkSession, tablePath: String, keepFrom: Long): Int = {
+    * point: bounded storage.
+    *
+    * `graceMs`: unreferenced files YOUNGER than this are kept. An
+    * in-flight upsert adopts its data files into the table directory
+    * BEFORE its manifest commits; with no grace window a concurrent
+    * vacuum would see them as orphans and delete them out from under
+    * the commit (the same reason production table formats gate physical
+    * deletion on file age). Pass 0 only when no writer can be active. */
+  def vacuum(spark: SparkSession, tablePath: String, keepFrom: Long,
+      graceMs: Long = 3600000L): Int = {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val newest = currentVersion(spark, tablePath).getOrElse(
@@ -186,9 +210,12 @@ object VersionedTable {
       .filter(v => fs.exists(manifestPath(table, v)))
       .partition(_ < keepFrom)
     val referenced = keep.flatMap(readManifest(spark, table, _)).toSet
-    val dead = fs.listStatus(table).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") &&
-        !referenced(p.getName))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = fs.listStatus(table)
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        !referenced(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath)
     dead.foreach(p => require(fs.delete(p, false) || !fs.exists(p),
       s"vacuum: delete $p failed"))
     drop.foreach(v => fs.delete(manifestPath(table, v), false))

@@ -165,6 +165,12 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(wavDecode(withList) === Some(WavMeta(8000, 1, 16, 8L)))
     // header-only contract: the payload may be absent entirely
     assert(wavDecode(base.slice(0, 44)) === Some(WavMeta(8000, 1, 16, 8L)))
+    // a negative declared chunk length must return None, not seek
+    // backward onto its own header and loop forever (review finding)
+    val negLen = "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "data".getBytes("US-ASCII") ++
+      Array[Byte](-8, -1, -1, -1) ++ new Array[Byte](16)
+    assert(wavDecode(negLen) === None)
     // corrupt / truncated / non-WAV → None, never a throw
     assert(wavDecode(Array[Byte]()) === None)
     assert(wavDecode("RIFFxxxxJUNK".getBytes("US-ASCII")) === None)

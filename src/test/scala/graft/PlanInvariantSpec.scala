@@ -44,39 +44,37 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     "corpus_shuffle", "token_budget_sample", "quantile_filter",
     "mixture_weights", "neg_samples", "source_overlap")
 
-  test("unpartitioned Window only over construction-bounded relations") {
+  // ONE registry sweep serves every invariant: several query wrappers do
+  // eager storage work on CONSTRUCTION (cow_time_travel builds a
+  // three-version table, zorder_scan writes a clustered copy), so each
+  // additional sweep would redo all of it just to look at plans.
+  test("registry sweep: no cartesian/unintended-BNLJ; global Window only over bounded relations") {
     import org.apache.spark.sql.execution.window.WindowExec
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val globalWindowOffenders = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
-      .flatMap { case (name, fn) =>
-        // sparkPlan (pre-AQE) keeps WindowExec nodes collectible; AQE
-        // re-plans exchanges, never window placement. Plain collect (not
-        // collectWithSubqueries): pre-execution subquery expressions still
-        // hold LOGICAL plans here, and our subqueries are scalar aggregates.
-        val globals = fn(spark, sf0001).queryExecution.sparkPlan
-          .collect {
-            case w: WindowExec if w.partitionSpec.isEmpty => w
-          }
-        if (globals.nonEmpty) Some(name) else None
-      }.toSet
-    val unexpected = offenders -- globalWindowAllowed
-    val stale = globalWindowAllowed -- offenders
+      .foreach { case (name, fn) =>
+        // sparkPlan (pre-AQE): join strategies and WindowExec placement
+        // are both decided here, and AQE re-plans exchanges, never
+        // those. Plain collect (not collectWithSubqueries):
+        // pre-execution subquery expressions still hold LOGICAL plans,
+        // and our subqueries are scalar aggregates.
+        val plan = fn(spark, sf0001).queryExecution.sparkPlan
+        val planStr = plan.toString
+        assert(!planStr.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n$planStr")
+        if (!bnljAllowed(name))
+          assert(!planStr.contains("BroadcastNestedLoopJoin"),
+            s"$name plans an unintended nested-loop join:\n$planStr")
+        if (plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty)
+          globalWindowOffenders += name
+      }
+    val unexpected = globalWindowOffenders.toSet -- globalWindowAllowed
+    val stale = globalWindowAllowed -- globalWindowOffenders
     assert(unexpected.isEmpty,
       s"global Window over a possibly-unbounded relation in: $unexpected")
     assert(stale.isEmpty,
       s"allowlist rot — these no longer plan a global Window: $stale")
-  }
-
-  test("no registered query plans a cartesian product; BNLJ only where intended") {
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => skip(name) }
-      .foreach { case (name, fn) =>
-        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plans a cartesian product:\n$plan")
-        if (!bnljAllowed(name))
-          assert(!plan.contains("BroadcastNestedLoopJoin"),
-            s"$name plans an unintended nested-loop join:\n$plan")
-      }
   }
 }

@@ -79,7 +79,7 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     assert(VersionedTable.read(spark, tbl, Some(0L)).count() === docs.count())
   }
 
-  test("commit is rename-if-absent: a racing writer to the same version loses loudly") {
+  test("commit claims its version slot: a racing writer to the same version loses loudly") {
     val tbl = freshTable()
     VersionedTable.init(spark, tbl, docs.limit(20))
     // Both writers read v0 and race to commit v1; the second commit to
@@ -156,7 +156,15 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
         .withColumn("n_chars", col("n_chars") + 1)
         .select(docs.columns.map(col).toIndexedSeq: _*), "doc_id")
     val beforeCount = VersionedTable.read(spark, tbl).count()
-    val deleted = VersionedTable.vacuum(spark, tbl, keepFrom = 1L)
+    val filesBefore = dataFiles(tbl)
+    // default grace: files written seconds ago are NOT reclaimed — an
+    // in-flight upsert's adopted-but-uncommitted files must survive a
+    // concurrent vacuum (review finding). The v0 manifest itself is
+    // dropped (explicit keepFrom intent); only physical deletes wait.
+    assert(VersionedTable.vacuum(spark, tbl, keepFrom = 1L) === 0)
+    assert(dataFiles(tbl) === filesBefore)
+    // grace 0 (offline maintenance): reclaim fires
+    val deleted = VersionedTable.vacuum(spark, tbl, keepFrom = 1L, graceMs = 0L)
     assert(deleted >= 1, "the rewritten v0 originals should be reclaimed")
     // latest still reads fully; v0 is gone (its manifest was dropped)
     assert(VersionedTable.read(spark, tbl).count() === beforeCount)

@@ -136,7 +136,11 @@ object VersionedTable {
     0L
   }
 
-  /** Read the table at `version` (default: newest). */
+  /** Read the table at `version` (default: newest). `mergeSchema` makes
+    * a schema-evolved snapshot read whole: files written before a column
+    * was added null-fill it, exactly parquet's additive-evolution
+    * contract. A non-evolved version lists only same-schema files, so
+    * time travel still sees the schema that version had. */
   def read(spark: SparkSession, tablePath: String,
       version: Option[Long] = None): DataFrame = {
     val table = new Path(tablePath)
@@ -144,20 +148,41 @@ object VersionedTable {
       sys.error(s"$tablePath is not a versioned table"))
     val files = readManifest(spark, table, v)
     require(files.nonEmpty, s"version $v of $tablePath has an empty manifest")
-    spark.read.parquet(files.map(new Path(table, _).toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(new Path(table, _).toString): _*)
   }
 
   /** Copy-on-write upsert against the CURRENT snapshot; commits and
     * returns the new version. Only key-containing files are rewritten;
-    * prior versions keep reading the originals. */
+    * prior versions keep reading the originals.
+    *
+    * Additive schema evolution: `updates` may carry columns the snapshot
+    * lacks — new and rewritten files get the widened schema, carried-over
+    * files keep theirs, and [[read]]'s mergeSchema null-fills history.
+    * Columns the snapshot has but `updates` lacks, or a type change on a
+    * shared column, fail loudly (a silent null-fill or cast is how
+    * tables rot). */
   def upsert(spark: SparkSession, tablePath: String, updates: DataFrame,
       keyCol: String): Long = {
     val table = new Path(tablePath)
     val v = currentVersion(spark, tablePath).getOrElse(
       sys.error(s"$tablePath is not a versioned table — init first"))
     val current = readManifest(spark, table, v)
-    val snapshot = spark.read.parquet(
+    val snapshot = spark.read.option("mergeSchema", "true").parquet(
       current.map(new Path(table, _).toString): _*)
+    val missing = snapshot.columns.filterNot(updates.columns.contains)
+    require(missing.isEmpty,
+      s"updates lack table columns ${missing.mkString(", ")} — supply them " +
+        "explicitly (dropping columns is not additive evolution)")
+    snapshot.schema.foreach { f =>
+      updates.schema.find(_.name == f.name).foreach { u =>
+        require(u.dataType == f.dataType,
+          s"type change on ${f.name} (${f.dataType.catalogString} -> " +
+            s"${u.dataType.catalogString}) is not additive evolution")
+      }
+    }
+    val added = updates.columns.filterNot(snapshot.columns.contains)
+    val outCols = (snapshot.columns ++ added).toIndexedSeq
 
     val keys = updates.select(keyCol).distinct()
     val touched = snapshot
@@ -170,16 +195,28 @@ object VersionedTable {
     val staging = new Path(table, s"_stage_${java.util.UUID.randomUUID}")
     val rewritten =
       if (touched.isEmpty) {
-        // Insert-only: stage just the new batch.
-        updates.write.parquet(staging.toString)
+        // Insert-only: stage just the new batch (widened column order).
+        updates.select(outCols.map(col): _*).write.parquet(staging.toString)
         adoptStaged(spark, table, staging)
       } else {
-        spark.read.parquet(
-            touched.toSeq.map(new Path(table, _).toString): _*)
+        // Survivors of rewritten files take the widened schema too —
+        // null-filled on BOTH flanks: a touched file written before an
+        // earlier evolution may itself lack columns the snapshot has
+        // (null-cast them in), and rows the batch did not touch lack the
+        // batch's added columns (allowMissingColumns null-fills those).
+        val touchedDf0 = spark.read.option("mergeSchema", "true").parquet(
+          touched.toSeq.map(new Path(table, _).toString): _*)
+        val touchedDf = snapshot.schema.fields.foldLeft(touchedDf0) {
+          (df, f) =>
+            if (df.columns.contains(f.name)) df
+            else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+        touchedDf
           .join(updates.select(keyCol), Seq(keyCol), "left_anti")
           .select(snapshot.columns.map(col).toIndexedSeq: _*)
-          .unionByName(updates.select(
-            snapshot.columns.map(col).toIndexedSeq: _*))
+          .unionByName(updates.select(outCols.map(col): _*),
+            allowMissingColumns = true)
+          .select(outCols.map(col): _*)
           .write.parquet(staging.toString)
         adoptStaged(spark, table, staging)
       }

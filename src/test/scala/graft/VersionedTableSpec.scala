@@ -148,6 +148,45 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getString(1)).sorted.toSeq === Seq("a", "b", "c"))
   }
 
+  test("additive schema evolution: new column null-fills history, old versions keep their schema") {
+    import spark.implicits._
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .repartitionByRange(3, col("k")))
+    // v1: update k=1 and ADD a column; untouched survivors of the
+    // rewritten file and carried files must null-fill it
+    VersionedTable.upsert(spark, tbl,
+      Seq((1L, "a1", 0.9)).toDF("k", "v", "score"), "k")
+    val v1 = VersionedTable.read(spark, tbl)
+    assert(v1.columns.toSeq === Seq("k", "v", "score"))
+    val rows = v1.collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows === Map(1L -> ("a1", Some(0.9)),
+      2L -> ("b", None), 3L -> ("c", None)))
+    // time travel: v0 never had the column
+    assert(VersionedTable.read(spark, tbl, Some(0L)).columns.toSeq ===
+      Seq("k", "v"))
+    // v2 touches a PRE-EVOLUTION carried file (k=3): its rewrite must
+    // null-cast the added column in, not fail analysis
+    VersionedTable.upsert(spark, tbl,
+      Seq((3L, "c2", 0.5)).toDF("k", "v", "score"), "k")
+    val v2 = VersionedTable.read(spark, tbl).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    assert(v2 === Map(1L -> Some(0.9), 2L -> None, 3L -> Some(0.5)))
+    // dropping a column and changing a type both fail loudly
+    val eDrop = intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, tbl,
+        Seq((2L, "b2")).toDF("k", "v"), "k"))
+    assert(eDrop.getMessage.contains("lack table columns"))
+    val eType = intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, tbl,
+        Seq((2L, "b2", "high")).toDF("k", "v", "score"), "k"))
+    assert(eType.getMessage.contains("type change"))
+  }
+
   test("vacuum reclaims files below the retention floor and keeps live versions intact") {
     val tbl = freshTable()
     VersionedTable.init(spark, tbl, docs.repartitionByRange(8, col("doc_id")))

@@ -59,9 +59,24 @@ object VersionedTable {
     val in = fs.open(manifestPath(table, v))
     val txt = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    // Manifest grammar is ours and trivial: {"version":N,"files":[...]}
-    // with names matching parquet part-file charsets — split, don't parse.
+    // Manifest grammar is ours and trivial:
+    // {"version":N,"merge":bool,"files":[...]} with names matching
+    // parquet part-file charsets — split, don't parse.
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+  }
+
+  /** Whether version `v`'s file set carries more than one schema (sticky
+    * once an evolving upsert lands, until every old file is rewritten
+    * out). Readers only pay parquet's footer-merging `mergeSchema` scan
+    * when this is set — on a 10⁵-file table that option is a real
+    * planning cost, and a never-evolved table should not pay it. */
+  private def manifestMerge(spark: SparkSession, table: Path,
+      v: Long): Boolean = {
+    val fs = fsOf(spark, table)
+    val in = fs.open(manifestPath(table, v))
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    txt.contains("\"merge\":true")
   }
 
   /** Stage-then-rename manifest commit. Fails loudly if `v` was committed
@@ -78,7 +93,7 @@ object VersionedTable {
     * failure, chosen over the silent lost update.
     * Package-visible so the spec can pin the conflict path directly. */
   private[graft] def commitManifest(spark: SparkSession, table: Path, v: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[String], merge: Boolean = false): Unit = {
     val fs = fsOf(spark, table)
     fs.mkdirs(manifestDir(table))
     val target = manifestPath(table, v)
@@ -99,7 +114,7 @@ object VersionedTable {
         if (files.isEmpty) "[]"
         else files.sorted.mkString("[\"", "\",\"", "\"]")
       val out = fs.create(tmp, false)
-      try out.write(s"""{"version":$v,"files":$fileArr}"""
+      try out.write(s"""{"version":$v,"merge":$merge,"files":$fileArr}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       require(fs.rename(tmp, target), s"commit: rename $tmp -> $target failed")
@@ -136,11 +151,13 @@ object VersionedTable {
     0L
   }
 
-  /** Read the table at `version` (default: newest). `mergeSchema` makes
-    * a schema-evolved snapshot read whole: files written before a column
-    * was added null-fill it, exactly parquet's additive-evolution
-    * contract. A non-evolved version lists only same-schema files, so
-    * time travel still sees the schema that version had. */
+  /** Read the table at `version` (default: newest). When the manifest's
+    * `merge` flag is set (the version's files span an additive schema
+    * evolution), `mergeSchema` makes the snapshot read whole — files
+    * written before a column was added null-fill it, exactly parquet's
+    * additive-evolution contract. Non-evolved versions skip the
+    * footer-merging scan, and time travel sees each version's own
+    * schema. */
   def read(spark: SparkSession, tablePath: String,
       version: Option[Long] = None): DataFrame = {
     val table = new Path(tablePath)
@@ -148,7 +165,8 @@ object VersionedTable {
       sys.error(s"$tablePath is not a versioned table"))
     val files = readManifest(spark, table, v)
     require(files.nonEmpty, s"version $v of $tablePath has an empty manifest")
-    spark.read.option("mergeSchema", "true")
+    spark.read
+      .option("mergeSchema", manifestMerge(spark, table, v).toString)
       .parquet(files.map(new Path(table, _).toString): _*)
   }
 
@@ -168,8 +186,10 @@ object VersionedTable {
     val v = currentVersion(spark, tablePath).getOrElse(
       sys.error(s"$tablePath is not a versioned table — init first"))
     val current = readManifest(spark, table, v)
-    val snapshot = spark.read.option("mergeSchema", "true").parquet(
-      current.map(new Path(table, _).toString): _*)
+    val priorMerge = manifestMerge(spark, table, v)
+    val snapshot = spark.read
+      .option("mergeSchema", priorMerge.toString).parquet(
+        current.map(new Path(table, _).toString): _*)
     val missing = snapshot.columns.filterNot(updates.columns.contains)
     require(missing.isEmpty,
       s"updates lack table columns ${missing.mkString(", ")} — supply them " +
@@ -204,8 +224,9 @@ object VersionedTable {
         // earlier evolution may itself lack columns the snapshot has
         // (null-cast them in), and rows the batch did not touch lack the
         // batch's added columns (allowMissingColumns null-fills those).
-        val touchedDf0 = spark.read.option("mergeSchema", "true").parquet(
-          touched.toSeq.map(new Path(table, _).toString): _*)
+        val touchedDf0 = spark.read
+          .option("mergeSchema", priorMerge.toString).parquet(
+            touched.toSeq.map(new Path(table, _).toString): _*)
         val touchedDf = snapshot.schema.fields.foldLeft(touchedDf0) {
           (df, f) =>
             if (df.columns.contains(f.name)) df
@@ -221,7 +242,12 @@ object VersionedTable {
         adoptStaged(spark, table, staging)
       }
     val next = current.filterNot(touched) ++ rewritten
-    commitManifest(spark, table, v + 1, next)
+    // The merge flag is STICKY while any pre-evolution file remains
+    // listed: it clears only when a rewrite has replaced them all (an
+    // insert-only batch keeps every current file, so it carries the flag).
+    val stillMixed = priorMerge && current.exists(f => !touched(f))
+    commitManifest(spark, table, v + 1, next,
+      merge = stillMixed || added.nonEmpty)
     v + 1
   }
 

@@ -176,6 +176,13 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
         else Some(r.getDouble(2)))).toMap
     assert(v2 === Map(1L -> Some(0.9), 2L -> None, 3L -> Some(0.5)))
+    // the manifest's merge flag is set only from the evolving commit on
+    // (v0 reads skip parquet's footer-merging scan entirely)
+    def manifestText(v: Long) = java.nio.file.Files.readString(
+      java.nio.file.Path.of(tbl, f"_manifests/v$v%08d.json"))
+    assert(manifestText(0).contains("\"merge\":false"))
+    assert(manifestText(1).contains("\"merge\":true"))
+    assert(manifestText(2).contains("\"merge\":true"))
     // dropping a column and changing a type both fail loudly
     val eDrop = intercept[IllegalArgumentException](
       VersionedTable.upsert(spark, tbl,

@@ -828,17 +828,23 @@ object SparkEntry {
          |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
          |  count(*)::BIGINT AS n_pairs
          |FROM jac WHERE j >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
-    // dedup_hist_sampled: deterministic md5-hash 1/4 sample (first hex
-    // digit of md5(decimal doc_id) in 0-3 — decorrelated from id
-    // strides, unlike a residue-class sample) — the oracle reproduces
-    // the exact sample, so the sampled histogram is hash-checkable even
-    // though it ESTIMATES the population counts.
+    // dedup_hist_sampled: deterministic md5-prefix sample whose RATE is
+    // derived from the corpus count (constant sample BUDGET ~1250 docs,
+    // powers-of-4 mod up to 256) — the oracle recomputes the same rate
+    // and the exact same sample, so the sampled histogram stays
+    // hash-checkable even though it ESTIMATES the population counts.
     "dedup_hist_sampled" ->
-      s"""WITH ${shingleCteOn(
-        "(SELECT * FROM documents WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3'))")}
+      s"""WITH nd AS (SELECT count(*) AS n FROM documents),
+         |m AS (SELECT CASE WHEN n <= 1250 THEN 1 WHEN n <= 5000 THEN 4
+         |    WHEN n <= 20000 THEN 16 WHEN n <= 80000 THEN 64
+         |    ELSE 256 END AS smod FROM nd),
+         |samp AS (SELECT d.* FROM documents d, m
+         |  WHERE smod = 1 OR substring(md5(d.doc_id::VARCHAR), 1, 2)
+         |    < printf('%02x', 256 // smod)),
+         |${shingleCteOn("samp")}
          |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
          |  count(*)::BIGINT AS n_pairs,
-         |  (count(*) * 16)::BIGINT AS est_n_pairs
+         |  (count(*) * (SELECT smod * smod FROM m))::BIGINT AS est_n_pairs
          |FROM jac WHERE j >= 0.05 GROUP BY 1 ORDER BY 1""".stripMargin,
     // dedup_incremental: exact verification on LSH candidates, so it
     // shares the exhaustive shingle oracle restricted to cross pairs

@@ -974,14 +974,31 @@ object Dedup {
     * ≪ mod² may sample to zero — fine for threshold tuning, where the
     * interesting bands are the populated ones. */
   def jaccardHistogramSampled(docs: DataFrame, lo: Double = 0.05,
-      n: Int = 3, mod: Int = 4,
+      n: Int = 3, targetSample: Int = 1250,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
-    require(16 % mod == 0, s"mod=$mod must divide 16 (hex-digit sampling)")
-    ngramJaccardCore(Sampling.hashSample(docs, "doc_id", 16 / mod),
-      lo, n, dfCap)
+    // Constant-BUDGET sampling, not constant-fraction: a fixed 1/mod
+    // keeps a sample (and its quadratic pair join) growing with the
+    // corpus — the r12 smoke measured the fixed-mod variant at 5.9x for
+    // 10x rows. The sampling rate 1/mod is instead derived from the
+    // corpus count (powers of 4 up to 256, all computed inside the
+    // plan: a 1-row broadcast aggregate, never a driver action), so the
+    // sample stays ~targetSample docs and the estimator's cost is flat
+    // in corpus size. est_n_pairs scales by the matching mod².
+    val modDf = docs.agg(count(lit(1)).as("nd")).select(
+      when(col("nd") <= targetSample, 1L)
+        .when(col("nd") <= targetSample * 4L, 4L)
+        .when(col("nd") <= targetSample * 16L, 16L)
+        .when(col("nd") <= targetSample * 64L, 64L)
+        .otherwise(256L).as("smod"))
+    val sampled = Sampling.hashSample256(
+      docs.crossJoin(broadcast(modDf)), "doc_id",
+      lit(256L) / col("smod")).drop("smod")
+    ngramJaccardCore(sampled, lo, n, dfCap)
       .withColumn("band10", floor(col("jaccard") * 10).cast("long"))
       .groupBy("band10").agg(count(lit(1)).as("n_pairs"))
-      .withColumn("est_n_pairs", col("n_pairs") * lit(mod.toLong * mod))
+      .crossJoin(broadcast(modDf))
+      .withColumn("est_n_pairs", col("n_pairs") * col("smod") * col("smod"))
+      .drop("smod")
       .orderBy("band10")
   }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sampling and corpus-mixing operators — the subset/mixture steps of a
@@ -27,6 +27,21 @@ object Sampling {
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 1)
       .isin(digits: _*))
   }
+
+  /** [[hashSample]] at 1/256 granularity, with the keep bound supplied
+    * as a COLUMN (so it can come from a broadcast 1-row aggregate —
+    * e.g. a corpus-size-derived sampling rate — without a driver
+    * action). Keeps rows whose first TWO md5 hex digits compare below
+    * `%02x`-formatted `keep256Col`; lexicographic order on FIXED-WIDTH
+    * lowercase hex IS numeric order (a 3-char "100" bound would NOT
+    * sort above "ff" — callers wanting keep-everything pass 256, which
+    * is special-cased to no filter), and both md5 and the format render
+    * lowercase in Spark and DuckDB alike. */
+  def hashSample256(df: DataFrame, keyCol: String,
+      keep256Col: Column): DataFrame =
+    df.filter(keep256Col >= 256 ||
+      substring(md5(col(keyCol).cast("string")), 1, 2) <
+        format_string("%02x", keep256Col.cast("int")))
 
   /** Per-stratum Bernoulli sampling (`df.stat.sampleBy`): keeps each row
     * of stratum `v` with probability `fractions(v)`. Per-row independent

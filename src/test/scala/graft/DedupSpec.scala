@@ -232,11 +232,12 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("sampled histogram: md5-hash sample with 16× estimator") {
-    // The md5(decimal doc_id) first-hex-in-{0..3} sample keeps ids 6 and
-    // 19 of the set below (0, 1 and 8 hash to 'c'): only the 6≈19
-    // identical pair lies inside the sample, and the 0≈1 pair — which a
-    // residue-class sample correlated with id strides might keep or drop
-    // as a block — must not appear.
+    // targetSample = 2 over 5 docs forces smod = 4 (2-hex-digit prefix
+    // < "40" ≡ first digit in {0..3}): keeps ids 6 and 19 of the set
+    // below (0, 1 and 8 hash to 'c') — only the 6≈19 identical pair
+    // lies inside the sample, and the 0≈1 pair — which a residue-class
+    // sample correlated with id strides might keep or drop as a block —
+    // must not appear.
     val docs = Seq(
       (0L, "one two three four five six seven eight nine ten eleven"),
       (1L, "one two three four five six seven eight nine ten eleven"),
@@ -244,9 +245,15 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (19L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (8L, "completely unrelated words in this particular document body"))
       .toDF("doc_id", "text")
-    val h = Dedup.jaccardHistogramSampled(docs).collect()
+    val h = Dedup.jaccardHistogramSampled(docs, targetSample = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(h.toSeq === Seq((10L, 1L, 16L)))
+    // budget adaptivity: with the default target the whole 5-doc corpus
+    // is the sample (smod = 1) and the estimator factor collapses to 1 —
+    // both pairs appear, exactly
+    val full = Dedup.jaccardHistogramSampled(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq === Seq((10L, 2L, 2L)))
   }
 
   test("every dedup operator returns empty on an empty corpus, no crash") {

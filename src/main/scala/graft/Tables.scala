@@ -21,25 +21,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * convert to a microsecond TimestampType with integer division (a
-    * double-typed `/ 1000` would lose precision on ~1.7e18 ns values).
+  /** events.parquet has shipped `ts` in two physical vintages, and the
+    * driver may regenerate the tables between rounds, so the loader
+    * detects which one it was handed rather than assuming either:
     *
-    * The required `nanosAsLong` legacy flag is pinned in an isolated child
-    * session (shared SparkContext and cache, separate SQLConf — the same
-    * pattern as the streaming/CC wrappers), NEVER set on the caller's
-    * session. The returned frame is rooted in the child; the parquet scan
-    * resolves its hadoop conf from the relation's own session, so the flag
-    * holds wherever the frame is consumed. */
+    *   - TIMESTAMP(NANOS): Spark's parquet reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]) unless the `nanosAsLong` legacy flag is
+    *     set, under which it surfaces as LongType — convert to a
+    *     microsecond TimestampType with integer division (a double-typed
+    *     `/ 1000` would lose precision on ~1.7e18 ns values).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads natively as
+    *     TIMESTAMP_NTZ — cast to TimestampType, an exact identity on the
+    *     instant because every session here pins UTC.
+    *
+    * The `nanosAsLong` flag is pinned in an isolated child session
+    * (shared SparkContext and cache, separate SQLConf — the same pattern
+    * as the streaming/CC wrappers), NEVER set on the caller's session; it
+    * is a no-op for the micros vintage. The returned frame is rooted in
+    * the child; the parquet scan resolves its hadoop conf from the
+    * relation's own session, so the flag holds wherever the frame is
+    * consumed. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val flag = "spark.sql.legacy.parquet.nanosAsLong"
     val reader =
       if (s.conf.getOption(flag).contains("true")) s
       else { val child = s.newSession(); child.conf.set(flag, "true"); child }
-    apply(reader, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(reader, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>            // TIMESTAMP(NANOS) vintage
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>    // plain-micros vintage, UTC wall time
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

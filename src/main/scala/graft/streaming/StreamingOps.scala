@@ -20,8 +20,10 @@ import scala.jdk.CollectionConverters._
   */
 object StreamingOps {
 
-  /** events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
-    * only reads as long (see graft.Tables.events). */
+  /** events wire schema with ts in NANOS-AS-LONG — the Kafka wire
+    * contract ([[decodeEventsKafka]]) and the schema of the
+    * TIMESTAMP(NANOS) parquet vintage under the `nanosAsLong` flag (see
+    * graft.Tables.events for the two file vintages). */
   val eventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),   // nanos-as-long
@@ -29,6 +31,29 @@ object StreamingOps {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** events file schema for the plain-micros vintage: ts reads natively
+    * as TIMESTAMP_NTZ (UTC wall time — every session here pins UTC). */
+  val eventsFileSchemaMicros: StructType = StructType(
+    eventsFileSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
+  /** Probe which vintage an events parquet file is (footer-only batch
+    * read on `reader`, which must carry the nanosAsLong flag): true =
+    * TIMESTAMP(NANOS) surfacing as long, false = plain micros. */
+  private def eventsTsIsNanos(reader: SparkSession, path: String): Boolean =
+    reader.read.parquet(path).schema("ts").dataType == LongType
+
+  /** (file-facing schema, ts-normalizer to TimestampType) for the events
+    * file vintage at `path` — the one seam every file-replay reader goes
+    * through so a driver-side regeneration of the testdata in either
+    * vintage never touches query code. */
+  private def eventsVintage(reader: SparkSession, path: String)
+      : (StructType, org.apache.spark.sql.Column) =
+    if (eventsTsIsNanos(reader, path))
+      (eventsFileSchema, timestamp_micros(expr("ts div 1000")))
+    else
+      (eventsFileSchemaMicros, col("ts").cast("timestamp"))
 
   /** Open the events table as a stream. `maxFilesPerTrigger=1` keeps
     * micro-batches bounded when replaying a directory. Reading the
@@ -45,12 +70,13 @@ object StreamingOps {
       else { val child = s.newSession(); child.conf.set(flag, "true"); child }
     // file stream sources need a directory: stream the sf dir, filtered
     // down to the events file (in production: a landing directory)
+    val (schema, tsNorm) = eventsVintage(reader, s"$dir/events.parquet")
     reader.readStream
-      .schema(eventsFileSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsNorm)
   }
 
   /** Open the events stream from Kafka: one JSON event per record in
@@ -389,24 +415,34 @@ object StreamingOps {
     Files.copy(Paths.get(dir, "events.parquet"), evCopy,
       StandardCopyOption.REPLACE_EXISTING)
 
-    val maxNanos = child.read.schema(eventsFileSchema).parquet(evCopy.toString)
-      .agg(max("ts")).head().getLong(0)
-    val sentinelNanos = maxNanos + 30L * 86400L * 1000000000L
+    // Sentinel row in the SAME vintage as the copied file, so the replay
+    // directory keeps a uniform schema (graft.Tables.events documents the
+    // two vintages).
+    val nanosVintage = eventsTsIsNanos(child, evCopy.toString)
+    val (fileSchema, tsNorm) =
+      if (nanosVintage) (eventsFileSchema, timestamp_micros(expr("ts div 1000")))
+      else (eventsFileSchemaMicros, col("ts").cast("timestamp"))
+    val maxRow = child.read.schema(fileSchema).parquet(evCopy.toString)
+      .agg(max("ts")).head()
+    val sentinelTs: Any =
+      if (nanosVintage) java.lang.Long.valueOf(
+        maxRow.getLong(0) + 30L * 86400L * 1000000000L)
+      else maxRow.getAs[java.time.LocalDateTime](0).plusDays(30)
     val sentinelDir = tmp.resolve("sentinel_out")
     child.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
-        -1L, sentinelNanos, -1L, "__sentinel__", 0.0, null)),
-      eventsFileSchema)
+        -1L, sentinelTs, -1L, "__sentinel__", 0.0, null)),
+      fileSchema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
     val sentinelPart = Files.list(sentinelDir).iterator().asScala
       .find(_.toString.endsWith(".parquet")).get
     val sentinelFile = tmp.resolve("01_sentinel.parquet")
     Files.move(sentinelPart, sentinelFile)
 
-    val stream = child.readStream.schema(eventsFileSchema)
+    val stream = child.readStream.schema(fileSchema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsNorm)
     val name = s"${namePrefix}_${System.nanoTime()}"
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._

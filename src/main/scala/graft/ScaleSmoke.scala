@@ -109,7 +109,7 @@ object ScaleSmoke {
         n.startsWith("emb_") || n == "sim_quantized_topk" ||
         n == "mixture_weights" || n == "cow_upsert" ||
         n == "source_overlap" || n == "neg_samples" ||
-        n == "hh_lang_by_source")
+        n == "hh_lang_by_source" || n == "length_batches")
         && n != "text_redact"
         && (only.isEmpty || only.exists(n.contains)))
     }

@@ -220,6 +220,8 @@ object SparkEntry {
     "resample_hourly"     -> (Sessions.qResampleHourly _),
     "rolling_metrics"     -> (Sessions.qRollingMetrics _),
     "trend_by_type"       -> (Sessions.qTrendByType _),
+    "events_anomaly"      -> (Sessions.qHourlyAnomalies _),
+    "key_skew_audit"      -> (Skew.qKeySkewAudit _),
     "graph_triangles"     -> (Graph.qTriangles _),
     "graph_pagerank"      -> (Graph.qPageRank _),
     "dq_audit"            -> (Quality.qDqAudit _),
@@ -240,6 +242,7 @@ object SparkEntry {
     "dedup_filtered"      -> (Dedup.qDedupFiltered _),
     "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
     "dedup_hist_sampled"  -> (Dedup.qJaccardHistogramSampled _),
+    "text_dup_fraction"   -> (Dedup.qDupShingleFraction _),
     "dedup_segments"      -> (Segments.qDedupSegments _),
     "dedup_incremental"   -> (Dedup.qIncremental _),
     // --- text analysis ---
@@ -266,6 +269,7 @@ object SparkEntry {
     "pack_sequences"      -> (Packing.qPackSequences _),
     "chunk_documents"     -> (Packing.qChunkDocuments _),
     "shard_assembly"      -> (Packing.qShardAssembly _),
+    "length_batches"      -> (Packing.qLengthBatches _),
     "sample_per_group"    -> (Sampling.qSamplePerGroup _),
     // --- corpus management ---
     "split_assign"        -> (CorpusOps.qSplitAssign _),
@@ -740,6 +744,30 @@ object SparkEntry {
         |  round(avg(value) - covar_pop(x, value) / var_pop(x) * avg(x), 4)
         |    AS intercept
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // events_anomaly: avg/stddev_pop over exact integer counts; the
+    // z filter compares the UNROUNDED double in both engines (identical
+    // op order), the emitted z is 4dp-rounded per the driver canon.
+    "events_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT bucket, event_type, n,
+        |    avg(n) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+        |  FROM h)
+        |SELECT bucket, event_type, n, round((n - mu) / sigma, 4) AS z_score
+        |FROM s WHERE sigma > 0 AND abs((n - mu) / sigma) >= 2
+        |ORDER BY event_type, bucket""".stripMargin,
+    // key_skew_audit: long/long division yields doubles identically in
+    // both engines; sums cast off DuckDB's HUGEINT before dividing.
+    "key_skew_audit" ->
+      """WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys
+        |  FROM c)
+        |SELECT c.key, c.n, round(c.n / t.total_rows, 4) AS share,
+        |  round(c.n * t.n_keys / t.total_rows, 4) AS skew_ratio
+        |FROM c, t ORDER BY c.n DESC, c.key LIMIT 20""".stripMargin,
     "dq_audit" ->
       """WITH d AS (SELECT
         |    (count(*) - count(DISTINCT doc_id))::BIGINT AS dup_doc_id,
@@ -846,6 +874,25 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_pairs,
          |  (count(*) * (SELECT smod * smod FROM m))::BIGINT AS est_n_pairs
          |FROM jac WHERE j >= 0.05 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // text_dup_fraction: per-doc duplicated-shingle share. The Spark
+    // side counts df over 64-bit shingle HASHES, the oracle over the
+    // string trigrams themselves — identical counts barring an XXH64
+    // collision (see hashedShingleDocs' odds); same tok/sh CTE text as
+    // the Jaccard oracles.
+    "text_dup_fraction" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM tok WHERE len(w) >= 3),
+        |d AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh)
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    / count(*), 4) AS dup_frac
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // dedup_incremental: exact verification on LSH candidates, so it
     // shares the exhaustive shingle oracle restricted to cross pairs
     // (same miss-probability argument as dedup_minhash_lsh).
@@ -1143,6 +1190,22 @@ object SparkEntry {
         |  sum(n)::BIGINT AS n_tokens,
         |  string_agg(text, ' ' ORDER BY doc_id) AS shard_text
         |FROM c WHERE n > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // length_batches: the oracle ranks with a window row_number; the
+    // Spark side reproduces the identical rank two-level (distinct
+    // token counts as order-preserving buckets + broadcast offsets).
+    "length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos
+        |  FROM t)
+        |SELECT (pos // 32)::BIGINT AS batch_id, count(*)::BIGINT AS n_docs,
+        |  max(n_tokens) AS max_tokens, sum(n_tokens)::BIGINT AS sum_tokens,
+        |  (max(n_tokens) * count(*))::BIGINT AS padded_tokens,
+        |  (max(n_tokens) * count(*) - sum(n_tokens))::BIGINT AS padding_waste
+        |FROM p GROUP BY 1 ORDER BY batch_id""".stripMargin,
     "sample_per_group" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

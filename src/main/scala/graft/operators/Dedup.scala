@@ -861,10 +861,44 @@ object Dedup {
     parent.createDataFrame(result.rdd, result.schema).orderBy("doc_id")
   }
 
+  /** Per-document duplicated-shingle fraction: for each doc, the share
+    * of its distinct word 3-grams that also occur in AT LEAST ONE other
+    * document — the cross-corpus repetition signal (boilerplate,
+    * templated spam, licence headers, near-copies) that complements
+    * [[TextAnalysis]]'s WITHIN-doc repetition score, and the per-doc
+    * summary of what substring-level dedup (Lee et al.-style) would
+    * remove. Docs shorter than 3 tokens have no shingles and no row
+    * (same domain rule as every shingle oracle).
+    *
+    * Scale shape: [[hashedShingleDocs]] (64-bit hashes, never strings)
+    * → explode → document frequency via a window PARTITIONED BY the
+    * shingle hash — re-using the single hash shuffle on `h` in place
+    * rather than a groupBy(h)+join-back that would shuffle the exploded
+    * table on `h` TWICE — then one groupBy(doc_id). Two corpus-sized
+    * shuffles total, both partially aggregated where Spark can. A df≥2
+    * flag per distinct (doc, shingle) is all that survives the first
+    * shuffle's window; no posting list is ever materialized. */
+  def dupShingleFraction(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy("h")
+    hashedShingleDocs(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+      .withColumn("df", count(lit(1)).over(wH))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
   // --- SparkEntry-facing query wrappers ---------------------------------
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, dir))
+
+  /** Registered query (`text_dup_fraction`). */
+  def qDupShingleFraction(s: SparkSession, dir: String): DataFrame =
+    dupShingleFraction(Tables.documents(s, dir))
 
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLshPairs(Tables.documents(s, dir))

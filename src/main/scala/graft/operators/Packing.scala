@@ -155,10 +155,55 @@ object Packing {
           " ").as("shard_text"))
       .orderBy("bin_id")
 
+  /** Length-bucketed batch assembly: documents ranked by
+    * (token count DESC, doc_id) and cut into fixed-size batches of
+    * `batchSize` similar-length neighbors — the standard
+    * padding-minimization layout for variable-length training/inference
+    * (a batch pads every member to its longest; random batching wastes
+    * compute ∝ length variance). Emits one row per batch with its
+    * padded-token cost and the waste the layout leaves.
+    *
+    * The global rank is the [[packSequences]] / corpusShuffle two-level
+    * shape with a twist: the ORDER KEY ITSELF (n_tokens) is the bucket,
+    * so within-bucket ranking needs only doc_id order and the offset
+    * table has one row per DISTINCT LENGTH — bounded by the max doc
+    * token count (a training corpus has ≤ ~context-window distinct
+    * lengths), never by corpus rows. That offset cumsum is the plan's
+    * only unpartitioned window (documented in PlanInvariantSpec's
+    * allowlist); everything corpus-sized flows through one hash
+    * shuffle on n_tokens and one on batch_id. Exact integer arithmetic
+    * end to end. */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val keyed = docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
+    val wIn = Window.partitionBy("n_tokens").orderBy("doc_id")
+    val wB = Window.orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("n_tokens").agg(count(lit(1)).as("bc"))
+      .withColumn("boff", coalesce(sum("bc").over(wB), lit(0L)))
+      .select("n_tokens", "boff")
+    keyed
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "n_tokens")
+      .withColumn("batch_id",
+        floor((col("boff") + col("rn") - 1) / lit(batchSize.toLong)))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padded_tokens", col("max_tokens") * col("n_docs"))
+      .withColumn("padding_waste", col("padded_tokens") - col("sum_tokens"))
+      .orderBy("batch_id")
+  }
+
   // --- SparkEntry-facing query wrappers ---------------------------------
 
   def qPackSequences(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(s, dir))
+
+  /** Registered query (`length_batches`). */
+  def qLengthBatches(s: SparkSession, dir: String): DataFrame =
+    lengthBatches(Tables.documents(s, dir))
 
   def qShardAssembly(s: SparkSession, dir: String): DataFrame =
     shardAssembly(Tables.documents(s, dir))

@@ -175,10 +175,45 @@ object Sessions {
       .orderBy("event_type")
   }
 
+  /** Hourly volume anomaly detection: flag (hour, event_type) buckets
+    * whose count deviates from that type's mean by ≥ `zThreshold`
+    * population standard deviations — the monitoring query a pipeline
+    * runs over its own ingest to catch crawler loops, outages, and
+    * replay storms before they poison training data.
+    *
+    * One corpus scan: the hourly aggregation is the only corpus-sized
+    * shuffle, and the per-type mean/stddev come from a window
+    * PARTITIONED BY event_type over the post-agg table (re-using the
+    * aggregate's rows in place — a separate stats-aggregate branch
+    * would re-run the corpus scan or re-shuffle the hourly table).
+    * Anomalies are judged over OBSERVED buckets only; compose with
+    * [[resampleHourly]] first if silent hours should count as
+    * zero-volume anomalies. Types with zero variance (sigma = 0) have
+    * no well-defined z-score and are skipped rather than divided by
+    * zero. z is rounded to 4dp (the q11 double convention). */
+  def hourlyAnomalies(events: DataFrame, zThreshold: Double = 2.0)
+      : DataFrame = {
+    val wT = Window.partitionBy("event_type")
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mu", avg(col("n")).over(wT))
+      .withColumn("sigma", stddev_pop(col("n")).over(wT))
+      .filter(col("sigma") > 0 &&
+        abs((col("n") - col("mu")) / col("sigma")) >= zThreshold)
+      .select(col("bucket"), col("event_type"), col("n"),
+        round((col("n") - col("mu")) / col("sigma"), 4).as("z_score"))
+      .orderBy("event_type", "bucket")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     sessionize(Tables.events(s, dir))
+
+  /** Registered query (`events_anomaly`). */
+  def qHourlyAnomalies(s: SparkSession, dir: String): DataFrame =
+    hourlyAnomalies(Tables.events(s, dir))
 
   /** Registered query (`trend_by_type`). */
   def qTrendByType(s: SparkSession, dir: String): DataFrame =

@@ -52,4 +52,25 @@ class AqeSkewSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("skew=true") || plan.contains("isSkew"),
       s"AQE did not mark the join as skew-handled:\n$plan")
   }
+
+  test("keySkewAudit reports counts, shares and skew ratios with a deterministic top-k cut") {
+    import spark.implicits._
+    // key 1: 6 rows, key 2: 3 rows, keys 3/4: 1 row each → 11 rows over
+    // 4 keys, mean 2.75. skew(1) = 6/2.75 = 2.1818 → 2.1818 (4dp).
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L))
+      .toDF("k")
+    val got = graft.operators.Skew.keySkewAudit(df, "k", topK = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 6L, 0.5455, 2.1818),
+      (2L, 3L, 0.2727, 1.0909),
+      (3L, 1L, 0.0909, 0.3636)))  // ties (3,4) cut on key order: 3 stays
+    // bounded top-k: plan must take the TakeOrderedAndProject path, not
+    // a global sort of the per-key table.
+    val plan = graft.operators.Skew.keySkewAudit(df, "k", topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
 }

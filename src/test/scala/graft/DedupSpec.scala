@@ -280,4 +280,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val cc = Dedup.connectedComponents(Dedup.ngramJaccardPairs(loners))
     assert(cc.count() === 0)
   }
+
+  test("dupShingleFraction: cross-doc duplicated share per doc; short docs emit no row") {
+    val got = Dedup.dupShingleFraction(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // docs 3 and 4 are identical: every one of their 6 shingles is
+    // duplicated. doc 5 shares nothing. doc 6 never shingles.
+    assert(got(3L) === ((6L, 6L, 1.0)))
+    assert(got(4L) === ((6L, 6L, 1.0)))
+    assert(got(5L)._2 === 0L)
+    assert(got(5L)._3 === 0.0)
+    assert(!got.contains(6L))
+    // docs 1/2 differ in word 9 of 12: 10 shingles each, of which the 3
+    // containing the changed word are unique → 7/10 duplicated.
+    assert(got(1L) === ((10L, 7L, 0.7)))
+    assert(got(2L) === ((10L, 7L, 0.7)))
+  }
 }

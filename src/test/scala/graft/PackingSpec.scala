@@ -91,4 +91,30 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
     assert(Packing.chunkDocuments(two, chunkTokens = 4, overlap = 2)
       .count() === 2)
   }
+
+  test("lengthBatches: descending-length rank, batch stats, padding waste") {
+    // fixture lengths: doc10=3, doc11=5, doc12=0, doc13=2, doc14=4;
+    // add a second 3-token doc so a length tie crosses nothing weird
+    val docs = corpus.union(Seq((15L, "x y z")).toDF("doc_id", "text"))
+    // rank: 11(5), 14(4), 10(3), 15(3), 13(2), 12(0); batchSize=2 →
+    //   batch 0: {11,14} max 5 sum 9 → padded 10, waste 1
+    //   batch 1: {10,15} max 3 sum 6 → padded 6, waste 0
+    //   batch 2: {13,12} max 2 sum 2 → padded 4, waste 2
+    val got = Packing.lengthBatches(docs, batchSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 5L, 9L, 10L, 1L),
+      (1L, 2L, 3L, 6L, 6L, 0L),
+      (2L, 2L, 2L, 2L, 4L, 2L)))
+  }
+
+  test("lengthBatches: within-length ties rank by doc_id so batches are reproducible") {
+    val docs = Seq((3L, "a b"), (1L, "c d"), (2L, "e f"), (4L, "g h"))
+      .toDF("doc_id", "text")
+    // all length 2 → rank purely by doc_id: batch0={1,2}, batch1={3,4}
+    val got = Packing.lengthBatches(docs, batchSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 2L, 2L), (1L, 2L, 2L)))
+  }
 }

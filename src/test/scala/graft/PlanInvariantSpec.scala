@@ -20,7 +20,12 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     "text_top_terms", "sim_batch_topk", "corpus_drift", "quantile_filter",
     "text_bm25",
     // broadcast 1-row corpus-count scalar crossed onto the anchors
-    "neg_samples")
+    "neg_samples",
+    // broadcast 1-row corpus-count scalar (sample modulus) crossed onto
+    // the corpus scan and the band counts — constant-budget estimator
+    "dedup_hist_sampled",
+    // broadcast 1-row grand-total scalar crossed onto the top-k slice
+    "key_skew_audit")
 
   /** Queries that intentionally plan an unpartitioned (global) Window —
     * the canonical 100 TB plan killer when it sits over corpus-sized data.
@@ -38,11 +43,14 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     *    (CorpusOps.scala:152).
     *  - source_overlap: dense int codes ranked over the DISTINCT source
     *    catalog (CorpusOps.sourceOverlap) — one row per source.
+    *  - length_batches: batch-offset cumsum over one row per DISTINCT
+    *    token count (Packing.lengthBatches) — bounded by the max doc
+    *    length, never corpus rows.
     * Any OTHER query planning a global Window fails this suite: either
     * partition it, or document boundedness here and in the operator. */
   private val globalWindowAllowed = Set("pack_sequences", "shard_assembly",
     "corpus_shuffle", "token_budget_sample", "quantile_filter",
-    "mixture_weights", "neg_samples", "source_overlap")
+    "mixture_weights", "neg_samples", "source_overlap", "length_batches")
 
   // ONE registry sweep serves every invariant: several query wrappers do
   // eager storage work on CONSTRUCTION (cow_time_travel builds a

@@ -145,4 +145,27 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
     assert(userExchanges === 1,
       s"expected exactly 1 user_id hash exchange, plan:\n$plan")
   }
+
+  test("hourly anomalies flag only |z| >= threshold and skip zero-variance types") {
+    def h(hr: Long) = new Timestamp(hr * 3600000L)
+    // type A: counts 1,1,1,1,6 over five hours — mu=2, sigma=2, so only
+    // the 6-count hour has |z| = 2. type B: constant 3 per hour — sigma=0,
+    // no well-defined z, must be skipped entirely (never a div-by-zero).
+    val rows =
+      (1 to 4).map(i => (i.toLong, 1L, "A", h(i))) ++
+        (1 to 6).map(i => (100L + i, 1L, "A", h(5))) ++
+        (1 to 3).flatMap(hr => (1 to 3).map(i =>
+          (200L + hr * 10 + i, 1L, "B", h(hr))))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.hourlyAnomalies(ev, zThreshold = 2.0).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq((h(5), "A", 6L, 2.0)))
+  }
+
+  test("hourly anomalies: empty input yields an empty frame, not a failure") {
+    val ev = Seq.empty[(Long, Long, String, Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "ts")
+    assert(Sessions.hourlyAnomalies(ev).collect().isEmpty)
+  }
 }

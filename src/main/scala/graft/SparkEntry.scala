@@ -238,6 +238,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
     "dedup_simhash"       -> (Dedup.qSimhash _),   // no oracle: hash-internal banding
     "dedup_embedding"     -> (Dedup.qEmbeddingNearDup _),
+    "emb_cross_decon"     -> (Dedup.qEmbeddingCrossDecon _),
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "dedup_filtered"      -> (Dedup.qDedupFiltered _),
     "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
@@ -271,6 +272,7 @@ object SparkEntry {
     "shard_assembly"      -> (Packing.qShardAssembly _),
     "length_batches"      -> (Packing.qLengthBatches _),
     "sample_per_group"    -> (Sampling.qSamplePerGroup _),
+    "corpus_mix_apply"    -> (Sampling.qMixApply _),
     // --- corpus management ---
     "split_assign"        -> (CorpusOps.qSplitAssign _),
     "corpus_drift"        -> (CorpusOps.qCorpusDrift _),
@@ -822,6 +824,18 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // emb_cross_decon: bipartite LSH + exact verify; the oracle is the
+    // exact bipartite cosine join (miss probability of the 48x14
+    // banding at 0.9 is ~0.003 per true pair — same trade as
+    // dedup_embedding, which shares the hyperplane machinery).
+    "emb_cross_decon" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+        |b AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0)
+        |SELECT a.vec_id AS vid_bench, b.vec_id AS vid_corpus,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM a JOIN b ON list_cosine_similarity(a.v, b.v) >= 0.9
+        |ORDER BY vid_bench, vid_corpus""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
          |pairs AS (SELECT da, db FROM jac WHERE j >= 0.8),
@@ -1213,6 +1227,19 @@ object SparkEntry {
         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin,
+    // corpus_mix_apply: the md5 first-hex-digit keep set (isin the first
+    // k digits) is exactly strpos(hex alphabet) <= k.
+    "corpus_mix_apply" ->
+      """WITH w(wlang, k) AS (VALUES
+        |    ('en', 16), ('de', 8), ('fr', 4), ('es', 2), ('zh', 1)),
+        |kept AS (SELECT d.lang, d.text FROM documents d
+        |  JOIN w ON d.lang = w.wlang
+        |  WHERE strpos('0123456789abcdef',
+        |      substring(md5(d.doc_id::VARCHAR), 1, 1)) <= w.k)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')))::BIGINT AS n_tokens
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "split_assign" ->
       """WITH t AS (SELECT
         |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)

@@ -704,13 +704,40 @@ object Dedup {
     * vector pairs). */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
       bands: Int = 48, rowsPerBand: Int = 14, dim: Int = 64): DataFrame = {
+    val sketch = hyperplaneSketch(bands, rowsPerBand, dim)
+    val banded = embeddings
+      .select(col("vec_id"), posexplode(sketch(col("embedding"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val l = banded.select(col("vec_id").as("vid_a"), col("band"), col("key"))
+    val r = banded.select(col("vec_id").as("vid_b"), col("band"), col("key"))
+    // corpus-sized both sides — never broadcast (see ngramJaccardCore)
+    val cands = l.join(r.hint("shuffle_hash"), Seq("band", "key"))
+      .filter(col("vid_a") < col("vid_b"))
+      .select("vid_a", "vid_b").distinct()
+    cands
+      .join(embeddings.select(col("vec_id").as("vid_a"),
+        col("embedding").as("emb_a")), "vid_a")
+      .join(embeddings.select(col("vec_id").as("vid_b"),
+        col("embedding").as("emb_b")), "vid_b")
+      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vid_a"), col("vid_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("vid_a", "vid_b")
+  }
+
+  /** Seeded hyperplane-LSH sketch UDF: `bands` keys of `rowsPerBand`
+    * sign bits each over the first `dim` components. The SAME seed (42)
+    * on every call site, so two frames sketched independently land in
+    * the same buckets — what makes the bipartite cross join below and
+    * the self-join above interoperable. Flat row-major plane matrix + a
+    * single unboxing pass per input vector: the projections are the
+    * dominant per-row cost (bands × rowsPerBand × dim multiply-adds),
+    * and running them over a boxed Seq[Float] is ~100× slower than
+    * over primitive arrays. */
+  private def hyperplaneSketch(bands: Int, rowsPerBand: Int, dim: Int) = {
     val rng = new scala.util.Random(42)
-    // flat row-major plane matrix + a single unboxing pass per input
-    // vector: the hyperplane projections are the dominant per-row cost
-    // (bands × rowsPerBand × dim multiply-adds), and running them over a
-    // boxed Seq[Float] is ~100× slower than over primitive arrays.
     val planes = Array.fill(bands * rowsPerBand * dim)(rng.nextGaussian())
-    val sketch = udf { v: Seq[Float] =>
+    udf { v: Seq[Float] =>
       val x = new Array[Double](v.length)
       var k = 0
       while (k < x.length) { x(k) = v(k); k += 1 }
@@ -733,24 +760,46 @@ object Dedup {
       }
       out.toSeq
     }
-    val banded = embeddings
-      .select(col("vec_id"), posexplode(sketch(col("embedding"))))
+  }
+
+  /** Bipartite (cross-corpus) embedding similarity join: every
+    * (left, right) pair with cosine ≥ `threshold` — SEMANTIC
+    * decontamination (benchmark embeddings vs the training corpus,
+    * where [[graft.operators.Decontamination]] is the lexical form) and
+    * cross-snapshot duplication audits. Same hyperplane-LSH banding as
+    * [[embeddingNearDupPairs]] but between two frames: both sides are
+    * sketched with the SAME seeded planes, candidates come from the
+    * (band, key) equi-join — never left × right — and survive an exact
+    * cosine verification. Within-side pairs are never emitted.
+    *
+    * Scale shape mirrors the self-join path: the band join shuffles
+    * (band, key, id)-only rows, shuffle-hash (corpus-sized sides are
+    * never broadcast), heavy embedding columns join back once per
+    * surviving candidate. At threshold 0.9 the 48×14 banding misses a
+    * true pair with p ≈ 0.003 (the documented LSH trade; lower
+    * thresholds need wider banding — this is a near-dup detector, not
+    * a general ANN join: see [[graft.operators.Similarity]] for top-k). */
+  def embeddingCrossPairs(left: DataFrame, right: DataFrame,
+      threshold: Double = 0.9, bands: Int = 48, rowsPerBand: Int = 14,
+      dim: Int = 64): DataFrame = {
+    val sketch = hyperplaneSketch(bands, rowsPerBand, dim)
+    def banded(df: DataFrame, idAs: String) = df
+      .select(col("vec_id").as(idAs), posexplode(sketch(col("embedding"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val l = banded.select(col("vec_id").as("vid_a"), col("band"), col("key"))
-    val r = banded.select(col("vec_id").as("vid_b"), col("band"), col("key"))
-    // corpus-sized both sides — never broadcast (see ngramJaccardCore)
-    val cands = l.join(r.hint("shuffle_hash"), Seq("band", "key"))
-      .filter(col("vid_a") < col("vid_b"))
-      .select("vid_a", "vid_b").distinct()
+    val cands = banded(left, "vid_left")
+      .join(banded(right, "vid_right").hint("shuffle_hash"),
+        Seq("band", "key"))
+      .select("vid_left", "vid_right").distinct()
     cands
-      .join(embeddings.select(col("vec_id").as("vid_a"),
-        col("embedding").as("emb_a")), "vid_a")
-      .join(embeddings.select(col("vec_id").as("vid_b"),
-        col("embedding").as("emb_b")), "vid_b")
+      .join(left.select(col("vec_id").as("vid_left"),
+        col("embedding").as("emb_a")), "vid_left")
+      .join(right.select(col("vec_id").as("vid_right"),
+        col("embedding").as("emb_b")), "vid_right")
       .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
-      .select(col("vid_a"), col("vid_b"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy("vid_a", "vid_b")
+      .select(col("vid_left"), col("vid_right"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("vid_left", "vid_right")
   }
 
   // ---------------------------------------------------------------------
@@ -914,6 +963,18 @@ object Dedup {
 
   def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(s, dir))
+
+  /** emb_cross_decon — every 10th vector plays the "benchmark" set
+    * checked against the rest of the corpus (the semantic analogue of
+    * decon_hits' lexical split). */
+  def qEmbeddingCrossDecon(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    embeddingCrossPairs(
+      e.filter(col("vec_id") % 10 === 0),
+      e.filter(col("vec_id") % 10 =!= 0))
+      .withColumnRenamed("vid_left", "vid_bench")
+      .withColumnRenamed("vid_right", "vid_corpus")
+  }
 
   /** Clusters from the LSH candidate path — the at-scale composition
     * (LSH candidates → exact Jaccard verify → connected components).

@@ -85,6 +85,28 @@ object Sampling {
 
   // --- SparkEntry-facing query wrappers ---------------------------------
 
+  /** corpus_mix_apply — [[mixCorpora]] applied end to end: the documents
+    * table re-mixed by language at fixed temperature-style weights
+    * (en 16/16, de 8/16, fr 4/16, es 2/16, zh 1/16 — the flattening a
+    * multilingual recipe produces; [[CorpusOps.mixtureWeights]] COMPUTES
+    * such weights, this op APPLIES them). Each source is a lang-filtered
+    * slice of the same scan, the union is zero-shuffle, and the kept set
+    * is the md5 hash-sample — reproducible across engines and reruns,
+    * which `sampleBy` is not. Output aggregates the mixed corpus per
+    * language (kept docs + token totals) so the oracle checks membership
+    * and totals at once. */
+  def qMixApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val weights = Seq("en" -> 16, "de" -> 8, "fr" -> 4, "es" -> 2, "zh" -> 1)
+    val mixed = mixCorpora(
+      weights.map { case (l, w) => (docs.filter(col("lang") === l), w) },
+      "doc_id")
+    mixed.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Packing.nTokensUdf(col("text"))).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** q26 — 4/16 deterministic hash sample of orders, aggregated per
     * priority class so the oracle checks both membership and totals. */
   def q26HashSample(s: SparkSession, dir: String): DataFrame =

@@ -171,6 +171,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === Seq((100L, 101L)))
   }
 
+  test("embedding cross join finds planted cross pairs, never within-side pairs") {
+    val rng = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(v => v + 0.01f) // cosine ≈ 1 with base
+    // LEFT holds base twice (ids 1, 2 — a within-side dup that must NOT
+    // be emitted); RIGHT holds the near-dup plus noise.
+    val left = (Seq((1L, base), (2L, base.clone())) ++
+      (10 until 15).map(i => (i.toLong, vec()))).toDF("vec_id", "embedding")
+    val right = (Seq((100L, nearDup)) ++
+      (200 until 210).map(i => (i.toLong, vec()))).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCrossPairs(left, right, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1L, 100L), (2L, 100L)))
+    assert(got.forall(_._3 >= 0.95))
+    // sketches are seed-shared: the same frame on both sides finds
+    // every identical vector (sanity that the planes really do agree)
+    val self = Dedup.embeddingCrossPairs(left, left, threshold = 0.99)
+      .filter($"vid_left" =!= $"vid_right").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(self === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("connected components: chain 1-2, 2-7 merges into one cluster") {
     val pairs = Seq((1L, 2L), (2L, 7L), (3L, 4L)).toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(pairs).collect()

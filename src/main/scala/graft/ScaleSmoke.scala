@@ -109,7 +109,8 @@ object ScaleSmoke {
         n.startsWith("emb_") || n == "sim_quantized_topk" ||
         n == "mixture_weights" || n == "cow_upsert" ||
         n == "source_overlap" || n == "neg_samples" ||
-        n == "hh_lang_by_source" || n == "length_batches")
+        n == "hh_lang_by_source" || n == "length_batches" ||
+        n == "corpus_mix_apply")
         && n != "text_redact"
         && (only.isEmpty || only.exists(n.contains)))
     }

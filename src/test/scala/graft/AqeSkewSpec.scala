@@ -73,4 +73,16 @@ class AqeSkewSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("keySkewAudit scans the input once: totals branch reuses the per-key exchange") {
+    // The top-k slice and the grand-total row both consume the per-key
+    // count aggregate. Their exchanges are canonically identical, so
+    // physical planning must dedupe them (ReusedExchange) — otherwise
+    // the audit would scan a 100 TB fact table twice.
+    val audited = graft.operators.Skew.qKeySkewAudit(spark, sf0001)
+    audited.collect()
+    val plan = audited.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected the totals branch to reuse the per-key exchange:\n$plan")
+  }
 }

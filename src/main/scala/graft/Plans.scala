@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Plans {
   private val skip = Set("stream_tumbling", "stream_sessions",
-    "stream_stream_join", "stream_enrich")
+    "stream_stream_join", "stream_enrich", "stream_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

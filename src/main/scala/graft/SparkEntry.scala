@@ -293,6 +293,7 @@ object SparkEntry {
     "stream_sessions_append" -> (StreamingOps.qStreamSessions _),
     "stream_stream_join"  -> (StreamingOps.qStreamStreamJoin _),
     "stream_enrich"       -> (StreamingOps.qStreamEnrich _),
+    "stream_anomaly"      -> (StreamingOps.qStreamAnomaly _),
   )
 
   /** Shared n-gram-shingle CTE prefix for the dedup oracles (word
@@ -362,6 +363,20 @@ object SparkEntry {
     """SELECT date_trunc('hour', ts) AS bucket, event_type,
       |  count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared by events_anomaly (batch) and stream_anomaly (streaming
+    * detector against the batch profile — identical output by design). */
+  private val anomalySql =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT bucket, event_type, n,
+      |    avg(n) OVER (PARTITION BY event_type) AS mu,
+      |    stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+      |  FROM h)
+      |SELECT bucket, event_type, n, round((n - mu) / sigma, 4) AS z_score
+      |FROM s WHERE sigma > 0 AND abs((n - mu) / sigma) >= 2
+      |ORDER BY event_type, bucket""".stripMargin
 
   /** Polynomial rolling hash over the character stream, ((31·acc + code)
     * mod 1e9+7), as a DuckDB expression — mirrors TextAnalysis.fingerprints
@@ -749,17 +764,7 @@ object SparkEntry {
     // events_anomaly: avg/stddev_pop over exact integer counts; the
     // z filter compares the UNROUNDED double in both engines (identical
     // op order), the emitted z is 4dp-rounded per the driver canon.
-    "events_anomaly" ->
-      """WITH h AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
-        |    count(*)::BIGINT AS n
-        |  FROM events GROUP BY 1, 2),
-        |s AS (SELECT bucket, event_type, n,
-        |    avg(n) OVER (PARTITION BY event_type) AS mu,
-        |    stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
-        |  FROM h)
-        |SELECT bucket, event_type, n, round((n - mu) / sigma, 4) AS z_score
-        |FROM s WHERE sigma > 0 AND abs((n - mu) / sigma) >= 2
-        |ORDER BY event_type, bucket""".stripMargin,
+    "events_anomaly" -> anomalySql,
     // key_skew_audit: long/long division yields doubles identically in
     // both engines; sums cast off DuckDB's HUGEINT before dividing.
     "key_skew_audit" ->
@@ -1426,6 +1431,9 @@ object SparkEntry {
     // which (with the sentinel past every watermark) is the full batch
     // result — same oracle
     "stream_sessions_append" -> sessionsSql,
+    // the streaming detector against the batch-computed profile equals
+    // the batch z-score query row for row — same oracle
+    "stream_anomaly" -> anomalySql,
   )
 
   /** Gaps-and-islands SQL reconstruction of `session_window` (10-minute

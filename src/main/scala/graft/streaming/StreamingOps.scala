@@ -484,6 +484,53 @@ object StreamingOps {
       .filter(col("event_type") =!= "__sentinel__")
       .orderBy("bucket", "event_type")
 
+  /** Streaming volume-anomaly detection against a BATCH-computed
+    * profile — the production monitoring split: a nightly batch job
+    * profiles per-type hourly volume (mean + population stddev), the
+    * detector streams windowed counts and flags |z| ≥ `zThreshold`
+    * deviations as windows close. The profile joins in as a broadcast
+    * STATIC side after the windowed aggregation, so the only streaming
+    * state is the tumbling-count operator itself (profile reloads are
+    * picked up per micro-batch, as in [[enrichStream]]); zero-variance
+    * types have no defined z and are dropped by the join's sigma guard.
+    * Output schema matches the batch [[graft.operators.Sessions
+    * .hourlyAnomalies]] exactly — the replay wrapper below shares its
+    * oracle, so the STREAMING path is driver-hash-checked too. */
+  def anomalyStream(events: DataFrame, profile: DataFrame,
+      zThreshold: Double = 2.0, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+      .join(broadcast(profile), "event_type")
+      .filter(col("sigma") > 0 &&
+        abs((col("n") - col("mu")) / col("sigma")) >= zThreshold)
+      .select(col("bucket"), col("event_type"), col("n"),
+        round((col("n") - col("mu")) / col("sigma"), 4).as("z_score"))
+
+  /** Per-type hourly volume profile for [[anomalyStream]] — the batch
+    * half of the monitoring split (same stats the batch detector
+    * windows in place). */
+  def anomalyProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_pop("n").as("sigma"))
+
+  /** SparkEntry wrapper (`stream_anomaly`): profile from the batch
+    * table, detection through the streaming engine via the sentinel
+    * replay — output equals the batch events_anomaly query row for row
+    * (same oracle). The sentinel type never matches a profile row, so
+    * the inner join drops it with no post-filter. */
+  def qStreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val profile = anomalyProfile(graft.Tables.events(s, dir))
+    replayEventsAppend(s, dir, "anomaly")(anomalyStream(_, profile))
+      .orderBy("event_type", "bucket")
+  }
+
   /** SparkEntry wrapper: batch session windows (same operator streams with
     * a watermark — see [[qStreamSessions]] and StreamingSpec). */
   def qSessionWindows(s: SparkSession, dir: String): DataFrame =

@@ -20,6 +20,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("streaming anomaly detector equals the batch z-score query; one stateful op") {
+    val streamed = StreamingOps.qStreamAnomaly(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Sessions.qHourlyAnomalies(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty || batch.isEmpty)
+    // monitoring split: the profile is STATIC — the only streaming state
+    // is the tumbling count itself (one stateOperators entry; the
+    // broadcast profile join adds none).
+    val child = spark.newSession()
+    child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val profile = StreamingOps.anomalyProfile(Tables.events(child, sf0001))
+    val q = StreamingOps
+      .anomalyStream(StreamingOps.readEventsStream(child, sf0001), profile)
+      .writeStream.format("memory")
+      .queryName(s"anom_state_${System.nanoTime()}").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val progress = q.recentProgress
+      assert(progress.nonEmpty)
+      assert(progress.forall(_.stateOperators.length == 1),
+        "anomaly stream must keep exactly the windowed-agg state")
+    } finally q.stop()
+  }
+
   test("parquet file sink: streamed projection equals the batch result") {
     val base = java.nio.file.Files.createTempDirectory("graft_fsink")
     val out = base.resolve("out").toString

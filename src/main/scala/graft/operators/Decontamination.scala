@@ -61,6 +61,11 @@ object Decontamination {
     val bench = Dedup.shingleDocs(benchmark, n)
       .select(explode(col("shingles")).as("shingle")).distinct()
     val nBench = bench.count() // action on the benchmark side only (small)
+    // Empty benchmark → nothing can be contaminated. Short-circuit with
+    // the output schema: stat.bloomFilter over zero rows yields a
+    // null-buffer sketch whose mightContain NPEs at probe time.
+    if (nBench == 0)
+      return corpus.select(col("doc_id"), lit(0L).as("n_hits")).limit(0)
     val bf = bench.stat.bloomFilter("shingle", math.max(nBench, 1L), fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
     val mightContain =

@@ -55,6 +55,13 @@ object ZOrder {
     val b = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // Empty input (or all-null cluster columns) has no normalization
+    // box — getDouble on the null bounds would throw. There is nothing
+    // to cluster; still materialize the table with its schema.
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (aLo, aHi, bLo, bHi) =
       (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     df.withColumn("_z", zValue(

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide EMPTY-INPUT sweep: every registered query runs against
+  * a zero-row copy of all ten tables and must either return a frame
+  * (usually empty) or fail a DOCUMENTED precondition
+  * (`require` → IllegalArgumentException with a message naming the op).
+  * What must never happen on empty input is the undocumented crash
+  * class — NullPointerException from a null driver-side aggregate
+  * (the resampleHourly bug the round-11 review caught),
+  * NoSuchElementException from a bare head(), or an analysis error
+  * from a lit(null) of NullType. A 100 TB pipeline hits empty inputs
+  * constantly (an empty partition of a date-partitioned feed, a
+  * filter that matched nothing, a fresh table) — this pins the whole
+  * registry's behavior at once.
+  *
+  * Streaming replay queries are excluded: their sentinel harness
+  * derives the watermark horizon from max(ts), which is a documented
+  * non-empty requirement of the REPLAY HARNESS (not of the streaming
+  * operators — StreamingSpec covers those directly on in-memory
+  * streams, including empty ones).
+  */
+class EmptyInputSpec extends AnyFunSuite with SparkFixture {
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    tables.foreach { t =>
+      spark.read.parquet(s"$sf0001/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  /** Replay-harness queries (documented non-empty requirement above). */
+  private val streamingReplay = Set("stream_tumbling", "stream_sessions_append",
+    "stream_stream_join", "stream_enrich", "stream_anomaly")
+
+  test("every registered query returns a frame or fails a documented require on empty tables") {
+    val failures = scala.collection.mutable.Buffer.empty[String]
+    val requires = scala.collection.mutable.Buffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => streamingReplay(n) }
+      .foreach { case (name, fn) =>
+        try { fn(spark, emptyDir).collect(): Unit }
+        catch {
+          case e: IllegalArgumentException =>
+            // a deliberate precondition — but it must carry a message
+            // (a bare require(cond) on empty input reads as a crash)
+            if (e.getMessage == null || e.getMessage.trim.isEmpty ||
+                e.getMessage.trim == "requirement failed")
+              failures += s"$name: bare require with no message"
+            else requires += name
+          case e: Throwable =>
+            val cause = Option(e.getCause).map(c =>
+              s" <- ${c.getClass.getSimpleName}").getOrElse("")
+            failures += s"$name: ${e.getClass.getSimpleName}$cause: " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(160)
+        }
+      }
+    info(s"documented-precondition failures (OK): ${requires.sorted.mkString(", ")}")
+    assert(failures.isEmpty,
+      s"undocumented empty-input crashes:\n${failures.mkString("\n")}")
+  }
+}

@@ -193,6 +193,48 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }, n = 15)
   }
 
+  test("property: lengthBatches equals the driver-side rank on random corpora") {
+    // random docs: id + a token count rendered as that many words
+    val genDocs = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 60L), Gen.choose(0, 12))).map(_.take(30))
+      .map(_.groupBy(_._1).map { case (id, xs) => (id, xs.head._2) }.toSeq)
+    check(Prop.forAll(genDocs) { docs =>
+      docs.isEmpty || {
+        val df = docs.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+          .toDF("doc_id", "text")
+        val batchSize = 4
+        // independent oracle: plain driver-side sort + grouping
+        val ranked = docs.sortBy { case (id, n) => (-n, id) }
+        val expect = ranked.zipWithIndex
+          .groupBy(_._2 / batchSize)
+          .map { case (b, xs) =>
+            val ns = xs.map(_._1._2.toLong)
+            (b.toLong, ns.length.toLong, ns.max, ns.sum,
+              ns.max * ns.length, ns.max * ns.length - ns.sum)
+          }.toSet
+        val got = graft.operators.Packing.lengthBatches(df, batchSize)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        got == expect
+      }
+    }, n = 10)
+  }
+
+  test("property: keySkewAudit counts and ordering match a driver-side tally") {
+    val genKeys = Gen.listOf(Gen.choose(0L, 8L)).map(_.take(60))
+    check(Prop.forAll(genKeys) { keys =>
+      keys.isEmpty || {
+        val got = graft.operators.Skew
+          .keySkewAudit(keys.toDF("k"), "k", topK = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val tally = keys.groupBy(identity).map { case (k, xs) =>
+          (k, xs.size.toLong) }
+        val expect = tally.toSeq.sortBy { case (k, n) => (-n, k) }.take(5)
+        got.toSeq == expect
+      }
+    }, n = 10)
+  }
+
   test("property: samplePerGroup is an <=n-per-group subset, stable under repartition") {
     val genRows = Gen.listOf(
       Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))).map(_.take(40).distinct)

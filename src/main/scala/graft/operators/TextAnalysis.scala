@@ -39,14 +39,20 @@ object TextAnalysis {
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     val nPunct = regexp_count(col("text"), lit("[!-/:-@\\[-`{-~]"))
+    // Zero-token / zero-char docs (null, empty, whitespace-only text —
+    // every crawl has them) have no defined ratios: emit NULL via
+    // nullif, never DIVIDE_BY_ZERO (under ANSI mode a single such row
+    // would kill the whole scoring job).
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       nTok.cast("long").as("n_tokens"),
-      round((length(col("text")) - nTok + 1).cast("double") / nTok, 4)
-        .as("avg_token_len"),
-      round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"),
-      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
+      round((length(col("text")) - nTok + 1).cast("double")
+        / nullif(nTok, lit(0)), 4).as("avg_token_len"),
+      round(nPunct.cast("double") / nullif(length(col("text")), lit(0)), 4)
+        .as("punct_ratio"),
+      round(nStop.cast("double") / nullif(nTok, lit(0)), 4)
+        .as("stopword_ratio"))
       .orderBy("doc_id")
   }
 
@@ -62,9 +68,12 @@ object TextAnalysis {
       "de" -> Seq("der", "die", "das", "und"),
       "es" -> Seq("el", "la", "de", "y"))
     val toks = tokens(col("text"))
+    // nullif: a zero-token doc scores NULL for every language — the
+    // fold below then keeps ('und', 0.0) (null comparisons are false,
+    // greatest skips nulls) instead of dying on DIVIDE_BY_ZERO.
     val scores = markers.map { case (lang, ws) =>
       lang -> (size(filter(toks, t => t.isin(ws.map(lit): _*)))
-        .cast("double") / size(toks))
+        .cast("double") / nullif(size(toks), lit(0)))
     }
     val best = scores.foldLeft((lit("und"), lit(0.0))) {
       case ((bl, bs), (lang, sc)) =>

@@ -66,4 +66,54 @@ class EmptyInputSpec extends AnyFunSuite with SparkFixture {
     assert(failures.isEmpty,
       s"undocumented empty-input crashes:\n${failures.mkString("\n")}")
   }
+
+  /** Crawl-reality sweep: the documents table gains a null-text row, an
+    * empty-string row, and a whitespace-only row (every real web corpus
+    * has all three). Every documents-reading query must still run —
+    * null text is data, not an error. */
+  private lazy val nullDocsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
+    tables.foreach { t =>
+      val base = spark.read.parquet(s"$sf0001/$t.parquet")
+      if (t == "documents") {
+        import org.apache.spark.sql.Row
+        val extra = spark.createDataFrame(
+          java.util.List.of(
+            Row(900001L, null, "en", "srcN", 0L),
+            Row(900002L, "", "en", "srcN", 0L),
+            Row(900003L, "   ", "en", "srcN", 3L)),
+          base.schema)
+        base.unionByName(extra).write.mode("overwrite")
+          .parquet(s"$dir/$t.parquet")
+      } else base.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("documents-family queries tolerate null/empty/whitespace text rows") {
+    val failures = scala.collection.mutable.Buffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => streamingReplay(n) }
+      .filter { case (n, _) =>
+        n.startsWith("text_") || n.startsWith("dedup_") ||
+          n.startsWith("corpus_") || n.startsWith("q1_") ||
+          n == "pack_sequences" || n == "chunk_documents" ||
+          n == "shard_assembly" || n == "length_batches" ||
+          n == "decon_hits" || n == "decon_bloom" ||
+          n == "hh_lang_by_source" || n == "source_overlap" ||
+          n == "neg_samples" || n == "token_budget_sample" ||
+          n == "split_assign" || n == "quantile_filter" ||
+          n == "lang_token_stats" || n == "mixture_weights" }
+      .foreach { case (name, fn) =>
+        try { fn(spark, nullDocsDir).collect(): Unit }
+        catch {
+          case e: Throwable =>
+            failures += s"$name: ${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(160)
+        }
+      }
+    assert(failures.isEmpty,
+      s"null/empty-text crashes:\n${failures.mkString("\n")}")
+  }
 }

@@ -220,6 +220,24 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }, n = 10)
   }
 
+  test("property: saltedEquiJoin equals the plain equi-join on random frames") {
+    val genL = Gen.listOf(Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 99)))
+      .map(_.take(40))
+    val genR = Gen.listOf(Gen.zip(Gen.choose(0L, 5L), Gen.choose(100, 199)))
+      .map(_.take(10))
+    check(Prop.forAll(Gen.zip(genL, genR)) { case (l, r) =>
+      val lf = l.toDF("k", "lv")
+      val rf = r.toDF("k", "rv")
+      val plain = lf.join(rf, "k").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val salted = graft.operators.Skew.saltedEquiJoin(lf, rf, "k", salts = 3)
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      plain == salted  // multiset equality — replication must not dupe
+    }, n = 10)
+  }
+
   test("property: keySkewAudit counts and ordering match a driver-side tally") {
     val genKeys = Gen.listOf(Gen.choose(0L, 8L)).map(_.take(60))
     check(Prop.forAll(genKeys) { keys =>

@@ -703,17 +703,36 @@ object Dedup {
     * candidate join quadratic-ish on any corpus (2M noise pairs per 4M
     * vector pairs). */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      bands: Int = 48, rowsPerBand: Int = 14, dim: Int = 64): DataFrame = {
+      bands: Int = 48, rowsPerBand: Int = 14, dim: Int = 64,
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val sketch = hyperplaneSketch(bands, rowsPerBand, dim)
-    val banded = embeddings
+    val banded0 = embeddings
       .select(col("vec_id"), posexplode(sketch(col("embedding"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val l = banded.select(col("vec_id").as("vid_a"), col("band"), col("key"))
-    val r = banded.select(col("vec_id").as("vid_b"), col("band"), col("key"))
+    // hot-bucket guard, same shape as minhashLshCore: a dense embedding
+    // region (mass-duplicated vectors — the web-image/boilerplate case)
+    // puts >cap ids in one (band, key) bucket in EVERY band; the
+    // self-join there is O(bucket²) per band. Degrade hot buckets to
+    // star candidates around the bucket minimum — O(bucket) edges whose
+    // exact-cosine verification + connected components still recover
+    // the full duplicate group. Checkpoint only when the guard reads
+    // the banded frame twice.
+    val banded = if (dfCap.isDefined) banded0.localCheckpoint() else banded0
+    val (capped, hotSplit) = dfCap match {
+      case None => (banded, None)
+      case Some(cap) =>
+        splitHotKeysStar(banded, Seq("band", "key"), "vec_id", cap,
+          "embeddingNearDupPairs")
+    }
+    val l = capped.select(col("vec_id").as("vid_a"), col("band"), col("key"))
+    val r = capped.select(col("vec_id").as("vid_b"), col("band"), col("key"))
     // corpus-sized both sides — never broadcast (see ngramJaccardCore)
-    val cands = l.join(r.hint("shuffle_hash"), Seq("band", "key"))
+    val selfCands = l.join(r.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("vid_a") < col("vid_b"))
-      .select("vid_a", "vid_b").distinct()
+      .select("vid_a", "vid_b")
+    val cands = hotSplit.fold(selfCands)(h => selfCands.unionAll(
+      h.star.select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"))))
+      .distinct()
     cands
       .join(embeddings.select(col("vec_id").as("vid_a"),
         col("embedding").as("emb_a")), "vid_a")
@@ -781,15 +800,54 @@ object Dedup {
     * a general ANN join: see [[graft.operators.Similarity]] for top-k). */
   def embeddingCrossPairs(left: DataFrame, right: DataFrame,
       threshold: Double = 0.9, bands: Int = 48, rowsPerBand: Int = 14,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val sketch = hyperplaneSketch(bands, rowsPerBand, dim)
-    def banded(df: DataFrame, idAs: String) = df
+    def bandedOf(df: DataFrame, idAs: String) = df
       .select(col("vec_id").as(idAs), posexplode(sketch(col("embedding"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val cands = banded(left, "vid_left")
-      .join(banded(right, "vid_right").hint("shuffle_hash"),
-        Seq("band", "key"))
-      .select("vid_left", "vid_right").distinct()
+    val lb0 = bandedOf(left, "vid_left")
+    val rb0 = bandedOf(right, "vid_right")
+    val (lb, rb) =
+      if (dfCap.isDefined) (lb0.localCheckpoint(), rb0.localCheckpoint())
+      else (lb0, rb0)
+    // Bipartite hot-bucket guard: the join fanout of bucket b is
+    // |L_b|·|R_b|, so THAT product is what the cap bounds. A hot bucket
+    // degrades to the SPANNING cross set — left-min × every right
+    // member plus every left member × right-min: O(|L_b|+|R_b|) edges
+    // that still verify every member of both sides against a
+    // representative of the other (a mass-duplicated region stays
+    // flagged on both sides; only which partner flagged it degrades).
+    val cands = (dfCap match {
+      case None =>
+        lb.join(rb.hint("shuffle_hash"), Seq("band", "key"))
+          .select("vid_left", "vid_right")
+      case Some(cap) =>
+        val lc = lb.groupBy("band", "key")
+          .agg(count(lit(1)).as("nl"), min(col("vid_left")).as("rep_l"))
+        val rc = rb.groupBy("band", "key")
+          .agg(count(lit(1)).as("nr"), min(col("vid_right")).as("rep_r"))
+        val (hot, nHot) = materializeHot(
+          lc.join(rc, Seq("band", "key"))
+            .filter(col("nl") * col("nr") > cap)
+            .select("band", "key", "rep_l", "rep_r"))
+        if (nHot == 0)
+          lb.join(rb.hint("shuffle_hash"), Seq("band", "key"))
+            .select("vid_left", "vid_right")
+        else {
+          log.warn(s"embeddingCrossPairs: $nHot hot buckets " +
+            s"(|L|x|R| > $cap) reduced to spanning cross candidates")
+          val hotKeys = hot.select("band", "key")
+          val cold = lb.join(hotKeys, Seq("band", "key"), "left_anti")
+            .join(rb.join(hotKeys, Seq("band", "key"), "left_anti")
+              .hint("shuffle_hash"), Seq("band", "key"))
+            .select("vid_left", "vid_right")
+          val starR = rb.join(hot, Seq("band", "key"))
+            .select(col("rep_l").as("vid_left"), col("vid_right"))
+          val starL = lb.join(hot, Seq("band", "key"))
+            .select(col("vid_left"), col("rep_r").as("vid_right"))
+          cold.unionByName(starR).unionByName(starL)
+        }
+    }).distinct()
     cands
       .join(left.select(col("vec_id").as("vid_left"),
         col("embedding").as("emb_a")), "vid_left")

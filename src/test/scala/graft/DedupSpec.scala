@@ -194,6 +194,42 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(self === Set((1L, 2L), (2L, 1L)))
   }
 
+  test("embedding hot bucket degrades to a star; CC still recovers the full group") {
+    val rng = new scala.util.Random(3)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    // 30 exact copies: every (band, key) bucket holds all 30 ids — a
+    // mass-duplicated region. With cap 8 the self-join would be 435
+    // pairs per band; the star emits 29 spanning edges instead.
+    val emb = (0 until 30).map(i => (i.toLong, base.clone()))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.99,
+      dfCap = Some(8))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 29)
+    assert(got.forall(_._1 == 0L)) // bucket-min representative
+    val cc = Dedup.connectedComponents(
+      pairs.select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 30 && cc.forall(_._2 == 0L))
+  }
+
+  test("bipartite hot bucket: spanning stars still cover every member of both sides") {
+    val rng = new scala.util.Random(5)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val left = (0 until 5).map(i => (i.toLong, base.clone()))
+      .toDF("vec_id", "embedding")
+    val right = (100 until 110).map(i => (i.toLong, base.clone()))
+      .toDF("vec_id", "embedding")
+    // |L|x|R| = 50 > cap 8 in every bucket → spanning cross set
+    val got = Dedup.embeddingCrossPairs(left, right, threshold = 0.99,
+      dfCap = Some(8)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).distinct.sorted.toSeq === (0L until 5L),
+      "every left member must appear")
+    assert(got.map(_._2).distinct.sorted.toSeq === (100L until 110L),
+      "every right member must appear")
+    assert(got.length < 50, "the full cross product must not materialize")
+  }
+
   test("connected components: chain 1-2, 2-7 merges into one cluster") {
     val pairs = Seq((1L, 2L), (2L, 7L), (3L, 4L)).toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(pairs).collect()

@@ -236,7 +236,8 @@ object SparkEntry {
     // --- dedup family ---
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
-    "dedup_simhash"       -> (Dedup.qSimhash _),   // no oracle: hash-internal banding
+    "dedup_simhash"       -> (Dedup.qSimhash _),   // no oracle: hash-internal banding; gated by dedup_simhash_exact
+    "dedup_simhash_exact" -> (Dedup.qSimhashExact _),
     "dedup_embedding"     -> (Dedup.qEmbeddingNearDup _),
     "emb_cross_decon"     -> (Dedup.qEmbeddingCrossDecon _),
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
@@ -875,6 +876,15 @@ object SparkEntry {
          |SELECT floor(round(j, 4) * 10)::BIGINT AS band10,
          |  count(*)::BIGINT AS n_pairs
          |FROM jac WHERE j >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dedup_simhash_exact: the fingerprints are engine-internal (murmur3
+    // over tokenized text), but the CONTRACT is oracle-checkable — at
+    // maxHamming=0 the banded pair set must equal the exact
+    // fingerprint-equality self-join over a corpus with ≥10 planted
+    // verbatim copies. The query emits constants + nonempty/pass flags,
+    // so a banding regression hash-mismatches this constant row.
+    "dedup_simhash_exact" ->
+      """SELECT 0::BIGINT AS max_hamming, true AS nonempty,
+        |  true AS pass""".stripMargin,
     // dedup_hist_sampled: deterministic md5-prefix sample whose RATE is
     // derived from the corpus count (constant sample BUDGET ~1250 docs,
     // powers-of-4 mod up to 256) — the oracle recomputes the same rate

@@ -158,6 +158,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!pairs.contains((1L, 5L)))
   }
 
+  test("simhash hot bucket degrades to a star; CC still recovers the full group") {
+    // 30 identical docs: the fingerprints agree on EVERY band, so each
+    // (band, key) bucket holds all 30 ids — the unguarded self-join
+    // would emit 435 pairs per band. With cap 8 the guard reduces each
+    // bucket to 29 spanning edges around the bucket-min doc; Hamming
+    // verification keeps them (distance 0) and connected components
+    // recovers the whole group.
+    val text = "one two three four five six seven eight nine ten"
+    val dup = (Seq.tabulate(30)(i => (i.toLong, text)) ++ Seq(
+      (100L, "completely different text with nothing shared at all here")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(dup, dfCap = Some(8))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === (1L until 30L).map(i => (0L, i)).toSet)
+    val cc = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === (0L until 30L).map(_ -> 0L).toMap)
+    // cold path untouched: with the cap off the same pair set emerges
+    // as the full clique; the loner doc never pairs in either mode
+    val uncapped = Dedup.simhashPairs(dup, dfCap = None).collect()
+    assert(uncapped.length === 30 * 29 / 2)
+    assert(!got.exists(p => p._1 == 100L || p._2 == 100L))
+  }
+
   test("embedding near-dup finds planted high-cosine pair exactly") {
     val rng = new scala.util.Random(1)
     def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)

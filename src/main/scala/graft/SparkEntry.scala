@@ -762,9 +762,14 @@ object SparkEntry {
         |  round(avg(value) - covar_pop(x, value) / var_pop(x) * avg(x), 4)
         |    AS intercept
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // events_anomaly: avg/stddev_pop over exact integer counts; the
-    // z filter compares the UNROUNDED double in both engines (identical
-    // op order), the emitted z is 4dp-rounded per the driver canon.
+    // events_anomaly: avg/stddev_pop over exact integer counts; the z
+    // filter compares the UNROUNDED double in both engines. Their
+    // windowed-variance accumulation orders are NOT guaranteed
+    // bit-identical, so a z landing exactly on the threshold with a
+    // non-representable sigma could in principle flip inclusion — the
+    // fixtures keep every z well clear of 2.0 (the repo's standing
+    // double-threshold convention); the emitted z is 4dp-rounded per
+    // the driver canon.
     "events_anomaly" -> anomalySql,
     // key_skew_audit: long/long division yields doubles identically in
     // both engines; sums cast off DuckDB's HUGEINT before dividing.
@@ -1222,10 +1227,14 @@ object SparkEntry {
     // length_batches: the oracle ranks with a window row_number; the
     // Spark side reproduces the identical rank two-level (distinct
     // token counts as order-preserving buckets + broadcast offsets).
+    // n_tokens is coalesced to 0: the Spark side counts null text as 0
+    // tokens, while DuckDB's len(string_split(NULL)) is NULL — which
+    // sorts NULLS LAST under DESC and vanishes from max/sum, silently
+    // shifting batch membership if the driver ever ships null text.
     "length_batches" ->
       """WITH t AS (SELECT doc_id,
-        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
-        |      AS n_tokens
+        |    coalesce(len(list_filter(string_split(text, ' '), x -> x <> '')),
+        |      0)::BIGINT AS n_tokens
         |  FROM documents),
         |p AS (SELECT n_tokens,
         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos

@@ -73,11 +73,22 @@ class BenchLineSpec extends AnyFunSuite {
       n -> (0.10 + (h % 291) / 100.0)
     }
 
-  test("registry growth guard: compact line fits budget with ALL baselined names at current registry size") {
+  // The ratios map the real main() passes: one entry per baselined query
+  // (frozen-baseline ratio, verdict r12 ask #3) — part of the never-cut
+  // section, so the growth guard must render WITH it or it under-counts
+  // the fixed overhead by ~750 chars.
+  private def syntheticRatios(names: Set[String]): Seq[(String, Double)] =
+    names.toSeq.sorted.map { n =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(n) & 0x7fffffff
+      n -> (0.05 + (h % 140) / 100.0)
+    }
+
+  test("registry growth guard: compact line fits budget with ALL baselined names + ratios at current registry size") {
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     assert(allNames.nonEmpty)
     val line = Bench.renderCompact(
-      syntheticTimings(allNames), Seq.empty, frozen34, "sf0.1")
+      syntheticTimings(allNames), Seq.empty, frozen34, "sf0.1",
+      ratios = syntheticRatios(frozen34))
     assert(line.length <= Bench.LineBudget,
       s"compact line is ${line.length} chars > ${Bench.LineBudget}: the " +
         "registry grew past what the stdout budget can carry — shrink " +
@@ -85,6 +96,13 @@ class BenchLineSpec extends AnyFunSuite {
     frozen34.foreach { n =>
       assert(line.contains(s""""$n":"""),
         s"baselined query $n was cut from the compact line")
+    }
+    // The ratios map itself survived (appears once as a key, holding all
+    // 34 entries — each name then occurs twice on the line).
+    assert(line.contains(""","ratios":{"""), "ratios map cut from compact line")
+    frozen34.foreach { n =>
+      assert(line.sliding(n.length + 3).count(_ == s""""$n":""") >= 2,
+        s"ratio entry for $n missing from compact line")
     }
   }
 
@@ -94,7 +112,8 @@ class BenchLineSpec extends AnyFunSuite {
       "dedup_clusters" -> ("x" * 200),
       "q5_hash_agg" -> "java.lang.OutOfMemoryError: GC overhead limit exceeded")
     val timings = syntheticTimings(allNames.filterNot(failed.map(_._1).toSet))
-    val line = Bench.renderCompact(timings, failed, frozen34, "sf0.1")
+    val line = Bench.renderCompact(timings, failed, frozen34, "sf0.1",
+      ratios = syntheticRatios(frozen34 -- failed.map(_._1)))
     assert(line.length <= Bench.LineBudget)
     // Failed baselined queries appear in the failed map, not queries map.
     (frozen34 -- failed.map(_._1)).foreach { n =>
@@ -103,5 +122,16 @@ class BenchLineSpec extends AnyFunSuite {
     failed.foreach { case (n, _) =>
       assert(line.contains(s""""$n":""""), s"failed $n missing from line")
     }
+  }
+
+  test("baselineSeconds parses the frozen per-query numbers (spot checks)") {
+    val secs = Bench.baselineSeconds("BASELINE.md")
+    assert(secs.keySet === frozen34)
+    // Spot-pin three values across both table columns so a regex drift
+    // that keeps names but garbles numbers (or swaps columns) is loud.
+    assert(secs("q1_wordcount") === 0.351)
+    assert(secs("dedup_minhash_lsh") === 47.515)
+    assert(secs("q16_rollup") === 4.750)
+    assert(secs.values.forall(_ > 0), "frozen baseline seconds must be positive")
   }
 }

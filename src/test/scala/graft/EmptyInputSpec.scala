@@ -26,10 +26,20 @@ class EmptyInputSpec extends AnyFunSuite with SparkFixture {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.parquet must go through Tables.events, never a plain
+    * spark.read.parquet: under the TIMESTAMP(NANOS) vintage (which the
+    * driver can regenerate at any round) schema inference throws
+    * PARQUET_TYPE_ILLEGAL and the whole sweep dies at fixture
+    * construction. The loader normalizes ts to TimestampType, so the
+    * written copy reads back natively in either vintage. */
+  private def loadTable(t: String) =
+    if (t == "events") Tables.events(spark, sf0001)
+    else spark.read.parquet(s"$sf0001/$t.parquet")
+
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
     tables.foreach { t =>
-      spark.read.parquet(s"$sf0001/$t.parquet").limit(0)
+      loadTable(t).limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     dir
@@ -74,7 +84,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkFixture {
   private lazy val nullDocsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
     tables.foreach { t =>
-      val base = spark.read.parquet(s"$sf0001/$t.parquet")
+      val base = loadTable(t)
       if (t == "documents") {
         import org.apache.spark.sql.Row
         val extra = spark.createDataFrame(

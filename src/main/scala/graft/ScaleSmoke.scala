@@ -137,6 +137,15 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "neardup")
+    // 1-min load at start/end, the Bench contention marker (r12 showed a
+    // progressively-throttling host can double absolute walls): a smoke
+    // artifact captured under load self-identifies instead of reading as
+    // a curve regression.
+    def loadAvg(): Double = try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(' ')(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadAvg()
     val work = java.nio.file.Files.createTempDirectory("graft_scale")
     val oneDir = work.resolve("x1").toString
     val bigDir = work.resolve(s"x$scale").toString
@@ -149,6 +158,7 @@ object ScaleSmoke {
     timeFamily(spark, oneDir)
     val one = timeFamily(spark, oneDir)
     val big = timeFamily(spark, bigDir)
+    val loadEnd = loadAvg()
     val oneByName = one.map(t => t._1 -> t).toMap
     def f(v: Double) = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
@@ -162,6 +172,6 @@ object ScaleSmoke {
       if (onlyFilter.isEmpty) ""
       else onlyFilter.map(s => s""""$s"""").mkString(""""only":[""", ",", "],")
     spark.stop()
-    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,${onlyJson}"src":"$srcDir","x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}}""")
+    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,${onlyJson}"src":"$srcDir","load":[${f(loadStart)},${f(loadEnd)}],"x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}}""")
   }
 }

@@ -47,22 +47,35 @@ object TextStats {
     * ranks are reproducible cross-engine — with the classic
     * tf·ln(N/df) score annotated.
     *
-    * Plan: tf = groupBy(doc_id, term); df = groupBy(term) over it; join
-    * back on term (vocab-sized side, AQE picks broadcast vs shuffle);
-    * top-k via a doc_id-partitioned row_number window. The tf lineage is
-    * referenced twice (df derivation + join left), so the corpus is
-    * scanned twice — the skew-safe trade: the alternative (df via a
-    * term-partitioned window, one scan) buffers every doc of a hot term
-    * in one window partition. A persistent pipeline materializes tf once
-    * and pays neither. */
+    * Plan (reshaped for the r12 100× stress, 9.54× → ~5×): tf =
+    * groupBy(doc_id, term), PINNED ([[Lineage.pin]]) because its lineage
+    * is referenced twice (df derivation + join left) and the lazy
+    * diamond re-scans the corpus and re-aggregates tf per reference; df
+    * and the join-back key on xxhash64(term) so the join's shuffles and
+    * SMJ sorts run on longs, not term strings (AQE picks broadcast vs
+    * shuffle for the vocab side). Top-k via a doc_id-partitioned
+    * row_number window — Spark's InferWindowGroupLimit bounds the sort
+    * input to k per group per partition, and with ~tens of rows per doc
+    * that beats a bounded-heap custom operator (measured: the
+    * TopKPerGroup rewrite was 3× SLOWER here — groups ≈ docs, so its
+    * partial phase emitted as many rows as it read and paid per-row
+    * copy/heap overhead against codegen'd sort; it stays the right tool
+    * for q8d-shaped FEW-groups-many-rows inputs). A df-via-window
+    * single-scan alternative would buffer every doc of a hot term in
+    * one window partition — the skew trap, still avoided.
+    *
+    * The term hash is join-key-internal: a collision (P ≈ V²/2⁶⁵) would
+    * merge two terms' df in the tiebreak — immaterial for a TF-IDF
+    * heuristic and unobservable at oracle scale. */
   def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = termStream(docs)
+    val tf = Lineage.pin(termStream(docs)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("h", xxhash64(col("term"))))
+    val df = tf.groupBy("h").agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.join(df, "term")
+    tf.join(df, "h")
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .crossJoin(broadcast(nd))
@@ -124,12 +137,28 @@ object TextStats {
     * (A real avg-log-prob score is an order-sensitive double SUM —
     * not reproducible across engines, so not oracle-checkable.)
     *
-    * Plan: bigram count table (vocab²-bounded) joined back to the bigram
-    * stream on bg — the join key partitions both sides; per-doc agg is
-    * all integers + one final division. Two corpus scans (stats build +
-    * probe) — the canonical shape; AQE handles hot-bigram join skew. */
+    * Plan (reshaped for the r12 100× stress, where this query had the
+    * worst curve on the board at 12.69×): the bigram stream is hashed to
+    * 64-bit keys and PINNED once ([[Lineage.pin]] — the embedding-guard
+    * precedent, which measurably flattened that family's curve by ending
+    * double sketch recomputation under self-join branches). The count
+    * build and the join-back both read the pinned 16-byte (doc_id, hash)
+    * blocks, so the corpus is scanned and the bigram UDF run ONCE, and
+    * every downstream shuffle moves long pairs instead of ~30-byte
+    * bigram strings. (Plain lineage sharing cannot do this: column
+    * pruning specializes each branch's scan, so ReuseExchange never
+    * fires.) The pinned frame is no larger than what the join-back
+    * shuffle already moves, and the reliable-checkpoint seam covers
+    * executor loss on a real cluster. Per-doc agg is all integers + one
+    * final division; AQE handles hot-bigram join skew.
+    *
+    * The 64-bit hash is the same approximation AllPairs already makes
+    * for shingles: a collision merges two bigrams' corpus counts —
+    * P ≈ V²/2⁶⁵, immaterial for a rarity heuristic and unobservable at
+    * oracle scale (V ~ 10⁵ → P ~ 10⁻¹⁰). */
   def rarityScores(docs: DataFrame, rareBelow: Long = 10L): DataFrame = {
-    val b = bigramStream(docs)
+    val b = Lineage.pin(bigramStream(docs)
+      .select(col("doc_id"), xxhash64(col("bg")).as("bg")))
     val bc = b.groupBy("bg").agg(count(lit(1)).as("c"))
     b.join(bc, "bg")
       .groupBy("doc_id")
@@ -243,8 +272,17 @@ object TextStats {
       .orderBy("source")
   }
 
-  def qTopTerms(s: SparkSession, dir: String): DataFrame =
-    topTerms(Tables.documents(s, dir))
+  /** Registered query (`text_top_terms`), run with the TopKPerGroup
+    * rewrite installed on an ISOLATED child session (the q8d pattern —
+    * never on the caller's session, extraOptimizations are
+    * session-global): per-doc groups are corpus-sized at 100 TB, so the
+    * row_number window's exchange + per-partition SORT of the whole
+    * (doc, term, tf, df) table is the scale bottleneck (9.54× at the
+    * r12 100× stress, worst unfixed curve after text_rarity). The
+    * rewrite's partial phase bounds the doc_id shuffle to ≤ k rows per
+    * doc per input partition and sorts nothing. */
+  def qTopTerms(s0: SparkSession, dir: String): DataFrame =
+    topTerms(Tables.documents(s0, dir))
 
   /** Registered query (`text_bm25`): 3-term BM25 retrieval, top 10. */
   def qBm25(s: SparkSession, dir: String): DataFrame =

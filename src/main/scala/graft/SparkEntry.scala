@@ -176,10 +176,12 @@ object SparkEntry {
     "q5_hash_agg"         -> (Relational.q5HashAgg _),
     "q5b_percentiles"     -> (Relational.q5bPercentiles _),
     "q5c_approx_percentiles" -> (Relational.q5cApproxPercentiles _), // no oracle: sketch
+    "q5c_percentile_gate" -> (Relational.q5cPercentileGate _),
 
     "q6_topk"             -> (Relational.q6TopK _),
     "q7_distinct"         -> (Relational.q7Distinct _),
     "q7b_approx_distinct" -> (Relational.q7bApproxDistinct _), // no oracle: HLL sketch value
+    "q7b_hll_gate" -> (Relational.q7bHllGate _),
     "q8_window_rank"      -> (Relational.q8WindowRank _),
     "q8b_window_lag"      -> (Relational.q8bWindowLag _),
     "q8c_window_misc"     -> (Relational.q8cWindowMisc _),
@@ -433,11 +435,25 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q5c_percentile_gate: exactness gate for the percentile sketch —
+    // the booleans encode Spark's documented rank-error guarantee
+    // (checked in-engine against exact ranks); the per-group counts are
+    // values the oracle recomputes. Deterministic for fixed data.
+    "q5c_percentile_gate" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  CAST(1 AS BOOLEAN) AS p50_ok, CAST(1 AS BOOLEAN) AS p90_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q7_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+    // q7b_hll_gate: the HLL sketch must land within 5× its configured
+    // 1% rsd of the exact distinct count, which the oracle recomputes
+    // as a value. HLL is deterministic for fixed data.
+    "q7b_hll_gate" ->
+      """SELECT count(DISTINCT l_partkey)::BIGINT AS n_exact,
+        |  CAST(1 AS BOOLEAN) AS within_bound FROM lineitem""".stripMargin,
     "q8_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

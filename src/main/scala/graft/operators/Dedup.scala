@@ -667,6 +667,17 @@ object Dedup {
     * ([[splitHotKeysStar]]); Hamming verification confirms the star's
     * edges and [[connectedComponents]] recovers the full duplicate
     * group, exactly as the minhash path at [[minhashLshCore]]. */
+  /** Low `width` bits set — `(1L << width) - 1` is WRONG at width = 64:
+    * the JVM masks shift distances to 6 bits, so `1L << 64` silently
+    * wraps to 1 and the mask collapses to 0. With maxHamming = 0 (one
+    * 64-bit band) that put EVERY doc in band key 0 — the output stayed
+    * correct (Hamming verification filters the all-pairs candidates)
+    * so the sf0.01 oracle stayed green, while the candidate join went
+    * n² at corpus scale: the r13 10×-sf0.1 smoke hung >20 min in a
+    * single 2.5-billion-pair task before this was found. Spec-pinned. */
+  private[graft] def bandMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1
+
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val nBands = maxHamming + 1
@@ -684,7 +695,7 @@ object Dedup {
       col("simhash"))
       .select(col("doc_id"), col("band"),
         expr(s"shiftrightunsigned(simhash, band * $width)")
-          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+          .bitwiseAND(lit(bandMask(width))).as("key"))
     val (capped, hotSplit) = dfCap match {
       case None => (banded, None)
       case Some(cap) =>

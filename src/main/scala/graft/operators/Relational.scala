@@ -98,6 +98,24 @@ object Relational {
     Tables.lineitem(s, dir)
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
 
+  /** Registered query (`q7b_hll_gate`) — the exactness gate that turns
+    * the HLL sketch from spec-only into a driver-hash-checked row (the
+    * dedup_simhash_exact / sim_recall pattern, r12 verdict ask #2's
+    * continuation): the exact distinct count is a VALUE the oracle
+    * recomputes in SQL, and the sketch must land within 5× its
+    * configured 1% rsd of it. HLL is deterministic for fixed data, so
+    * the flag is stable — a sketch regression (wrong rsd wiring, wrong
+    * column) flips it and hash-mismatches the gate. */
+  def q7bHllGate(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head()
+    val (a, e) = (r.getLong(0), r.getLong(1))
+    val ok = e > 0 && math.abs(a - e).toDouble / e <= 0.05
+    import s.implicits._
+    Seq((e, ok)).toDF("n_exact", "within_bound")
+  }
+
   /** Q8 — window rank ≤ 3 per customer. Single shuffle on o_custkey; the
     * rank filter is applied streaming within each partition. */
   def q8WindowRank(s: SparkSession, dir: String): DataFrame = {
@@ -433,6 +451,39 @@ object Relational {
         percentile_approx(col("l_quantity"), lit(0.9), lit(1000))
           .as("p90_approx"))
       .orderBy("l_returnflag")
+
+  /** Registered query (`q5c_percentile_gate`) — the rank-error gate for
+    * the percentile sketch (same exactness-gate pattern as
+    * [[q7bHllGate]]): `percentile_approx(φ, accuracy=1000)` guarantees
+    * the returned value's rank is within n/1000 of φ·n; the gate
+    * recomputes each approx value's EXACT rank interval with one
+    * conditional-aggregate pass and checks it against a generous n/200
+    * margin. Per-group row counts are values the oracle recomputes, so
+    * the row is value-bearing, not flag-only. One extra corpus scan
+    * beyond the sketch — gate-only cost, not the production path. */
+  def q5cPercentileGate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val approx = li.groupBy("l_returnflag").agg(
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50"),
+      percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("p90"))
+    li.join(broadcast(approx), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_quantity") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_quantity") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("l_quantity") < col("p90"), 1L).otherwise(0L)).as("lt90"))
+      .select(col("l_returnflag"), col("n"),
+        (col("lt50") < col("n") * 0.5 + col("n") / lit(200.0) &&
+          col("le50") >= col("n") * 0.5 - col("n") / lit(200.0))
+          .as("p50_ok"),
+        (col("lt90") < col("n") * 0.9 + col("n") / lit(200.0) &&
+          col("le90") >= col("n") * 0.9 - col("n") / lit(200.0))
+          .as("p90_ok"))
+      .orderBy("l_returnflag")
+  }
 
   /** Q23 — pivot: order counts per year, one column per market segment
     * (explicit value list keeps the schema static — the form that scales,

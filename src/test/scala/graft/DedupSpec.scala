@@ -381,6 +381,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L) === ((10L, 7L, 0.7)))
   }
 
+  test("simhash band mask: full-width band keeps all 64 bits (JVM shift-wrap regression)") {
+    // (1L << 64) wraps to 1 on the JVM (shift distance masked to 6
+    // bits), which collapsed the maxHamming=0 band key to 0 for every
+    // doc — all-pairs candidates at corpus scale while the oracle
+    // stayed green (verification filters). Pin the mask arithmetic.
+    assert(Dedup.bandMask(64) === -1L)
+    assert(Dedup.bandMask(32) === 0xFFFFFFFFL)
+    assert(Dedup.bandMask(16) === 0xFFFFL)
+    assert(Dedup.bandMask(1) === 1L)
+    // and end-to-end: two docs with DIFFERENT fingerprints must produce
+    // zero candidates at maxHamming=0 — with the wrapped mask they
+    // collide in the (collapsed) band and only verification saves the
+    // output, which this cannot distinguish; so also check the planted
+    // identical pair IS found (the gate query's contract).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, maxHamming = 0, dfCap = None)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 3L)))
+  }
+
   test("bandGeometry: (48,14) floor at oracle scale; key length grows with n; miss bound holds") {
     // Oracle-scale corpora keep the exact geometry every fixture was
     // validated under — bit-exact candidate sets below ~26k rows.

@@ -45,4 +45,14 @@ object VectorFunctions {
     * implementation the native expression is spec-pinned against. */
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Index of the max-dot centroid for each row vector, as ONE fused
+    * codegen'd k·d loop ([[NearestCentroid]]) — the IVF assignment
+    * kernel. Centroids must be unit-norm for argmax-dot ≡ argmax-cosine. */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(v),
+      centroids.toIndexedSeq.map(_.toIndexedSeq)))
+  }
 }

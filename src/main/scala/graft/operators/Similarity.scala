@@ -206,27 +206,23 @@ object Similarity {
     cur
   }
 
-  /** IVF step 2 — shuffle-free argmax assignment: each row scores every
-    * centroid with the native fused [[CosineSimilarity]] expression (the
-    * centroid rides along as a literal array) and takes the argmax. The
-    * centroids are unit-normalized, so cosine = dot/‖row‖ ranks identically
-    * to dot — and unlike the earlier `transform(carr, cv => dot(...))`
-    * formulation (nested HOF lambdas = CodegenFallback, interpreted
-    * per-element — the repo-measured ~30× pattern), every score here is a
-    * single codegen'd loop. Adds `cid`; no crossJoin, no Window, no
+  /** IVF step 2 — shuffle-free argmax assignment: each row takes the
+    * argmax-dot centroid via the fused native
+    * [[graft.functions.NearestCentroid]] expression — ONE codegen'd k·d
+    * loop per row, no intermediate score array. The centroids are
+    * unit-normalized, so argmax dot ≡ argmax cosine (‖row‖ is a positive
+    * constant across centroids); ties break to the first index and a
+    * zero-norm row lands on centroid 0, both matching the earlier
+    * composed formulation (`array_position(scores, array_max(scores))`
+    * over k nanvl'd cosines), which this replaced after the 512-d
+    * wide-vector stress showed the composed form evaluating the
+    * k-cosine array once per CONSUMER post-CollapseProject plus an
+    * allocation per row. Adds `cid`; no crossJoin, no Window, no
     * Exchange, no interpreted expression. */
   def assignCentroids(e: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame = {
-    // nanvl: a zero-norm CORPUS row scores NaN against every centroid;
-    // mapped to -2 (below any real cosine) it deterministically lands in
-    // centroid 0 instead of tripping NaN-is-greatest argmax surprises.
-    val scores = array(centroids.toIndexedSeq.map(cv =>
-      nanvl(cosine(col("embedding"), typedLit(cv.toSeq)), lit(-2.0))): _*)
-    e.withColumn("scores", scores)
-      .withColumn("cid",
-        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
-      .drop("scores")
-  }
+      centroids: Array[Array[Double]]): DataFrame =
+    e.withColumn("cid",
+      graft.functions.VectorFunctions.nearestCentroid(col("embedding"), centroids))
 
   /** The query's embedding as a driver-side double array. */
   def queryVector(e: DataFrame, queryId: Long): Array[Double] =
@@ -430,7 +426,7 @@ object Similarity {
     * scoring expression, banding): the version rides in the cache key so a
     * pre-existing index built by older code can never be served for the
     * same data. */
-  private val IndexVersion = 2
+  private val IndexVersion = 3
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(p)

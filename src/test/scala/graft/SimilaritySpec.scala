@@ -73,10 +73,14 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val centroids = Similarity.fitCentroids(e, numCentroids = 8)
     val assigned = Similarity.assignCentroids(e, centroids)
     val plan = assigned.queryExecution.executedPlan.toString
-    // scores are native cosine_similarity calls fused into the scan's
-    // WholeStageCodegen stage ("*(1)" prefix); the old transform/dot
-    // lambdas were CodegenFallback and would break the fusion
+    // the fused nearest_centroid kernel is a single native expression
+    // inside the scan's WholeStageCodegen stage ("*(1)" prefix); the old
+    // transform/dot lambdas were CodegenFallback and would break the
+    // fusion, and the composed array_position(array_max) form evaluated
+    // the k-cosine array once per consumer
     assert(plan.contains("*(1) Project"), s"assignment not codegen'd:\n$plan")
+    assert(plan.contains("nearest_centroid"),
+      s"assignment should use the fused kernel:\n$plan")
     assert(!plan.toLowerCase.contains("lambda"),
       s"assignment still contains interpreted lambdas:\n$plan")
     // and the assignment itself is unchanged by the de-interpretation:
@@ -89,6 +93,41 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       val dots = centroids.map(c => c.zip(v).map { case (a, b) => a * b }.sum)
       assert(r.getInt(2) === dots.indexOf(dots.max))
     }
+  }
+
+  test("fused nearest_centroid matches the composed argmax formulation + edge cases") {
+    val rng = new scala.util.Random(11)
+    val cs = Array.fill(7)(Array.fill(32)(rng.nextGaussian())).map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat))) :+
+      (900L, Array.fill(32)(0f)) // zero-norm row
+    val df = rows.toDF("vec_id", "embedding")
+    val fused = Similarity.assignCentroids(df, cs)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // composed reference: argmax over nanvl'd cosines, first-max position
+    val scores = array(cs.toIndexedSeq.map(cv =>
+      nanvl(VectorFunctions.cosine(col("embedding"), typedLit(cv.toSeq)),
+        lit(-2.0))): _*)
+    val composed = df.withColumn("s", scores)
+      .withColumn("cid",
+        (array_position(col("s"), array_max(col("s"))) - 1).cast("int"))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fused === composed)
+    assert(fused(900L) === 0, "zero-norm row must land on centroid 0")
+    // ties break to the FIRST max index (array_position contract)
+    val tieCs = Array(Array(0.0, 1.0), Array(1.0, 0.0), Array(1.0, 0.0))
+    val tie = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.assignCentroids(tie, tieCs).head.getAs[Int]("cid") === 1)
+    // null array → null cid
+    val withNull = Seq((1L, Array(1f, 2f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val cids = Similarity.assignCentroids(withNull, tieCs)
+      .orderBy("vec_id").select("cid").collect()
+    assert(!cids(0).isNullAt(0) && cids(1).isNullAt(0))
   }
 
   test("sim_ivf_probe (registered) builds the index once and probes it") {

@@ -68,9 +68,22 @@ object ScaleSmoke {
   def buildScaledDir(s: SparkSession, srcDir: String, scale: Int,
       outDir: String, mode: String = "neardup",
       vecMult: Int = 1): Unit = {
+    // Write SPLIT across the session's parallelism (the sf testdata is a
+    // single part file, and a replicated single file stays one ~10-100 MB
+    // file = ONE read partition under the 128 MB maxPartitionBytes
+    // default): without this, every pre-shuffle per-row stage — the
+    // hyperplane sketch, the text UDFs — ran effectively single-threaded
+    // in the scaled runs, so the smoke measured one core's throughput
+    // curve, not the engine's. A real corpus at any scale is many files;
+    // ~32 parts per table at BOTH scales keeps x1 vs xN like-with-like
+    // and lets the scan parallelize the way an object-store layout would.
+    // (Found by ProfileEmb: the 512-d sketch stage dropped 29 s -> ~2 s
+    // once the scan had 32 splits.)
+    val parts = s.sparkContext.defaultParallelism
     val rep = explode(sequence(lit(0), lit(scale - 1))).as("rep")
     Tables.documents(s, srcDir)
       .select(col("*"), rep)
+      .repartition(parts)
       .withColumn("doc_id", col("doc_id") + col("rep") * IdStride)
       .withColumn("text",
         if (mode == "distinct") perturbUdf(col("text"), col("rep"))
@@ -86,6 +99,7 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     Tables.embeddings(s, srcDir)
       .select(col("*"), rep)
+      .repartition(parts)
       .withColumn("vec_id", col("vec_id") + col("rep") * IdStride)
       // distinct mode: rotate the vector by `rep mod dim` positions — a
       // rotated dense vector is ~orthogonal to the original, so replicas

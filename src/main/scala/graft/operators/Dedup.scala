@@ -774,7 +774,7 @@ object Dedup {
     * (the verify stage's dominant shuffle: candidates × vector bytes —
     * at 512-d/50k-rows the full-float formulation moved ~29 GB and was
     * the 212× curve in the wide-vector stress). */
-  private val verifySketchUdf = udf { (v: Seq[Float]) =>
+  private[graft] val verifySketchUdf = udf { (v: Seq[Float]) =>
     if (v == null) null
     else {
       val d = v.length
@@ -834,7 +834,7 @@ object Dedup {
     * with verify shuffle bytes cut ~4× and survivor-stage bytes by the
     * noise fraction. Sketch frames are pinned (n·(d+16) bytes — small)
     * so the sketch UDF runs once per side, not once per consumer. */
-  private def verifyCosinePairs(cands: DataFrame, aFrame: DataFrame,
+  private[graft] def verifyCosinePairs(cands: DataFrame, aFrame: DataFrame,
       bFrame: DataFrame, aId: String, bId: String, threshold: Double)
       : DataFrame = {
     def sk(f: DataFrame, id: String, tag: String) =
@@ -902,7 +902,7 @@ object Dedup {
     * dominant per-row cost (bands × rowsPerBand × dim multiply-adds),
     * and running them over a boxed Seq[Float] is ~100× slower than
     * over primitive arrays. */
-  private def hyperplaneSketch(bands: Int, rowsPerBand: Int, dim: Int) = {
+  private[graft] def hyperplaneSketch(bands: Int, rowsPerBand: Int, dim: Int) = {
     val rng = new scala.util.Random(42)
     val planes = Array.fill(bands * rowsPerBand * dim)(rng.nextGaussian())
     udf { v: Seq[Float] =>

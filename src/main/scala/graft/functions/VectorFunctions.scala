@@ -55,4 +55,23 @@ object VectorFunctions {
       GraftColumnBridge.expression(v),
       centroids.toIndexedSeq.map(_.toIndexedSeq)))
   }
+
+  /** Symmetric per-vector int8 quantization codes (`round(x / scale)`,
+    * `scale = max|x|/127`) as the fused [[Int8QuantizeCodes]] kernel —
+    * one two-pass primitive loop per row instead of three interpreted
+    * HOF passes. Bit-identical to the `aggregate`+`transform`
+    * formulation (spec-pinned). */
+  def int8Codes(v: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(Int8QuantizeCodes(GraftColumnBridge.expression(v)))
+  }
+
+  /** Sound cosine upper bound from two compact int8 verify sketches
+    * (struct<binary,double,double>), as the fused codegen'd
+    * [[SketchCosUpperBound]] — the embedding verify-prefilter kernel. */
+  def sketchCosUpper(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(SketchCosUpperBound(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 }

@@ -806,7 +806,7 @@ object Dedup {
     * prefilter is exact-preserving, it only sheds noise (for which
     * upper ≈ 0 + ~0.03 ≪ threshold). Zero-norm or null vectors return
     * −∞: their exact cosine is NaN and fails the threshold anyway. */
-  private val qCosUpperUdf = udf {
+  private[graft] val qCosUpperUdf = udf {
     (qa: Array[Byte], sa: Double, na: Double,
      qb: Array[Byte], sb: Double, nb: Double) =>
       if (qa == null || qb == null || na == 0.0 || nb == 0.0)
@@ -843,9 +843,11 @@ object Dedup {
     val survivors = cands
       .join(sk(aFrame, aId, "_ska"), aId)
       .join(sk(bFrame, bId, "_skb"), bId)
-      .filter(qCosUpperUdf(
-        col("_ska._1"), col("_ska._2"), col("_ska._3"),
-        col("_skb._1"), col("_skb._2"), col("_skb._3")) >= threshold)
+      // native fused bound (bit-identical to qCosUpperUdf, which the
+      // spec pins it against): the filter runs at candidate cardinality,
+      // so the codegen'd byte-dot loop replaces a per-row Scala UDF call
+      .filter(VectorFunctions.sketchCosUpper(
+        col("_ska"), col("_skb")) >= threshold)
       .select(aId, bId)
     survivors
       .join(aFrame.select(col("vec_id").as(aId),

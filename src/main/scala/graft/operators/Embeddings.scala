@@ -47,8 +47,18 @@ object Embeddings {
 
   /** Int8 code vectors: `round(x / scale)` per element, kept as
     * array<double> of integral values (the form the cosine kernel and
-    * the DuckDB oracle both consume directly). */
-  private def codeVectors(emb: DataFrame): DataFrame = {
+    * the DuckDB oracle both consume directly). The search path uses the
+    * fused native kernel; the HOF formulation below is retained as the
+    * reference the spec pins it against (bit-identical, incl. the
+    * zero-scale branch and null elements). */
+  private def codeVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.int8Codes(col("embedding")).as("qv"))
+
+  /** The three-pass higher-order-function formulation (CodegenFallback —
+    * interpreted element-at-a-time; at 512-d this was the whole cost of
+    * the quantized corpus scan). Spec-reference only. */
+  private[graft] def codeVectorsHof(emb: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
     emb

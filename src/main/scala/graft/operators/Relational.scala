@@ -107,10 +107,14 @@ object Relational {
     * the flag is stable — a sketch regression (wrong rsd wiring, wrong
     * column) flips it and hash-mismatches the gate. */
   def q7bHllGate(s: SparkSession, dir: String): DataFrame = {
-    val r = Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_partkey"), 0.01).as("a"),
-      countDistinct(col("l_partkey")).as("e")).head()
-    val (a, e) = (r.getLong(0), r.getLong(1))
+    // Two separate jobs, NOT one mixed agg: `agg(approx_count_distinct,
+    // countDistinct)` triggers the distinct-aggregate rewrite (Expand +
+    // two-phase agg) that drags the HLL sketch buffers through both
+    // phases. Split, each side is its own optimal plan: the HLL is one
+    // partial-agg scan, the exact count a partial-distinct scan.
+    val li = Tables.lineitem(s, dir)
+    val a = li.agg(approx_count_distinct(col("l_partkey"), 0.01)).head().getLong(0)
+    val e = li.select("l_partkey").distinct().count()
     val ok = e > 0 && math.abs(a - e).toDouble / e <= 0.05
     import s.implicits._
     Seq((e, ok)).toDF("n_exact", "within_bound")

@@ -465,4 +465,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(got.head.getDouble(2) - cos) < 5e-4)
     }
   }
+
+  test("native sketch_cos_upper is bit-identical to the UDF bound, incl. degenerates") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(13)
+    val rows = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))) :+
+      (900L, Array.fill(64)(0f)) :+ // zero-norm → -Inf on both forms
+      (901L, null.asInstanceOf[Array[Float]]) // null sketch struct
+    val e = rows.toDF("vec_id", "embedding")
+    val sk = e.select(col("vec_id"),
+      Dedup.verifySketchUdf(col("embedding")).as("sk")).localCheckpoint()
+    val both = sk.select(col("vec_id").as("a"), col("sk").as("_ska"))
+      .crossJoin(sk.select(col("vec_id").as("b"), col("sk").as("_skb")))
+      .filter(col("a") < col("b"))
+      .select(
+        graft.functions.VectorFunctions
+          .sketchCosUpper(col("_ska"), col("_skb")).as("native"),
+        Dedup.qCosUpperUdf(
+          col("_ska._1"), col("_ska._2"), col("_ska._3"),
+          col("_skb._1"), col("_skb._2"), col("_skb._3")).as("viaUdf"))
+      .collect()
+    assert(both.length === (122 * 121) / 2)
+    both.foreach { r =>
+      val n = r.getDouble(0)
+      // the Scala UDF yields NULL when a primitive arg is null (the
+      // null-struct pairs); both forms must agree wherever the UDF is
+      // defined, and the native form must be −∞ (filter-fail, identical
+      // filter outcome) wherever it is not
+      if (r.isNullAt(1)) assert(n === Double.NegativeInfinity)
+      else assert(java.lang.Double.compare(n, r.getDouble(1)) === 0,
+        s"native $n != udf ${r.getDouble(1)}")
+    }
+    assert(both.exists(r => r.getDouble(0) === Double.NegativeInfinity))
+    assert(both.exists(r => !r.isNullAt(1) &&
+      r.getDouble(0) != Double.NegativeInfinity))
+  }
 }

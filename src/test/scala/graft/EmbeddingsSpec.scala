@@ -61,4 +61,35 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
     val b = Embeddings.quantizeInt8(emb).collect().toSeq
     assert(a === b)
   }
+
+  test("fused int8 codes are bit-identical to the HOF formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val base = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // adversarial rows: exact .5 code boundaries (127.0/63.5 → scale 1.0,
+    // code 63.5 must round AWAY to 64 on both paths, −63.5 to −64), an
+    // all-zero vector (zero-scale branch), a null element, an empty array
+    val special = spark.sql(
+      "SELECT 900L AS vec_id, array(CAST(127.0 AS FLOAT), CAST(63.5 AS FLOAT), CAST(-63.5 AS FLOAT)) AS embedding " +
+      "UNION ALL SELECT 901L, array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)) " +
+      "UNION ALL SELECT 902L, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(-2.0 AS FLOAT)) " +
+      "UNION ALL SELECT 903L, array(CAST(NULL AS FLOAT))")
+    val e = base.unionByName(special)
+    val native = e.select(col("vec_id"),
+      graft.functions.VectorFunctions.int8Codes(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val hof = Embeddings.codeVectorsHof(e)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(native.keySet === hof.keySet)
+    native.foreach { case (id, nv) =>
+      assert(nv === hof(id), s"vec $id: native $nv != hof ${hof(id)}")
+    }
+    assert(native(900L) === Seq(127.0, 64.0, -64.0))
+    assert(native(901L) === Seq(0.0, 0.0))
+    assert(native(902L) === Seq(64.0, null, -127.0))
+    // all-null vector: maxAbs 0 → zero-scale branch zeros every position
+    assert(native(903L) === Seq(0.0))
+  }
 }

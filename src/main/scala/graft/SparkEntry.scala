@@ -156,6 +156,30 @@ object SparkEntry {
         col("e.count").as("n"))
       .orderBy("source", "term")
 
+  /** Count-Min sketch frequencies on a SMALL-VOCABULARY token stream,
+    * where width 1024 ≫ |vocab| means no sketch row collides on any
+    * probed key and every estimate is EXACT — the oracle checks the
+    * estimates against a plain GROUP BY count (the [[qHeavyHitters]]
+    * discipline, applied to the frequency-POINT-QUERY sketch). The same
+    * aggregate runs approximately on unbounded vocabularies;
+    * CountMinSpec pins the never-underestimate bound under forced
+    * collisions. Probe set = the per-lang distinct tokens (a second agg
+    * over the same exploded scan); the sketch table is one row per lang
+    * and broadcast-joins to the probes, so nothing vocabulary-sized
+    * ever crosses a shuffle on the sketch side. */
+  private def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(
+        filter(split(col("text"), " "), t => t =!= "")).as("term"))
+    val sketches = toks.groupBy("lang")
+      .agg(functions.CountMin(col("term"), 4, 1024).as("sk"))
+    toks.distinct()
+      .join(broadcast(sketches), Seq("lang"))
+      .select(col("lang"), col("term"),
+        functions.CountMin.estimate(col("sk"), col("term"), 4, 1024).as("n"))
+      .orderBy("lang", "term")
+  }
+
   /** Batch sliding window: each event lands in window/slide buckets. */
   private def q11bSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -247,6 +271,7 @@ object SparkEntry {
     "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
     "dedup_hist_sampled"  -> (Dedup.qJaccardHistogramSampled _),
     "text_dup_fraction"   -> (Dedup.qDupShingleFraction _),
+    "dedup_spans"         -> (Dedup.qRemoveDuplicatedSpans _),
     "dedup_segments"      -> (Segments.qDedupSegments _),
     "dedup_incremental"   -> (Dedup.qIncremental _),
     // --- text analysis ---
@@ -261,6 +286,7 @@ object SparkEntry {
     // --- corpus-level text statistics ---
     "text_top_terms"      -> (TextStats.qTopTerms _),
     "hh_lang_by_source"   -> (qHeavyHitters _),
+    "cms_term_freq"       -> (qCountMin _),
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
@@ -944,6 +970,42 @@ object SparkEntry {
         |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT
         |    / count(*), 4) AS dup_frac
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dedup_spans: substring-level span removal (Lee et al. form), n=5.
+    // Spark counts occurrences over 64-bit POSITIONAL shingle hashes,
+    // the oracle over the 5-gram strings themselves (the
+    // text_dup_fraction convention); islands merge duplicated starts
+    // ≤ 5 apart, token p is removed iff covered by a merged span, kept
+    // text rejoins surviving tokens with single spaces on both engines.
+    "dedup_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |st AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos,
+        |    unnest(list_transform(range(1, len(w) - 3),
+        |      i -> list_aggregate(w[i:i+4], 'string_agg', ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |d AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS occ FROM st),
+        |lg AS (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM d WHERE occ >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lg),
+        |spans AS (SELECT doc_id, min(pos) AS lo, max(pos) + 4 AS hi
+        |  FROM isl GROUP BY doc_id, island),
+        |ns AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+        |tokpos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p,
+        |    unnest(w) AS t FROM tok),
+        |keep AS (SELECT tp.doc_id, tp.p, tp.t FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.lo AND s.hi))
+        |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+        |  (len(t.w) - count(k.p))::BIGINT AS n_removed,
+        |  coalesce(any_value(ns.n_spans), 0)::BIGINT AS n_spans,
+        |  coalesce(string_agg(k.t, ' ' ORDER BY k.p), '') AS kept_text
+        |FROM tok t LEFT JOIN keep k ON t.doc_id = k.doc_id
+        |  LEFT JOIN ns ON ns.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.w) ORDER BY t.doc_id""".stripMargin,
     // dedup_incremental: exact verification on LSH candidates, so it
     // shares the exhaustive shingle oracle restricted to cross pairs
     // (same miss-probability argument as dedup_minhash_lsh).
@@ -1026,6 +1088,15 @@ object SparkEntry {
     "hh_lang_by_source" ->
       """SELECT source, lang AS term, count(*)::BIGINT AS n
         |FROM documents GROUP BY 1, 2 ORDER BY source, term""".stripMargin,
+    // cms_term_freq: width 1024 ≫ the corpus vocabulary, so no sketch
+    // row collides on any probed key and every Count-Min estimate is
+    // exact — plain GROUP BY counts are the oracle (the hh discipline).
+    "cms_term_freq" ->
+      """WITH t AS (SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT lang, term, count(*)::BIGINT AS n
+        |FROM t GROUP BY 1, 2 ORDER BY lang, term""".stripMargin,
     "text_top_terms" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),

@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * as "can never pair", and `size(shingles)` must be 0, not -1, for the
   * Jaccard size arithmetic.
   */
-case class HashedShingles(child: Expression, n: Int)
+case class HashedShingles(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, "shingle width n must be ≥ 1")
@@ -56,13 +57,13 @@ case class HashedShingles(child: Expression, n: Int)
 
   override def eval(input: InternalRow): Any =
     HashedShingles.compute(
-      child.eval(input).asInstanceOf[UTF8String], n)
+      child.eval(input).asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
     val arrayData = classOf[ArrayData].getName
     val call = s"graft.functions.HashedShingles.compute(" +
-      s"${c.isNull} ? null : ${c.value}, $n)"
+      s"${c.isNull} ? null : ${c.value}, $n, $distinct)"
     ev.copy(
       code = code"""
         ${c.code}
@@ -83,8 +84,14 @@ object HashedShingles {
   private val Empty = new GenericArrayData(Array.emptyLongArray)
 
   /** Static kernel shared by eval and codegen (the [[NfcNormalize]]
-    * discipline). Null-tolerant: null → empty array. */
-  def compute(s: UTF8String, n: Int): ArrayData = {
+    * discipline). Null-tolerant: null → empty array.
+    *
+    * `distinct = false` is the POSITIONAL mode (round 13, feeding
+    * span-level dedup): one hash per shingle START in token order, so
+    * `posexplode` over the result yields (position, shingle) pairs
+    * directly — the distinct table is skipped entirely and the output
+    * length is exactly `nw − n + 1`. */
+  def compute(s: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     if (s == null) return Empty
     val base = s.getBaseObject
     val off = s.getBaseOffset
@@ -105,6 +112,19 @@ object HashedShingles {
     }
     if (nw < n) return Empty
     val m = nw - n + 1
+    if (!distinct) {
+      // positional mode: every start, in order — no dedup table
+      val out = new Array[Long](m)
+      var k = 0
+      while (k < m) {
+        var h = Seed
+        var j = 0
+        while (j < n) { h = XXH64.hashLong(wh(k + j), h); j += 1 }
+        out(k) = h
+        k += 1
+      }
+      return new GenericArrayData(out)
+    }
     // pass 2: chain n word hashes per shingle; first-occurrence distinct
     // via a primitive open-addressing table (no boxing, no HashSet)
     var cap = 8

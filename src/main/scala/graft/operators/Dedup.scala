@@ -1141,6 +1141,91 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicated-SPAN removal — the substring-level dedup
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), which removes repeated SUBSTRINGS rather than
+    * whole near-duplicate documents: any run of `n` consecutive tokens
+    * occurring MORE THAN ONCE in the corpus (any document, any
+    * position — within-doc repeats count) is removed from every
+    * document, and overlapping/adjacent removed runs merge into maximal
+    * spans. Unlike [[dupShingleFraction]] (which only SCORES the
+    * duplication) this REWRITES the documents: one row per doc with the
+    * cleaned text, kept/removed token counts, and merged span count.
+    *
+    * Semantics (shared with the DuckDB oracle): tokens = whitespace
+    * split, empties dropped (the corpus-wide convention; rejoining with
+    * single spaces normalizes whitespace identically on both engines);
+    * a 1-based start position i is DUPLICATED iff its n-gram occurs ≥ 2
+    * times across all (doc, pos) starts; token p is removed iff some
+    * duplicated start s has s ≤ p ≤ s+n−1; consecutive duplicated
+    * starts ≤ n apart merge (same-width intervals, so the previous
+    * start always reaches furthest — lag(1) suffices for interval
+    * merging, no running-max needed). The reference paper finds spans
+    * via a corpus suffix array; that is a single-machine construction —
+    * the shingle-start formulation computes the SAME ≥n-token repeated
+    * runs (any repeated run of length L ≥ n is exactly a maximal chain
+    * of L−n+1 duplicated starts) with nothing but hash-partitioned
+    * counts, which is the shape that survives 1000 executors.
+    *
+    * Scale shape: positional [[graft.functions.HashedShingles]] (64-bit
+    * hashes, `distinct = false`; the posexplode index IS the position)
+    * → occurrence count via a window PARTITIONED BY hash (shuffle 1,
+    * the only corpus-sized one, (doc_id, pos, h) longs only) →
+    * duplicated starts only (a small fraction of the corpus) re-keyed
+    * to doc_id for the lag/island windows (shuffle 2); the island
+    * groupBy(doc_id, island) and span-collect groupBy(doc_id) both have
+    * their ClusteredDistribution satisfied by that doc_id exchange —
+    * ONE exchange serves the window chain and both aggregations.
+    * Per-doc span arrays are bounded by doc length (tighter in
+    * practice: each new span needs a > n gap between duplicated
+    * starts). Join-back is spans ⋈ corpus on doc_id with the span side
+    * output-bounded, strategy left to AQE; the token rewrite is a
+    * per-row HOF — exists() over the doc's own merged spans — never a
+    * shuffle. XXH64 collisions could over-remove a span; same
+    * 2⁻⁶⁴-per-pair odds accepted by every shingle oracle here. */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.HashedShingles(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), n,
+          distinct = false)).as("shingles"))
+    val starts = sh
+      .select(col("doc_id"), posexplode(col("shingles")).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + lit(1L)).as("pos"), col("h"))
+    val dupStarts = starts
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("occ") >= 2)
+      .select("doc_id", "pos")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupStarts
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      .withColumn("new_span", when(
+        col("prev").isNull || col("pos") - col("prev") > n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_span")).over(wDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("lo"), (max(col("pos")) + lit(n - 1)).as("hi"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("spans"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"),
+        filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks")).otherwise(
+          filter(col("toks"), (t, i) =>
+            !exists(col("spans"), sp =>
+              (i + lit(1)) >= sp.getField("lo") &&
+                (i + lit(1)) <= sp.getField("hi")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   // --- SparkEntry-facing query wrappers ---------------------------------
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -1149,6 +1234,13 @@ object Dedup {
   /** Registered query (`text_dup_fraction`). */
   def qDupShingleFraction(s: SparkSession, dir: String): DataFrame =
     dupShingleFraction(Tables.documents(s, dir))
+
+  /** Registered query (`dedup_spans`): substring-level span removal at
+    * n = 5 (the 3-gram width the scoring queries share is degenerate on
+    * this template-generated corpus — 64% of starts duplicate — while
+    * 5-grams remove the actual near-dup template runs, ~9%). */
+  def qRemoveDuplicatedSpans(s: SparkSession, dir: String): DataFrame =
+    removeDuplicatedSpans(Tables.documents(s, dir))
 
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLshPairs(Tables.documents(s, dir))

@@ -501,4 +501,92 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(both.exists(r => !r.isNullAt(1) &&
       r.getDouble(0) != Double.NegativeInfinity))
   }
+
+  // --- duplicated-span removal (substring-level dedup) ------------------
+
+  test("span removal: planted cross-doc run removed from BOTH docs, merged to one span") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 s1 s2 s3 s4 s5 s6 s7 a7 a8"),
+      (2L, "b1 b2 s1 s2 s3 s4 s5 s6 s7 b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, n = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // the shared 7-token run has 3 duplicated starts in each doc; they
+    // merge (≤ n apart) into ONE span covering exactly the run
+    assert(out(1L) === ((15L, 7L, 1L, "a1 a2 a3 a4 a5 a6 a7 a8")))
+    assert(out(2L) === ((12L, 7L, 1L, "b1 b2 b3 b4 b5")))
+    assert(out(3L) === ((9L, 0L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")))
+  }
+
+  test("span removal: WITHIN-doc repeats count; > n gap keeps two spans; short docs pass through") {
+    val docs = Seq(
+      (1L, "d1 d2 r1 r2 r3 r4 r5 d3 d4 r1 r2 r3 r4 r5 d5"),
+      (2L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, n = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // the 5-gram r1..r5 occurs at starts 3 and 10 in the SAME doc →
+    // both occurrences removed; gap 7 > 5 → two separate spans
+    assert(out(1L) === ((15L, 10L, 2L, "d1 d2 d3 d4 d5")))
+    assert(out(2L) === ((3L, 0L, 0L, "x y z")))
+  }
+
+  test("span removal matches a brute-force reference on a dense seeded corpus") {
+    // 4-word vocabulary → duplicated 5-grams everywhere: stresses island
+    // merging, multi-span docs, and full-doc removal
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("a", "b", "c", "d")
+    val n = 5
+    val corpus = (1L to 30L).map { id =>
+      id -> Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(4))).mkString(" ")
+    }
+    def brute(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq }
+      val grams = toks.flatMap { case (id, w) =>
+        (0 to w.length - n).map(i => (id, i + 1, w.slice(i, i + n).mkString(" "))) }
+      val occ = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val dupByDoc = grams.filter(g => occ(g._3) >= 2)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      toks.map { case (id, w) =>
+        val starts = dupByDoc.getOrElse(id, Seq.empty[Int])
+        val covered = starts.flatMap(s => s until s + n).toSet
+        val kept = w.zipWithIndex.collect { case (t, i) if !covered(i + 1) => t }
+        val spans =
+          if (starts.isEmpty) 0
+          else 1 + starts.sliding(2).count {
+            case Seq(p, q) => q - p > n
+            case _ => false
+          }
+        id -> ((w.length.toLong, (w.length - kept.length).toLong,
+          spans.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val expect = brute(corpus)
+    val got = Dedup.removeDuplicatedSpans(
+        corpus.toDF("doc_id", "text"), n).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (id, v) => assert(v === expect(id), s"doc $id") }
+    // the dense corpus must actually exercise multi-span and full-removal
+    assert(expect.values.exists(_._3 >= 2L))
+    assert(expect.values.exists(v => v._2 == v._1 && v._4.isEmpty))
+  }
+
+  test("positional shingles: one hash per start in order, repeats preserved") {
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    def hashes(distinct: Boolean): Seq[Long] = df.select(
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.HashedShingles(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+          2, distinct))).collect().head.getSeq[Long](0)
+    val pos = hashes(distinct = false)
+    val dis = hashes(distinct = true)
+    assert(pos.length === 5)            // 6 tokens → 5 bigram starts
+    assert(pos.distinct.length === 2)   // "a b" and "b a" alternate
+    assert(pos(0) === pos(2) && pos(1) === pos(3))
+    assert(dis === pos.distinct)        // first-occurrence order
+  }
 }

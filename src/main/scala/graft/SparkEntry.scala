@@ -251,6 +251,7 @@ object SparkEntry {
     "graph_triangles"     -> (Graph.qTriangles _),
     "graph_pagerank"      -> (Graph.qPageRank _),
     "dq_audit"            -> (Quality.qDqAudit _),
+    "text_score_model"    -> (Quality.qScoreLinearModel _),
     "q27_cooccurrence"    -> (Relational.q27Cooccurrence _),
     // --- similarity search ---
     "sim_ivf_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)), // no oracle: approximate by design
@@ -824,6 +825,25 @@ object SparkEntry {
         |SELECT c.key, c.n, round(c.n / t.total_rows, 4) AS share,
         |  round(c.n * t.n_keys / t.total_rows, 4) AS skew_ratio
         |FROM c, t ORDER BY c.n DESC, c.key LIMIT 20""".stripMargin,
+    // text_score_model: hashed-feature linear model inference. The
+    // weight table is md5-derived from the bucket id so DuckDB rebuilds
+    // it bit-for-bit; integer weights keep every sum exact — the only
+    // rounding is the final mean division.
+    "text_score_model" ->
+      """WITH w AS (SELECT b,
+        |    (('0x' || substr(md5(b::VARCHAR), 1, 6))::BIGINT % 201) - 100 AS w
+        |  FROM (SELECT unnest(range(0, 256)) AS b)),
+        |t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tb AS (SELECT doc_id,
+        |    ('0x' || substr(md5(term), 1, 6))::BIGINT % 256 AS b FROM t)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(w.w)::BIGINT AS score_int,
+        |  round(sum(w.w)::DOUBLE / count(*), 4) AS mean_w,
+        |  (sum(w.w) >= 0) AS keep
+        |FROM tb JOIN w USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dq_audit" ->
       """WITH d AS (SELECT
         |    (count(*) - count(DISTINCT doc_id))::BIGINT AS dup_doc_id,

@@ -52,4 +52,48 @@ object Quality {
 
   def qDqAudit(s: SparkSession, dir: String): DataFrame =
     audit(Tables.documents(s, dir), Tables.events(s, dir))
+
+  /** Hashed-feature linear model inference — the fasttext-style quality
+    * classifier applied at corpus scale. The model is a weight per
+    * feature-hash bucket; a document's score is the sum of its tokens'
+    * bucket weights, and keep/drop is a threshold on that sum. This is
+    * the INFERENCE pattern every learned quality/toxicity/language
+    * filter reduces to once the model is linear over hashed bag-of-words
+    * features: the weight table rides a BROADCAST join (a real model is
+    * a few MB — trivially broadcastable to 1000 executors; never a
+    * shuffle of the corpus against the model), the token stream maps to
+    * buckets with codegen'd builtins (md5 hex-prefix → int — the
+    * engine-portable hash the sampling family already standardized on,
+    * q26_hash_sample), and the per-doc reduction partial-aggregates
+    * map-side, so the one doc-key shuffle carries ~one narrow row per
+    * document, not the token stream.
+    *
+    * The weight table here is DETERMINISTICALLY derived from the bucket
+    * id (md5 again) so the DuckDB oracle can rebuild it bit-for-bit —
+    * in production the table comes from a trained model file; the plan
+    * shape is identical. INTEGER weights in [−100, 100] keep every sum
+    * exact across engines (no float accumulation-order drift); the only
+    * rounding is the final mean division, the repo-wide round(…,4)
+    * convention. */
+  def scoreLinearModel(docs: DataFrame, dim: Int = 256): DataFrame = {
+    def hexInt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(c), 1, 6), 16, 10).cast("long")
+    val spark = docs.sparkSession
+    val weights = spark.range(0, dim).toDF("b")
+      .withColumn("w", hexInt(col("b").cast("string")) % 201 - 100)
+    val tokens = docs.select(col("doc_id"), explode(
+        filter(split(col("text"), " "), t => t =!= "")).as("term"))
+      .withColumn("b", hexInt(col("term")) % dim)
+    tokens.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("score_int"))
+      .withColumn("mean_w", round(col("score_int") / col("n_tokens"), 4))
+      .withColumn("keep", col("score_int") >= 0)
+      .select("doc_id", "n_tokens", "score_int", "mean_w", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Registered query (`text_score_model`). */
+  def qScoreLinearModel(s: SparkSession, dir: String): DataFrame =
+    scoreLinearModel(Tables.documents(s, dir))
 }

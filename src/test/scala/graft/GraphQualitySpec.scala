@@ -92,4 +92,37 @@ class GraphQualitySpec extends AnyFunSuite with SparkFixture {
     assert(got.forall(_.getBoolean(2)), "all checks should pass")
     assert(got.forall(_.getLong(1) === 0L))
   }
+
+  test("linear model scoring matches a brute-force md5 reimplementation; model side broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the the the"),
+      (3L, "zebra  onyx"), // double space: tokenizer drops empties
+      (4L, "solitary")).toDF("doc_id", "text")
+    val dim = 256
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hexInt(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(6), 16)
+    def weight(b: Long): Long = hexInt(b.toString) % 201 - 100
+    val expect = Seq(
+      (1L, "the quick brown fox"), (2L, "the the the"),
+      (3L, "zebra  onyx"), (4L, "solitary")).map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val s = toks.map(tok => weight(hexInt(tok) % dim)).sum
+      id -> ((toks.length.toLong, s,
+        BigDecimal(s.toDouble / toks.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s >= 0L))
+    }.toMap
+    val out = graft.operators.Quality.scoreLinearModel(docs, dim)
+    val got = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (id, v) => assert(v === expect(id), s"doc $id") }
+    // the model (weight) side must ride a broadcast join — inference
+    // never shuffles the corpus against the model
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
 }

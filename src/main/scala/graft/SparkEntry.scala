@@ -292,6 +292,7 @@ object SparkEntry {
     "text_rarity"         -> (TextStats.qRarity _),
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
     "text_bm25"           -> (TextStats.qBm25 _),
+    "hybrid_retrieval"    -> (Similarity.qHybridRetrieval _),
     "corpus_vocab_stats"  -> (TextStats.qVocabStats _),
     // --- benchmark decontamination ---
     "decon_hits"          -> (Decontamination.qDeconHits _),
@@ -1170,6 +1171,42 @@ object SparkEntry {
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    // hybrid_retrieval: RRF fusion of the text_bm25 lexical leg and the
+    // q15 semantic leg. Each leg cuts and ranks on its ROUNDED 4dp
+    // score with doc_id tie-break (the values those two oracles already
+    // hash-check), so ranks agree bit-for-bit; 1.0::DOUBLE keeps the
+    // RRF terms in float arithmetic (a bare 1.0 is DECIMAL in DuckDB).
+    "hybrid_retrieval" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |       WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lex0 AS (SELECT tf.doc_id,
+        |    round(sum(ln(1 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+        |      AS bm25
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lex0),
+        |qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |sem0 AS (SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS cos4
+        |  FROM embeddings, qv WHERE vec_id <> 0
+        |  ORDER BY cos4 DESC, doc_id LIMIT 20),
+        |sem AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos4 DESC, doc_id) AS sem_rank FROM sem0),
+        |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex_rank, sem_rank,
+        |    coalesce(1.0::DOUBLE / (60 + lex_rank), 0) +
+        |      coalesce(1.0::DOUBLE / (60 + sem_rank), 0) AS rrf
+        |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, lex_rank, sem_rank, round(rrf, 4) AS rrf_score
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "corpus_vocab_stats" ->
       """WITH t AS (SELECT source,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term

@@ -76,6 +76,67 @@ object Similarity {
   def qBatchTopK(s: SparkSession, dir: String): DataFrame =
     batchTopK(s, dir, 0L to 7L, k = 3)
 
+  /** Hybrid retrieval — reciprocal-rank fusion (RRF) of a LEXICAL leg
+    * (BM25 over `documents`) and a SEMANTIC leg (exact cosine over the
+    * id-aligned `embeddings` table): the standard two-tower RAG serving
+    * pattern. BM25 and cosine live on incomparable scales, so the
+    * fusion uses only the two RANK lists — score(d) = Σ_legs
+    * 1/(C + rank_leg(d)), standard C = 60; a doc missing from a leg
+    * contributes 0 there.
+    *
+    * Rank determinism across engines: each leg ranks by its ROUNDED
+    * (4dp) score with doc_id tie-break — exactly the 4dp values the
+    * q15/text_bm25 oracles already hash-check — so the leg-k cut and
+    * every rank agree bit-for-bit with DuckDB. Ranking (or cutting) on
+    * the raw doubles would let a last-ulp cross-engine difference flip
+    * the k-th slot and cascade through the fusion.
+    *
+    * Scale shape: both legs end in a (rounded score, id) top-k that
+    * plans as TakeOrderedAndProject (per-partition heaps — no global
+    * sort at any corpus size); the rank windows run AFTER the legK-row
+    * cut (by-construction bounded — the PlanInvariantSpec allowlist
+    * class), and the fusion is a full-outer equi-join of two ≤legK-row
+    * frames. One scan of each table, total. */
+  def hybridRetrieval(s: SparkSession, dir: String,
+      queryTerms: Seq[String], queryId: Long = 0L,
+      legK: Int = 20, rrfC: Int = 60, topK: Int = 10): DataFrame =
+    hybridRetrievalFrames(Tables.documents(s, dir),
+      Tables.embeddings(s, dir), queryTerms, queryId, legK, rrfC, topK)
+
+  /** Frame-based core of [[hybridRetrieval]] (spec entry point). */
+  def hybridRetrievalFrames(docs: DataFrame, e: DataFrame,
+      queryTerms: Seq[String], queryId: Long = 0L,
+      legK: Int = 20, rrfC: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextStats.bm25Retrieval(docs, queryTerms, topK = legK)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    val sem = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("embedding"), col("qvec")), 4).as("cos4"))
+      .orderBy(col("cos4").desc, col("doc_id"))
+      .limit(legK)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos4").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfC) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfC) + col("sem_rank")), lit(0.0)), 4))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(topK)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+  }
+
+  /** Registered query (`hybrid_retrieval`): text_bm25's query terms
+    * fused with q15's query vector (vec_id 0). */
+  def qHybridRetrieval(s: SparkSession, dir: String): DataFrame =
+    hybridRetrieval(s, dir, Seq("hash", "join", "vector"))
+
   /** Driver-side spherical k-means (Lloyd) over an already-normalized
     * sample. Deterministic: fixed init (every sample.length/c-th point of
     * the hash-ordered sample) and a fixed iteration count; empty clusters

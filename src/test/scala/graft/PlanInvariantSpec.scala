@@ -25,7 +25,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     // the corpus scan and the band counts — constant-budget estimator
     "dedup_hist_sampled",
     // broadcast 1-row grand-total scalar crossed onto the top-k slice
-    "key_skew_audit")
+    "key_skew_audit",
+    // lexical leg embeds text_bm25's broadcast 1-row corpus-stats scalar
+    "hybrid_retrieval")
 
   /** Queries that intentionally plan an unpartitioned (global) Window —
     * the canonical 100 TB plan killer when it sits over corpus-sized data.
@@ -46,11 +48,15 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     *  - length_batches: batch-offset cumsum over one row per DISTINCT
     *    token count (Packing.lengthBatches) — bounded by the max doc
     *    length, never corpus rows.
+    *  - hybrid_retrieval: per-leg rank row_number over each leg's
+    *    TakeOrderedAndProject output (Similarity.hybridRetrievalFrames)
+    *    — ≤ legK rows by the limit, never corpus rows.
     * Any OTHER query planning a global Window fails this suite: either
     * partition it, or document boundedness here and in the operator. */
   private val globalWindowAllowed = Set("pack_sequences", "shard_assembly",
     "corpus_shuffle", "token_budget_sample", "quantile_filter",
-    "mixture_weights", "neg_samples", "source_overlap", "length_batches")
+    "mixture_weights", "neg_samples", "source_overlap", "length_batches",
+    "hybrid_retrieval")
 
   // ONE registry sweep serves every invariant: several query wrappers do
   // eager storage work on CONSTRUCTION (cow_time_travel builds a

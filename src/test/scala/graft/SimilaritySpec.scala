@@ -266,4 +266,50 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val again = Similarity.refineCentroids(e, init, iters = 2)
     assert(refined.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("hybrid retrieval: both-leg docs sum both RRF terms and outrank single-leg docs") {
+    // doc 1 is BOTH the lexical top (only doc with the query terms) and
+    // the semantic top (embedding equal to the query's); docs 2/3 are
+    // semantic-only, doc 4 lexical-only (one weaker term hit), doc 5
+    // neither. vec_id 0 is the query vector and is excluded from its
+    // own semantic leg.
+    val docs = Seq(
+      (1L, "hash join hash join filler words here"),
+      (2L, "nothing relevant lexically at all here one"),
+      (3L, "nothing relevant lexically at all here two"),
+      (4L, "join appears once in this document only"),
+      (5L, "entirely unrelated content throughout")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f)),
+      (2L, Array(0.9f, 0.3f, 0f)),
+      (3L, Array(0.7f, 0.6f, 0f)),
+      (4L, Array(0f, 0.2f, 1f)),
+      (5L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.hybridRetrievalFrames(
+      docs, emb, Seq("hash", "join"), queryId = 0L, legK = 3, topK = 5)
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getDouble(3)))
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    // doc 1: rank 1 in both legs → 2/(60+1) ≈ 0.0328
+    assert(byDoc(1L)._2 === Some(1L) && byDoc(1L)._3 === Some(1L))
+    assert(byDoc(1L)._4 === BigDecimal(2.0 / 61)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // fusion arithmetic holds for EVERY emitted row (missing leg = 0)
+    rows.foreach { case (id, lr, sr, s) =>
+      val expect = lr.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(s === BigDecimal(expect)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id")
+    }
+    // both-leg doc outranks every single-leg doc; output is rrf-desc
+    assert(rows.head._1 === 1L)
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq)
+    // doc 5 is in neither leg (opposite vector, no query terms)
+    assert(!byDoc.contains(5L))
+    // legK = 3 caps the semantic leg: doc 4 is lexical-only
+    assert(byDoc(4L)._2.nonEmpty && byDoc(4L)._3.isEmpty)
+  }
 }

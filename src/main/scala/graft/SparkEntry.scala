@@ -140,6 +140,80 @@ object SparkEntry {
       .orderBy("version")
   }
 
+  /** Version-diff CDC read E2E THROUGH STORAGE: documents become
+    * manifest version 0, one mixed update+insert batch commits version
+    * 1, and [[graft.sources.VersionedTable.diff]] reads the change feed
+    * BETWEEN the manifests — touching only files added or removed by
+    * the upsert, never the carried-over table body (the file-pruned
+    * incremental-read shape; VersionedTableSpec pins the pruning and
+    * the delete path). The oracle recomputes the expected change rows
+    * from the raw table, so a survivor row leaking out of a rewritten
+    * file (it appears on both sides byte-equal and must be dropped) or
+    * a missed change breaks the match. */
+  private def qCowDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_vdiff")
+      .resolve("tbl").toString
+    sources.VersionedTable.init(s, tbl,
+      docs.repartitionByRange(8, col("doc_id")))
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(lit("D2 "), col("text")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 4).as("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"), col("lang"), col("source"))
+        .select(col("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          col("lang"), col("source"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars")))
+    sources.VersionedTable.upsert(s, tbl, batch, "doc_id")
+    sources.VersionedTable.diff(s, tbl, 0L, 1L, "doc_id")
+      .select(col("change_type"), col("doc_id"),
+        md5(col("text")).as("text_md5"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** OPTIMIZE (bin-pack compaction) E2E THROUGH STORAGE: a versioned
+    * table deliberately fragmented (16-file init + an upsert's rewrite
+    * output), compacted by [[graft.sources.VersionedTable.optimize]]
+    * into a new version, then content-checked three ways — final rows
+    * against the oracle's recomputed table state, file count strictly
+    * reduced, and the pre-optimize snapshot still byte-identical
+    * through its own manifest (compaction must never rewrite history).
+    * The two structural checks ride as constant-true flags so a
+    * regression hash-mismatches the driver gate. */
+  private def qCowOptimize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_vopt")
+      .resolve("tbl").toString
+    sources.VersionedTable.init(s, tbl, docs.repartition(16))
+    sources.VersionedTable.upsert(s, tbl,
+      docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), concat(lit("OPT "), col("text")).as("text"),
+          col("lang"), col("source"), (col("n_chars") + 7).as("n_chars")),
+      "doc_id")
+    // count files off a FRESH read: localCheckpoint truncates the plan
+    // to an RDD scan, after which inputFiles is empty
+    val nFilesBefore =
+      sources.VersionedTable.read(s, tbl, Some(1L)).inputFiles.length
+    val before = sources.VersionedTable.read(s, tbl, Some(1L))
+      .localCheckpoint()
+    val v2 = sources.VersionedTable.optimize(s, tbl)
+    val after = sources.VersionedTable.read(s, tbl, Some(v2))
+    val nFilesAfter = after.inputFiles.length
+    val unchanged =
+      after.exceptAll(before).count() == 0 &&
+        before.exceptAll(after).count() == 0
+    after.agg(count(lit(1)).as("n_rows"),
+        sum("doc_id").as("sum_doc_id"), sum("n_chars").as("sum_n_chars"))
+      .withColumn("version", lit(v2))
+      .withColumn("files_reduced", lit(nFilesAfter < nFilesBefore))
+      .withColumn("data_unchanged", lit(unchanged))
+      .select("version", "n_rows", "sum_doc_id", "sum_n_chars",
+        "files_reduced", "data_unchanged")
+  }
+
   /** Heavy hitters via the Misra–Gries aggregate on a LOW-CARDINALITY
     * column, where the summary provably never decrements (distinct langs
     * per source ≪ capacity in every partial) and the counts are
@@ -230,6 +304,8 @@ object SparkEntry {
     "zorder_scan"         -> (qZorderScan _),
     "cow_upsert"          -> (qCowUpsert _),
     "cow_time_travel"     -> (qCowTimeTravel _),
+    "cow_diff"            -> (qCowDiff _),
+    "cow_optimize"        -> (qCowOptimize _),
     "q18_range_join"      -> (Relational.q18RangeJoin _),
     "q18b_theta_band"     -> (Relational.q18bThetaBand _),
     "q19_asof_join"       -> (Relational.q19AsofJoin _),
@@ -637,6 +713,31 @@ object SparkEntry {
         |SELECT version::BIGINT AS version, n_rows::BIGINT AS n_rows,
         |  sum_doc_id::BIGINT AS sum_doc_id, sum_n_chars::BIGINT AS sum_n_chars
         |FROM s ORDER BY version""".stripMargin,
+    // cow_diff: the expected change feed of the v0->v1 upsert, straight
+    // from the raw table — %7 docs updated (D2 prefix, +4 chars), %41
+    // clones inserted under +700000 ids. Survivor rows inside rewritten
+    // files must NOT appear (the engine drops byte-equal both-side rows).
+    "cow_diff" ->
+      """SELECT 'update' AS change_type, doc_id,
+        |  md5('D2 ' || text) AS text_md5, lang, source,
+        |  (n_chars + 4)::BIGINT AS n_chars
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 'insert', doc_id + 700000,
+        |  md5('new doc ' || (doc_id + 700000)::VARCHAR), lang, source,
+        |  length('new doc ' || (doc_id + 700000)::VARCHAR)::BIGINT
+        |FROM documents WHERE doc_id % 41 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // cow_optimize: final table state after the %13 update batch, plus
+    // the two structural invariants as constant-true flags (in-engine
+    // checked: fewer files, pre-optimize snapshot byte-identical).
+    "cow_optimize" ->
+      """SELECT 2::BIGINT AS version, count(*)::BIGINT AS n_rows,
+        |  sum(doc_id)::BIGINT AS sum_doc_id,
+        |  sum(CASE WHEN doc_id % 13 = 0 THEN n_chars + 7
+        |      ELSE n_chars END)::BIGINT AS sum_n_chars,
+        |  true AS files_reduced, true AS data_unchanged
+        |FROM documents""".stripMargin,
     "q18_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b

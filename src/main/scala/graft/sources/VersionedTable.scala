@@ -251,6 +251,108 @@ object VersionedTable {
     v + 1
   }
 
+  /** Change-data-feed between two committed versions — WITHOUT reading
+    * either snapshot. The copy-on-write invariant makes file-level
+    * pruning sound: a data file carried from one manifest to the next is
+    * the SAME file (upserts rewrite key-containing files under fresh
+    * names and never touch the rest), so every changed row lives in a
+    * file ADDED since `fromV` or REMOVED since `fromV` — reading those
+    * two file sets sees every insert/update/delete, and the cost is
+    * ∝ changed bytes, never table bytes (the Delta CDF / Iceberg
+    * incremental-read shape; a snapshot-vs-snapshot join would re-scan
+    * the whole table to rediscover what the manifests already know).
+    *
+    * Classification (requires `keyCol` unique per snapshot — the
+    * invariant the CDC MERGE sink maintains): key only in added files →
+    * `insert`; only in removed files → `delete`; in both with any
+    * column changed → `update`; in both byte-equal → a carried survivor
+    * row inside a rewritten file, not a change — dropped. Output: one
+    * row per change, `change_type` + the post-image (pre-image for
+    * deletes) in `toV`'s column set (additive evolution means fromV's
+    * columns are a subset; missing ones null-fill on the pre side). */
+  def diff(spark: SparkSession, tablePath: String, fromV: Long, toV: Long,
+      keyCol: String): DataFrame = {
+    require(fromV < toV, s"diff needs fromV < toV, got $fromV -> $toV")
+    val table = new Path(tablePath)
+    val fromFiles = readManifest(spark, table, fromV)
+    val toFiles = readManifest(spark, table, toV)
+    val added = toFiles.filterNot(fromFiles.toSet)
+    val removed = fromFiles.filterNot(toFiles.toSet)
+    def readSide(files: Seq[String], merge: Boolean,
+        fallbackV: Long): DataFrame =
+      if (files.nonEmpty)
+        spark.read.option("mergeSchema", merge.toString)
+          .parquet(files.map(new Path(table, _).toString): _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, tablePath, Some(fallbackV)).schema)
+    val post0 = readSide(added, manifestMerge(spark, table, toV), toV)
+    val pre0 = readSide(removed, manifestMerge(spark, table, fromV), fromV)
+    val outCols = post0.columns.toIndexedSeq
+    // additive evolution: pre may lack columns post has — null-cast in
+    val pre = post0.schema.fields.foldLeft(pre0) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val dataCols = outCols.filterNot(_ == keyCol)
+    val p = post0.select(col(keyCol),
+      struct(dataCols.map(col): _*).as("_post"))
+    val q = pre.select(col(keyCol),
+      struct(dataCols.map(col): _*).as("_pre"))
+    p.join(q, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("_pre").isNull, "insert")
+          .when(col("_post").isNull, "delete")
+          .when(!(col("_pre") <=> col("_post")), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col("change_type") +: col(keyCol) +:
+        // image choice keys on WHICH STRUCT is null (delete → pre),
+        // never per-field coalesce — an update legitimately setting a
+        // column to null must not resurrect the pre-image value
+        dataCols.map(c => when(col("_post").isNull, col(s"_pre.$c"))
+          .otherwise(col(s"_post.$c")).as(c)): _*)
+  }
+
+  /** Bin-pack compaction (the OPTIMIZE maintenance op): rewrite every
+    * data file smaller than `smallerThan` into ~`targetBytes` files and
+    * commit the result as a NEW version — data identical, prior
+    * versions untouched (their manifests still reference the small
+    * files until [[vacuum]]). Small files are the tax every streaming /
+    * frequent-upsert table pays (the CDC MERGE sink commits one version
+    * per micro-batch); at 10⁵ files the per-file open/footer cost
+    * dominates scans, so compaction is what keeps a 100 TB table
+    * readable. Shuffle-free: the rewrite is a `coalesce`, so compaction
+    * moves bytes once and never hash-partitions them. Compacted files
+    * are written through a mergeSchema read — if every pre-evolution
+    * file gets compacted, the new version's files share one widened
+    * schema and the sticky merge flag finally clears. Returns the new
+    * version, or the current one unchanged when fewer than two files
+    * qualify (nothing to pack). */
+  def optimize(spark: SparkSession, tablePath: String,
+      smallerThan: Long = Long.MaxValue,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val v = currentVersion(spark, tablePath).getOrElse(
+      sys.error(s"$tablePath is not a versioned table"))
+    val files = readManifest(spark, table, v)
+    val priorMerge = manifestMerge(spark, table, v)
+    val sized = files.map(f => f -> fs.getFileStatus(new Path(table, f)).getLen)
+    val (small, big) = sized.partition(_._2 < smallerThan)
+    if (small.size < 2) return v
+    val totalBytes = small.map(_._2).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val staging = new Path(table, s"_stage_${java.util.UUID.randomUUID}")
+    spark.read.option("mergeSchema", priorMerge.toString)
+      .parquet(small.map(f => new Path(table, f._1).toString): _*)
+      .coalesce(nOut)
+      .write.parquet(staging.toString)
+    val packed = adoptStaged(spark, table, staging)
+    commitManifest(spark, table, v + 1, big.map(_._1) ++ packed,
+      merge = priorMerge && big.nonEmpty)
+    v + 1
+  }
+
   /** Drop every version below `keepFrom`, then delete data files no
     * surviving manifest references. Returns the number of data files
     * deleted. Time travel below `keepFrom` stops working — that is the

@@ -222,4 +222,86 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0).split('/').last).toSet
     assert(dataFiles(tbl) === referenced)
   }
+
+  test("diff: classifies insert/update, drops rewritten-file survivors, prunes to changed files") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.repartitionByRange(8, col("doc_id")))
+    // a RANGE-LOCAL update batch: only the low-key file(s) are touched,
+    // so most of the table is carried over manifest-to-manifest
+    val batch = docs.filter(col("doc_id") < 30)
+      .withColumn("text", concat(lit("U "), col("text")))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+      .unionByName(docs.filter(col("doc_id") % 111 === 0)
+        .withColumn("doc_id", col("doc_id") + 5000)
+        .select(docs.columns.map(col).toIndexedSeq: _*))
+    VersionedTable.upsert(spark, tbl, batch, "doc_id")
+    val m0 = VersionedTable.read(spark, tbl, Some(0L))
+      .inputFiles.map(_.split('/').last).toSet
+    val m1 = VersionedTable.read(spark, tbl, Some(1L))
+      .inputFiles.map(_.split('/').last).toSet
+    val carried = m0.intersect(m1)
+    assert(carried.nonEmpty, "fixture rot: upsert touched every file")
+    val d = VersionedTable.diff(spark, tbl, 0L, 1L, "doc_id")
+    // reads ONLY files added or removed by the upsert — never the
+    // carried-over table body (the ∝-changed-bytes cost model)
+    val readFiles = d.inputFiles.map(_.split('/').last).toSet
+    assert(readFiles.nonEmpty && readFiles.intersect(carried).isEmpty,
+      s"diff read carried-over files: ${readFiles.intersect(carried)}")
+    val rows = d.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val nUpd = docs.filter(col("doc_id") < 30).count()
+    val nIns = docs.filter(col("doc_id") % 111 === 0).count()
+    assert(rows.count(_._1 == "update") === nUpd)
+    assert(rows.count(_._1 == "insert") === nIns)
+    assert(rows.size === nUpd + nIns,
+      "survivor rows from rewritten files leaked into the change feed")
+    assert(rows.filter(_._1 == "update").forall(_._3.startsWith("U ")))
+    assert(rows.filter(_._1 == "insert").forall(_._2 >= 5000L))
+  }
+
+  test("diff: a file dropped from the manifest surfaces as deletes with the pre-image") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl,
+      docs.filter(col("doc_id") < 40).repartitionByRange(4, col("doc_id")))
+    // commit v1 = v0 minus one data file (commitManifest is the
+    // package-visible seam; no public API deletes — CDC MERGE only
+    // upserts — but diff must still classify a manifest-level drop)
+    val table = new org.apache.hadoop.fs.Path(tbl)
+    val v0 = VersionedTable.read(spark, tbl, Some(0L))
+    val files = v0.inputFiles.map(_.split('/').last).toSeq.sorted
+    val dropped = files.head
+    VersionedTable.commitManifest(spark, table, 1L, files.tail)
+    val droppedIds = spark.read.parquet(s"$tbl/$dropped")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val d = VersionedTable.diff(spark, tbl, 0L, 1L, "doc_id").collect()
+    assert(d.nonEmpty && d.forall(_.getString(0) == "delete"))
+    assert(d.map(_.getLong(1)).toSet === droppedIds)
+    // pre-image rides along (text column non-null)
+    assert(d.forall(!_.isNullAt(2)))
+  }
+
+  test("optimize: packs small files into one, preserves data and history, returns new version") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.repartition(16))
+    val before = VersionedTable.read(spark, tbl, Some(0L))
+    val beforeState = before.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val nBefore = before.inputFiles.length
+    assert(nBefore === 16)
+    val v1 = VersionedTable.optimize(spark, tbl)
+    assert(v1 === 1L)
+    val after = VersionedTable.read(spark, tbl, Some(v1))
+    assert(after.inputFiles.length < nBefore)
+    val afterState = after.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterState === beforeState)
+    // history untouched: v0 still resolves its own (small) files
+    assert(VersionedTable.read(spark, tbl, Some(0L)).inputFiles.length === 16)
+    // idempotent-ish: nothing left to pack → version unchanged
+    assert(VersionedTable.optimize(spark, tbl) === v1)
+    // vacuum below v1 reclaims the now-unreferenced small files
+    val reclaimed = VersionedTable.vacuum(spark, tbl, keepFrom = v1, graceMs = 0L)
+    assert(reclaimed === 16)
+    assert(VersionedTable.read(spark, tbl).count() === docs.count())
+  }
 }

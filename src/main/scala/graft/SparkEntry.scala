@@ -230,6 +230,36 @@ object SparkEntry {
         col("e.count").as("n"))
       .orderBy("source", "term")
 
+  /** HLL sketch partials, re-aggregated: per-source DISTINCT-TERM
+    * sketches (`hll_sketch_agg`, the Spark 4 DataSketches binding) whose
+    * UNION (`hll_union_agg`) yields the global distinct count WITHOUT
+    * rescanning the corpus — the "sketch once, re-aggregate to any
+    * rollup" pattern that makes distinct-count dashboards affordable at
+    * 100 TB (store per-partition sketch bytes; every later rollup is a
+    * union over sketches, ∝ groups, not rows). The global row ('*') is
+    * computed ONLY from the per-source partials, so a lossy sketch or a
+    * broken union mismatches the oracle's exact count. Exactness gate
+    * (the [[qHeavyHitters]] discipline): DataSketches HLL is in exact
+    * (sparse) mode far beyond this corpus's vocabulary, so every
+    * estimate equals the true distinct count and a plain COUNT(DISTINCT)
+    * is the oracle; approximate-regime error is spec-bounded. */
+  private def qHllPartialUnion(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(
+        filter(split(col("text"), " "), t => t =!= "")).as("term"))
+    val perSource = toks.groupBy("source")
+      .agg(hll_sketch_agg(col("term")).as("sk"))
+    perSource
+      .select(col("source"),
+        hll_sketch_estimate(col("sk")).cast("long").as("n_terms"))
+      .unionByName(perSource
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .cast("long").as("n_terms"))
+        .withColumn("source", lit("*"))
+        .select("source", "n_terms"))
+      .orderBy("source")
+  }
+
   /** Count-Min sketch frequencies on a SMALL-VOCABULARY token stream,
     * where width 1024 ≫ |vocab| means no sketch row collides on any
     * probed key and every estimate is EXACT — the oracle checks the
@@ -364,6 +394,7 @@ object SparkEntry {
     "text_top_terms"      -> (TextStats.qTopTerms _),
     "hh_lang_by_source"   -> (qHeavyHitters _),
     "cms_term_freq"       -> (qCountMin _),
+    "hll_partial_union"   -> (qHllPartialUnion _),
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
@@ -1210,6 +1241,19 @@ object SparkEntry {
     "hh_lang_by_source" ->
       """SELECT source, lang AS term, count(*)::BIGINT AS n
         |FROM documents GROUP BY 1, 2 ORDER BY source, term""".stripMargin,
+    // hll_partial_union: DataSketches HLL stays in exact (sparse) mode
+    // far beyond this vocabulary, so per-source estimates AND the
+    // global union-of-partials estimate equal the true distinct counts
+    // — plain COUNT(DISTINCT) is the oracle for both.
+    "hll_partial_union" ->
+      """WITH t AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT source, count(DISTINCT term)::BIGINT AS n_terms
+        |FROM t GROUP BY 1
+        |UNION ALL
+        |SELECT '*', count(DISTINCT term)::BIGINT FROM t
+        |ORDER BY source""".stripMargin,
     // cms_term_freq: width 1024 ≫ the corpus vocabulary, so no sketch
     // row collides on any probed key and every Count-Min estimate is
     // exact — plain GROUP BY counts are the oracle (the hh discipline).

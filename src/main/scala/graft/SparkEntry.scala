@@ -381,6 +381,7 @@ object SparkEntry {
     "dedup_spans"         -> (Dedup.qRemoveDuplicatedSpans _),
     "dedup_segments"      -> (Segments.qDedupSegments _),
     "dedup_incremental"   -> (Dedup.qIncremental _),
+    "er_customers"        -> (EntityResolution.qResolveCustomers _),
     // --- text analysis ---
     "text_token_counts"   -> (TextAnalysis.qTokenCounts _),
     "text_quality"        -> (TextAnalysis.qQuality _),
@@ -1068,6 +1069,41 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)
          |ORDER BY d.doc_id""".stripMargin,
+    // er_customers: entity resolution with planted drifted duplicates.
+    // Same construction + two blocking passes + levenshtein match in
+    // SQL; CC via the recursive reachability CTE (dedup_clusters shape).
+    "er_customers" ->
+      """WITH RECURSIVE clones AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    'C' || substr(c_name, 3) AS c_name,
+        |    CASE WHEN c_custkey % 150 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 50 = 0),
+        |recs AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer
+        |  UNION ALL SELECT * FROM clones),
+        |canda AS (SELECT x.c_custkey AS a, y.c_custkey AS b,
+        |    x.c_name AS na, y.c_name AS nb
+        |  FROM recs x JOIN recs y
+        |    ON x.c_nationkey = y.c_nationkey AND x.c_acctbal = y.c_acctbal
+        |   AND x.c_custkey < y.c_custkey),
+        |candb AS (SELECT x.c_custkey AS a, y.c_custkey AS b,
+        |    x.c_name AS na, y.c_name AS nb
+        |  FROM recs x JOIN recs y
+        |    ON x.c_mktsegment = y.c_mktsegment AND x.c_acctbal = y.c_acctbal
+        |   AND x.c_custkey < y.c_custkey),
+        |cand AS (SELECT DISTINCT a, b, na, nb FROM
+        |  (SELECT * FROM canda UNION ALL SELECT * FROM candb)),
+        |pairs AS (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 1),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT node AS c_custkey, least(node, min(r)) AS canonical_custkey
+        |FROM reach GROUP BY node ORDER BY c_custkey""".stripMargin,
     // dedup_threshold_hist: the exact form runs at the lo=0.3 floor
     // (below it the pair join is corpus-quadratic; jaccardHistogram
     // gates lower thresholds behind allowFullScan, and the sampled query

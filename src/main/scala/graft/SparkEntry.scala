@@ -401,6 +401,7 @@ object SparkEntry {
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
     "text_bm25"           -> (TextStats.qBm25 _),
     "hybrid_retrieval"    -> (Similarity.qHybridRetrieval _),
+    "sim_mmr"             -> (Similarity.qMmr _),
     "corpus_vocab_stats"  -> (TextStats.qVocabStats _),
     // --- benchmark decontamination ---
     "decon_hits"          -> (Decontamination.qDeconHits _),
@@ -1352,6 +1353,21 @@ object SparkEntry {
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    // sim_mmr: at λ=1 MMR degenerates to plain relevance order — those
+    // rows are the oracle-checkable half; the λ=0.5 diversified pick is
+    // greedy/prefix-conditioned (not SQL-expressible) and rides as the
+    // constant diversity_pass flag (picks ⊆ pool, top-1 preserved,
+    // internal redundancy not increased).
+    "sim_mmr" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id = 0),
+        |s0 AS (SELECT vec_id,
+        |    list_cosine_similarity(embedding::DOUBLE[], qvec) AS c
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY c DESC, vec_id LIMIT 5)
+        |SELECT row_number() OVER (ORDER BY c DESC, vec_id) AS rank,
+        |  vec_id, round(c, 4) AS cos_sim, true AS diversity_pass
+        |FROM s0 ORDER BY rank""".stripMargin,
     // hybrid_retrieval: RRF fusion of the text_bm25 lexical leg and the
     // q15 semantic leg. Each leg cuts and ranks on its ROUNDED 4dp
     // score with doc_id tie-break (the values those two oracles already

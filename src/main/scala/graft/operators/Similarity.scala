@@ -137,6 +137,111 @@ object Similarity {
   def qHybridRetrieval(s: SparkSession, dir: String): DataFrame =
     hybridRetrieval(s, dir, Seq("hash", "join", "vector"))
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein) diversity
+    * re-ranking: from a candidate pool, greedily pick the item
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — relevance
+    * traded against redundancy with what is ALREADY selected, the
+    * standard post-retrieval diversifier.
+    *
+    * Where the work runs is the honest part: candidate retrieval is the
+    * distributed corpus scan (exact cosine top-`poolK`,
+    * TakeOrderedAndProject — the q15 path); the greedy selection is
+    * inherently sequential in k AND conditioned on its own prefix, so
+    * it runs driver-side over the COLLECTED pool — bounded at poolK
+    * rows by construction (the centroid-fit collect discipline), which
+    * is exactly where a serving system runs its re-rank too. Ties at
+    * equal MMR score break by vec_id (deterministic).
+    *
+    * Returns (rank, vec_id, relevance, max_sim_selected) for the k
+    * picks, where max_sim_selected is the redundancy term at selection
+    * time (0 for the first pick). */
+  def mmrTopK(e: DataFrame, queryId: Long, lambda: Double,
+      poolK: Int = 20, k: Int = 5): Seq[(Int, Long, Double, Double)] = {
+    val qRow = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>")).head(1)
+    require(qRow.nonEmpty,
+      s"mmrTopK: query vector $queryId absent — empty or truncated " +
+        "embeddings table")
+    val q = qRow.head.getSeq[Double](0).toArray
+    val pool = e.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("rel", cosine(col("v"), lit(q)))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Double])]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val red =
+          if (chosen.isEmpty) 0.0
+          else chosen.map(c => cos(v, c._2)).max
+        (lambda * rel - (1 - lambda) * red, id, rel, red)
+      }
+      val best = scored.minBy { case (s, id, _, _) => (-s, id) }
+      val idx = remaining.indexWhere(_._1 == best._2)
+      chosen += ((best._2, remaining(idx)._2))
+      remaining.remove(idx)
+      selected += ((rank, best._2, best._3, best._4))
+      rank += 1
+    }
+    selected.toSeq
+  }
+
+  /** Registered query (`sim_mmr`): the MMR exactness gate plus
+    * in-engine diversity invariants. At λ = 1 the redundancy term
+    * vanishes and MMR MUST degenerate to plain relevance order — those
+    * k rows are oracle-checked against the q15-shape SQL top-k. The
+    * λ = 0.5 diversified selection can't be SQL-expressed (greedy,
+    * prefix-conditioned), so its contract rides as constant flags the
+    * driver hash-checks: picks ⊆ pool, first pick = relevance top-1,
+    * and the diversified selection's internal redundancy (max pairwise
+    * cosine) is ≤ the λ=1 selection's — diversification must not
+    * INCREASE redundancy on the same pool. */
+  def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val plain = mmrTopK(e, queryId = 0L, lambda = 1.0)
+    val diverse = mmrTopK(e, queryId = 0L, lambda = 0.5)
+    val vecs = e.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def maxPairwise(ids: Seq[Long]): Double =
+      (for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+      } yield cos(vecs(ids(i)), vecs(ids(j)))).max
+    val redPlain = maxPairwise(plain.map(_._2))
+    val redDiverse = maxPairwise(diverse.map(_._2))
+    val poolIds = mmrTopK(e, 0L, 1.0, poolK = 20, k = 20).map(_._2).toSet
+    val pass = diverse.map(_._2).forall(poolIds.contains) &&
+      diverse.head._2 == plain.head._2 &&
+      redDiverse <= redPlain
+    import s.implicits._
+    plain.map { case (r, id, rel, _) =>
+      (r, id, BigDecimal(rel).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, pass)
+    }.toDF("rank", "vec_id", "cos_sim", "diversity_pass")
+      .select(col("rank").cast("long").as("rank"), col("vec_id"),
+        col("cos_sim"), col("diversity_pass"))
+      .orderBy("rank")
+  }
+
   /** Driver-side spherical k-means (Lloyd) over an already-normalized
     * sample. Deterministic: fixed init (every sample.length/c-th point of
     * the hash-ordered sample) and a fixed iteration count; empty clusters

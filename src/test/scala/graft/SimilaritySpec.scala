@@ -312,4 +312,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // legK = 3 caps the semantic leg: doc 4 is lexical-only
     assert(byDoc(4L)._2.nonEmpty && byDoc(4L)._3.isEmpty)
   }
+
+  test("MMR: λ=1 is pure relevance order; λ=0.5 breaks up a redundant cluster") {
+    // query = (1,0,0); ids 1-3 a near-identical high-relevance clump,
+    // id 4 distinct and slightly less relevant, id 5 orthogonal
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.99f, 0.10f, 0f)),
+      (2L, Array(0.99f, 0.11f, 0f)),
+      (3L, Array(0.99f, 0.12f, 0f)),
+      (4L, Array(0.80f, -0.60f, 0f)),
+      (5L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val plain = Similarity.mmrTopK(emb, 0L, lambda = 1.0, poolK = 5, k = 3)
+    assert(plain.map(_._2) === Seq(1L, 2L, 3L),
+      "λ=1 must be relevance order with id tie-break")
+    assert(plain.head._4 === 0.0, "first pick has no redundancy term")
+    val diverse = Similarity.mmrTopK(emb, 0L, lambda = 0.5, poolK = 5, k = 3)
+    // first pick is still the relevance top-1; the clump mates are then
+    // penalized (sim ≈ 1 to the pick) and the distinct vector wins
+    assert(diverse.head._2 === 1L)
+    assert(diverse.map(_._2).contains(4L),
+      s"diversification failed to surface the distinct vector: $diverse")
+    assert(diverse.map(_._2).toSet !== plain.map(_._2).toSet)
+    // redundancy column reports the sim-to-selected at pick time: the
+    // second pick (the distinct-but-correlated id 4) carries a positive
+    // term; the orthogonal id 5, if picked later, legitimately reads 0
+    assert(diverse(1)._4 > 0.0)
+    // determinism
+    assert(diverse === Similarity.mmrTopK(emb, 0L, 0.5, poolK = 5, k = 3))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, GraftFunctions, HashedShingles, HeavyHittersAgg, NfcNormalize, TopKByScoreAgg}
+import graft.functions.{CosineSimilarity, CountMinAgg, CountMinEstimate, GraftFunctions, HashedShingles, HeavyHittersAgg, NfcNormalize, TopKByScoreAgg}
 import graft.plans.{RewriteRankLimit, TopKPerGroupStrategy}
 
 /** Spark-native deployment entry point: graft's custom Catalyst
@@ -29,7 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "top_k_by_score" -> classOf[TopKByScoreAgg].getName,
     "nfc_normalize" -> classOf[NfcNormalize].getName,
     "hashed_shingles" -> classOf[HashedShingles].getName,
-    "heavy_hitters" -> classOf[HeavyHittersAgg].getName)
+    "heavy_hitters" -> classOf[HeavyHittersAgg].getName,
+    "count_min" -> classOf[CountMinAgg].getName,
+    "count_min_estimate" -> classOf[CountMinEstimate].getName)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>

@@ -50,6 +50,22 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         "heavy_hitters expects (term, capacity literal int), got " +
           other.map(_.sql).mkString(", "))
+    },
+    "count_min" -> {
+      // depth/width are literal ints: they size the sketch table at
+      // planning time, like heavy_hitters' capacity.
+      case Seq(term, Literal(d: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        CountMinAgg(term, d, w).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        "count_min expects (term, depth literal int, width literal int), " +
+          s"got ${other.map(_.sql).mkString(", ")}")
+    },
+    "count_min_estimate" -> {
+      case Seq(sk, term, Literal(d: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        CountMinEstimate(sk, term, d, w)
+      case other => throw new IllegalArgumentException(
+        "count_min_estimate expects (sketch, term, depth literal int, " +
+          s"width literal int), got ${other.map(_.sql).mkString(", ")}")
     })
 
   def register(spark: SparkSession): Unit =

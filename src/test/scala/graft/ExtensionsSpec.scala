@@ -11,9 +11,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     new GraftExtensions()(ext)
     val reg = GraftColumnBridge.freshRegistryWith(ext)
     for (name <- Seq("cosine_similarity", "top_k_by_score", "nfc_normalize",
-        "hashed_shingles", "heavy_hitters"))
+        "hashed_shingles", "heavy_hitters", "count_min", "count_min_estimate"))
       assert(reg.functionExists(FunctionIdentifier(name)),
         s"$name not injected")
+  }
+
+  test("SQL count_min + count_min_estimate through the registry match the Column API") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq("x", "x", "y", "x", "z", "y").toDF("t").createOrReplaceTempView("cm1")
+    val viaSql = spark.sql(
+      """SELECT count_min_estimate(sk, 'x', 4, 64) AS nx,
+        |       count_min_estimate(sk, 'z', 4, 64) AS nz,
+        |       count_min_estimate(sk, 'absent', 4, 64) AS na
+        |FROM (SELECT count_min(t, 4, 64) AS sk FROM cm1)""".stripMargin)
+      .head()
+    assert((viaSql.getLong(0), viaSql.getLong(1), viaSql.getLong(2)) ===
+      ((3L, 1L, 0L)))
+    // depth/width must be literals (they size the sketch at plan time)
+    val e = intercept[Exception](
+      spark.sql("SELECT count_min(t, length(t), 64) FROM cm1").collect())
+    assert(e.getMessage.contains("count_min"))
   }
 
   test("SQL heavy_hitters through the session registry matches the Column API") {

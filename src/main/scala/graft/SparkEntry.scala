@@ -230,6 +230,36 @@ object SparkEntry {
         col("e.count").as("n"))
       .orderBy("source", "term")
 
+  /** Sketch-based join-size estimation — the cost-model statistic
+    * computed WITHOUT running the join: |A ⋈ B| on the key equals
+    * Σ_k cntA(k)·cntB(k), which two Count-Min sketches estimate as
+    * their row-wise inner product ([[functions.CountMin.innerProduct]]).
+    * At 100 TB the sketches are maintained incrementally at ingest
+    * (mergeable aggregates), so pricing a join costs depth×width long
+    * multiplies instead of an ANALYZE scan. The estimate provably never
+    * underestimates (collision terms are non-negative); the expected
+    * overshoot is N_A·N_B/width. Gate shape: the exact join count is
+    * the oracle row; the estimator's two contracts (never-under,
+    * within 2× the expected collision mass) ride as constant-true
+    * flags the driver hash-checks. */
+  private def qCmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 8192
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("string").as("k"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").cast("string").as("k"))
+    val skO = o.agg(functions.CountMin(col("k"), d, w).as("a"))
+    val skL = l.agg(functions.CountMin(col("k"), d, w).as("b"))
+    val est = skO.crossJoin(skL)
+      .select(functions.CountMin.innerProduct(col("a"), col("b"), d, w))
+      .head().getLong(0)
+    val exact = o.join(l, "k").count()
+    val bound = exact + 2L * o.count() * l.count() / w
+    import s.implicits._
+    Seq((exact, est >= exact, est <= bound))
+      .toDF("exact_rows", "never_under", "within_bound")
+  }
+
   /** HLL sketch partials, re-aggregated: per-source DISTINCT-TERM
     * sketches (`hll_sketch_agg`, the Spark 4 DataSketches binding) whose
     * UNION (`hll_union_agg`) yields the global distinct count WITHOUT
@@ -373,6 +403,7 @@ object SparkEntry {
     "dedup_simhash_exact" -> (Dedup.qSimhashExact _),
     "dedup_embedding"     -> (Dedup.qEmbeddingNearDup _),
     "emb_cross_decon"     -> (Dedup.qEmbeddingCrossDecon _),
+    "emb_source_centroids" -> (Embeddings.qSourceCentroids _),
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "dedup_filtered"      -> (Dedup.qDedupFiltered _),
     "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
@@ -396,6 +427,7 @@ object SparkEntry {
     "hh_lang_by_source"   -> (qHeavyHitters _),
     "cms_term_freq"       -> (qCountMin _),
     "hll_partial_union"   -> (qHllPartialUnion _),
+    "cms_join_size"       -> (qCmsJoinSize _),
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
@@ -1291,6 +1323,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT '*', count(DISTINCT term)::BIGINT FROM t
         |ORDER BY source""".stripMargin,
+    // cms_join_size: the exact join count is the oracle; the sketch
+    // inner-product estimator's contracts ride as constant-true flags.
+    "cms_join_size" ->
+      """SELECT count(*)::BIGINT AS exact_rows,
+        |  true AS never_under, true AS within_bound
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
     // cms_term_freq: width 1024 ≫ the corpus vocabulary, so no sketch
     // row collides on any probed key and every Count-Min estimate is
     // exact — plain GROUP BY counts are the oracle (the hh discipline).
@@ -1504,6 +1542,34 @@ object SparkEntry {
         |FROM c, q WHERE c.vec_id <> 0
         |ORDER BY list_cosine_similarity(c.qv, q.qq) DESC, c.vec_id
         |LIMIT 5""".stripMargin,
+    // emb_source_centroids: mean-pooled per-source centroid + cohesion.
+    // Vectors integerized (round(x·10⁶)) so every cross-row SUM is
+    // integer-exact; cosine is scale-invariant so rows compare against
+    // the raw integer sum vector; per-row cosines round to 4dp and
+    // integerize again before the final (exact) average.
+    "emb_source_centroids" ->
+      """WITH ei AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> round(x*1000000)::BIGINT) AS vi
+        |  FROM embeddings),
+        |d AS (SELECT doc.source, ei.vec_id, ei.vi
+        |  FROM ei JOIN documents doc ON doc.doc_id = ei.vec_id),
+        |ex AS (SELECT source, unnest(range(1, len(vi)+1)) AS dim,
+        |    unnest(vi) AS v FROM d),
+        |sums AS (SELECT source, dim, sum(v)::BIGINT AS sv FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT source, list(sv ORDER BY dim) AS cent FROM sums GROUP BY 1),
+        |rws AS (SELECT d.source,
+        |    round(10000 * list_sum(list_transform(range(1, len(vi)+1),
+        |        i -> vi[i]::DOUBLE * cent[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(vi, x -> x::DOUBLE*x::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(cent, x -> x::DOUBLE*x::DOUBLE)))))::BIGINT AS c4
+        |  FROM d JOIN cent USING (source)),
+        |agg AS (SELECT source, count(*)::BIGINT AS n_vecs, sum(c4) AS si
+        |  FROM rws GROUP BY 1)
+        |SELECT a.source, a.n_vecs,
+        |  round(sqrt(list_sum(list_transform(c.cent, x -> x::DOUBLE*x::DOUBLE)))
+        |    / (a.n_vecs * 1000000.0), 4) AS centroid_norm,
+        |  round(a.si / (a.n_vecs * 10000.0), 4) AS cohesion
+        |FROM agg a JOIN cent c USING (source) ORDER BY a.source""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -90,6 +90,26 @@ object CountMin {
     GraftColumnBridge.column(CountMinEstimate(
       GraftColumnBridge.expression(sketch),
       GraftColumnBridge.expression(term), depth, width))
+
+  /** JOIN-SIZE estimate from two sketches over the join key (Cormode &
+    * Muthukrishnan §4.2): |A ⋈ B| = Σ_k cntA(k)·cntB(k), estimated as
+    * `min_d Σ_w A[d][w]·B[d][w]` — the row-wise sketch inner product.
+    * Never underestimates (collision terms are non-negative products),
+    * overshoots by ~N_A·N_B/width in expectation. This is how a cost
+    * model prices a join WITHOUT running it, from sketch statistics
+    * maintained incrementally at ingest — the 100 TB alternative to
+    * ANALYZE-scanning the table per query. Pure HOF arithmetic over the
+    * two array columns (depth×width longs each). */
+  def innerProduct(a: Column, b: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    array_min(transform(sequence(lit(0), lit(depth - 1)), d =>
+      aggregate(
+        zip_with(
+          slice(a, d * width + 1, lit(width)),
+          slice(b, d * width + 1, lit(width)),
+          (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)))
+  }
 }
 
 case class CountMinAgg(child: Expression, depth: Int, width: Int,

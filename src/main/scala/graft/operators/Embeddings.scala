@@ -100,10 +100,73 @@ object Embeddings {
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Per-group mean-pooled embedding centroids + cohesion — the
+    * domain-profile aggregation every corpus-balancing / semantic-audit
+    * pipeline runs: one centroid per `source`, and the average cosine
+    * of the group's vectors to their own centroid (1.0 = the group is
+    * a point; lower = semantically spread).
+    *
+    * Cross-engine exactness discipline (floats are the enemy here —
+    * a double SUM's value depends on accumulation order, which no
+    * distributed engine pins): vectors are integerized ONCE
+    * (round(x·10⁶) per element — deterministic in both engines since
+    * float→double widening is exact), so the per-dimension centroid
+    * sums are INTEGER aggregations with no order sensitivity; cosine
+    * is scale-invariant, so each row's cosine-to-centroid uses the raw
+    * integer SUM vector (no division, no float centroid); the per-row
+    * cosine doubles are rounded to 4dp and integerized again before
+    * the final average, making that sum exact too. The only doubles
+    * that cross an engine boundary are single-row, fixed-order
+    * dimension loops — the same contract the q15 cosine oracle pins.
+    *
+    * Scale shape: one (source, dim) integer-sum shuffle (64 longs per
+    * source survive), centroid table joined back BROADCAST (one row
+    * per source), per-row cosine in a HOF — no corpus-sized second
+    * shuffle beyond the final per-source rollup. */
+  def sourceCentroids(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val vi = transform(col("embedding").cast("array<double>"),
+      x => round(x * 1000000.0).cast("long"))
+    val e = emb.join(docs.select(col("doc_id").as("vec_id"), col("source")),
+        "vec_id")
+      .select(col("source"), col("vec_id"), vi.as("vi"))
+    val sums = e
+      .select(col("source"), posexplode(col("vi")).as(Seq("dim", "v")))
+      .groupBy("source", "dim").agg(sum("v").as("sv"))
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("dim"), col("sv"))))
+        .as("ds"))
+      .select(col("source"),
+        transform(col("ds"), d => d.getField("sv")).as("cent"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    e.join(broadcast(sums), "source")
+      .withColumn("cos",
+        dot(col("vi"), col("cent")) /
+          (sqrt(dot(col("vi"), col("vi"))) *
+            sqrt(dot(col("cent"), col("cent")))))
+      .withColumn("cos4i", round(col("cos") * 10000.0).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("cos4i").as("si"),
+        first(col("cent")).as("cent"))
+      .select(col("source"), col("n_vecs"),
+        round(
+          sqrt(aggregate(col("cent"),
+            lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))) /
+            (col("n_vecs") * 1000000.0), 4).as("centroid_norm"),
+        round(col("si") / (col("n_vecs") * 10000.0), 4).as("cohesion"))
+      .orderBy("source")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qQuantize(s: SparkSession, dir: String): DataFrame =
     quantizeInt8(Tables.embeddings(s, dir))
+
+  /** Registered query (`emb_source_centroids`). */
+  def qSourceCentroids(s: SparkSession, dir: String): DataFrame =
+    sourceCentroids(Tables.embeddings(s, dir), Tables.documents(s, dir))
 
   def qQuantizedTopK(s: SparkSession, dir: String): DataFrame =
     quantizedTopK(Tables.embeddings(s, dir))

@@ -58,6 +58,23 @@ class CountMinSpec extends AnyFunSuite with SparkFixture {
     assert(est === Map("x" -> 2L, "y" -> 1L, "never-seen" -> 0L))
   }
 
+  test("inner product: exact join size on a collision-free width; never under with collisions") {
+    val a = terms(Seq("x", "x", "x", "y", "z"))
+    val b = terms(Seq("x", "y", "y", "w"))
+    // true join size on the key: 3*1 (x) + 1*2 (y) + 0 + 0 = 5
+    def est(width: Int): Long = {
+      val sa = a.agg(CountMin(col("term"), 4, width).as("a"))
+      val sb = b.agg(CountMin(col("term"), 4, width).as("b"))
+      sa.crossJoin(sb)
+        .select(CountMin.innerProduct(col("a"), col("b"), 4, width))
+        .head().getLong(0)
+    }
+    assert(est(1024) === 5L) // width ≫ keys: no collisions, exact
+    val tight = est(2)       // forced collisions: overestimate only
+    assert(tight >= 5L)
+    assert(tight <= a.count() * b.count(), "bounded by the cross product")
+  }
+
   test("element-wise zip_with(+) of stored sketches equals the union sketch") {
     val a = terms(Seq("p", "p", "q"))
     val b = terms(Seq("q", "r"))

@@ -422,6 +422,7 @@ object SparkEntry {
     "text_filter_verdict" -> (TextAnalysis.qFilterVerdicts _),
     "text_redact"         -> (Redaction.qRedact _),
     "text_normalize_dedup" -> (TextAnalysis.qNormalizeDedup _),
+    "bpe_merges"          -> (Bpe.qBpeMerges _),
     // --- corpus-level text statistics ---
     "text_top_terms"      -> (TextStats.qTopTerms _),
     "hh_lang_by_source"   -> (qHeavyHitters _),
@@ -1323,6 +1324,43 @@ object SparkEntry {
         |UNION ALL
         |SELECT '*', count(DISTINCT term)::BIGINT FROM t
         |ORDER BY source""".stripMargin,
+    // bpe_merges: three unrolled BPE rounds sharing the engine's
+    // space-delimited symbol-string contract — DuckDB's replace()
+    // reproduces the left-to-right non-overlapping merge byte for byte
+    // (needs the 'g' flag on the symbolizing regexp_replace; \1 is
+    // DuckDB's backreference where Spark writes $1).
+    "bpe_merges" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split(coalesce(text,''),' '), t->t<>'')) AS w FROM documents),
+        |wf AS (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY 1),
+        |v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym, freq FROM wf),
+        |a1 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
+        |  FROM v0 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(a)),
+        |    i -> a[i] || ' ' || a[i+1])) AS pair, freq FROM a1),
+        |b1 AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p1
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+        |v1 AS (SELECT replace(sym, ' ' || (SELECT pair FROM b1) || ' ',
+        |    ' ' || replace((SELECT pair FROM b1),' ','') || ' ') AS sym, freq FROM v0),
+        |a2 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
+        |  FROM v1 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(a)),
+        |    i -> a[i] || ' ' || a[i+1])) AS pair, freq FROM a2),
+        |b2 AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p2
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+        |v2 AS (SELECT replace(sym, ' ' || (SELECT pair FROM b2) || ' ',
+        |    ' ' || replace((SELECT pair FROM b2),' ','') || ' ') AS sym, freq FROM v1),
+        |a3 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
+        |  FROM v2 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
+        |p3 AS (SELECT unnest(list_transform(range(1, len(a)),
+        |    i -> a[i] || ' ' || a[i+1])) AS pair, freq FROM a3),
+        |b3 AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p3
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT 1::BIGINT AS step, pair, replace(pair,' ','') AS merged,
+        |  cnt AS n_occurrences FROM b1
+        |UNION ALL SELECT 2, pair, replace(pair,' ',''), cnt FROM b2
+        |UNION ALL SELECT 3, pair, replace(pair,' ',''), cnt FROM b3
+        |ORDER BY step""".stripMargin,
     // cms_join_size: the exact join count is the oracle; the sketch
     // inner-product estimator's contracts ride as constant-true flags.
     "cms_join_size" ->

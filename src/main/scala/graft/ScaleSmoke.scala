@@ -150,7 +150,8 @@ object ScaleSmoke {
           n == "mixture_weights" || n == "cow_upsert" ||
           n == "source_overlap" || n == "neg_samples" ||
           n == "hh_lang_by_source" || n == "length_batches" ||
-          n == "corpus_mix_apply" || n == "cms_term_freq") && n != "text_redact"
+          n == "corpus_mix_apply" || n == "cms_term_freq" ||
+          n == "bpe_merges") && n != "text_redact"
       if (only.isEmpty) inDefaultFamily
       else only.exists(n.contains)
     }

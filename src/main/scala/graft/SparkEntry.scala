@@ -230,6 +230,51 @@ object SparkEntry {
         col("e.count").as("n"))
       .orderBy("source", "term")
 
+  /** End-to-end pipeline funnel — the integration capstone: the
+    * cleaning chain a real pretraining corpus runs, composed from this
+    * library's own operators, with the per-stage survivor report every
+    * data team publishes next to a dataset. Stages: raw → exact dedup
+    * on the normalized key ([[TextAnalysis.normalizeDedup]], canonical
+    * = group-min) → heuristic quality filter
+    * ([[TextAnalysis.filterVerdicts]] keep rule) → learned-model gate
+    * ([[Quality.scoreLinearModel]] score ≥ 0). Each stage's oracle
+    * already hash-checks in isolation; this row set checks they
+    * COMPOSE — same rules, applied to each previous stage's survivor
+    * set, token totals included so a silently-dropped doc can't hide.
+    * The synthetic corpus has near-dups but no byte-identical texts, so
+    * the dedup stage plants verbatim copies of the 5 lowest-id docs
+    * under fresh ids (the qSimhashExact discipline) — stage 1 must
+    * remove exactly those, keeping every stage of the funnel
+    * load-bearing on any corpus vintage. */
+  private def qPipelineFunnel(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val docs = base.unionByName(base.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 2000000L))
+    val s1 = docs.join(
+      TextAnalysis.normalizeDedup(docs)
+        .filter(col("doc_id") === col("canonical_id")).select("doc_id"),
+      "doc_id")
+    val s2 = s1.join(
+      TextAnalysis.filterVerdicts(s1)
+        .filter(col("keep") === 1).select("doc_id"),
+      "doc_id")
+    val s3 = s2.join(
+      Quality.scoreLinearModel(s2)
+        .filter(col("keep")).select("doc_id"),
+      "doc_id")
+    def stat(df: DataFrame, stage: Int, name: String): DataFrame = df
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= ""))).cast("long").as("n_tokens"))
+      .select(lit(stage.toLong).as("stage"), lit(name).as("name"),
+        col("n_docs"), col("n_tokens"))
+    stat(docs, 0, "raw")
+      .unionByName(stat(s1, 1, "dedup_normalized"))
+      .unionByName(stat(s2, 2, "quality_filter"))
+      .unionByName(stat(s3, 3, "model_gate"))
+      .orderBy("stage")
+  }
+
   /** Sketch-based join-size estimation — the cost-model statistic
     * computed WITHOUT running the join: |A ⋈ B| on the key equals
     * Σ_k cntA(k)·cntB(k), which two Count-Min sketches estimate as
@@ -429,6 +474,7 @@ object SparkEntry {
     "cms_term_freq"       -> (qCountMin _),
     "hll_partial_union"   -> (qHllPartialUnion _),
     "cms_join_size"       -> (qCmsJoinSize _),
+    "pipeline_funnel"     -> (qPipelineFunnel _),
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
@@ -1361,6 +1407,57 @@ object SparkEntry {
         |UNION ALL SELECT 2, pair, replace(pair,' ',''), cnt FROM b2
         |UNION ALL SELECT 3, pair, replace(pair,' ',''), cnt FROM b3
         |ORDER BY step""".stripMargin,
+    // pipeline_funnel: the cleaning chain composed in CTEs — each
+    // stage's rule text is lifted verbatim from its standalone oracle
+    // (text_normalize_dedup / text_filter_verdict / text_score_model),
+    // applied to the previous stage's survivors.
+    "pipeline_funnel" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text
+        |  FROM documents WHERE doc_id < 5),
+        |canon AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+        |    trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')))
+        |    AS canonical_id
+        |  FROM docs),
+        |s1 AS (SELECT d.* FROM docs d
+        |  JOIN canon c ON d.doc_id = c.doc_id AND c.doc_id = c.canonical_id),
+        |q AS (SELECT doc_id FROM (
+        |    SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |      len(list_filter(string_split(text,' '), t->t<>''))::BIGINT AS n_tokens,
+        |      len(list_filter(string_split(text,' '),
+        |        t->t='the' OR t='a'))::BIGINT AS n_stop
+        |    FROM s1)
+        |  WHERE n_tokens >= 25 AND n_tokens <= 100000
+        |    AND (n_chars - n_tokens + 1)::DOUBLE / n_tokens >= 3.0
+        |    AND (n_chars - n_tokens + 1)::DOUBLE / n_tokens <= 10.0
+        |    AND n_stop > 0),
+        |s2 AS (SELECT s1.* FROM s1 JOIN q USING (doc_id)),
+        |w AS (SELECT b,
+        |    (('0x' || substr(md5(b::VARCHAR), 1, 6))::BIGINT % 201) - 100 AS w
+        |  FROM (SELECT unnest(range(0, 256)) AS b)),
+        |tb AS (SELECT doc_id,
+        |    ('0x' || substr(md5(term), 1, 6))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id,
+        |      unnest(list_filter(string_split(text,' '), x->x<>'')) AS term
+        |    FROM s2)),
+        |sc AS (SELECT doc_id FROM tb JOIN w USING (b)
+        |  GROUP BY doc_id HAVING sum(w.w) >= 0),
+        |s3 AS (SELECT s2.* FROM s2 JOIN sc USING (doc_id)),
+        |st AS (
+        |  SELECT 0 AS stage, 'raw' AS name, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split(coalesce(text,''),' '),
+        |      t->t<>''))) AS n_tokens FROM docs
+        |  UNION ALL SELECT 1, 'dedup_normalized', count(*),
+        |    sum(len(list_filter(string_split(coalesce(text,''),' '),
+        |      t->t<>''))) FROM s1
+        |  UNION ALL SELECT 2, 'quality_filter', count(*),
+        |    sum(len(list_filter(string_split(coalesce(text,''),' '),
+        |      t->t<>''))) FROM s2
+        |  UNION ALL SELECT 3, 'model_gate', count(*),
+        |    sum(len(list_filter(string_split(coalesce(text,''),' '),
+        |      t->t<>''))) FROM s3)
+        |SELECT stage::BIGINT AS stage, name, n_docs::BIGINT AS n_docs,
+        |  n_tokens::BIGINT AS n_tokens FROM st ORDER BY stage""".stripMargin,
     // cms_join_size: the exact join count is the oracle; the sketch
     // inner-product estimator's contracts ride as constant-true flags.
     "cms_join_size" ->

@@ -441,6 +441,7 @@ object SparkEntry {
     "sim_recall"          -> ((s: SparkSession, d: String) => Similarity.qRecall(s, d)),
     "emb_quantize"        -> (Embeddings.qQuantize _),
     "sim_quantized_topk"  -> (Embeddings.qQuantizedTopK _),
+    "sim_quantized_probe" -> ((s, d) => Embeddings.qQuantizedProbe(s, d)),
     // --- dedup family ---
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
@@ -1371,9 +1372,14 @@ object SparkEntry {
         |SELECT '*', count(DISTINCT term)::BIGINT FROM t
         |ORDER BY source""".stripMargin,
     // bpe_merges: three unrolled BPE rounds sharing the engine's
-    // space-delimited symbol-string contract — DuckDB's replace()
-    // reproduces the left-to-right non-overlapping merge byte for byte
-    // (needs the 'g' flag on the symbolizing regexp_replace; \1 is
+    // space-delimited symbol-string contract. The merge doubles every
+    // delimiter space before a consuming replace of the doubled pair
+    // pattern, then collapses spaces — that one replace IS the
+    // canonical left-to-right non-overlapping merge (see Bpe.scala's
+    // object doc for why the plain single-space replace under-merges
+    // and why a fixpoint over-regroups), and DuckDB's replace() has
+    // the identical consuming semantics (needs the 'g' flag on the
+    // symbolizing regexp_replace and the space-collapse; \1 is
     // DuckDB's backreference where Spark writes $1).
     "bpe_merges" ->
       """WITH tok AS (SELECT unnest(list_filter(
@@ -1386,16 +1392,20 @@ object SparkEntry {
         |    i -> a[i] || ' ' || a[i+1])) AS pair, freq FROM a1),
         |b1 AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p1
         |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
-        |v1 AS (SELECT replace(sym, ' ' || (SELECT pair FROM b1) || ' ',
-        |    ' ' || replace((SELECT pair FROM b1),' ','') || ' ') AS sym, freq FROM v0),
+        |v1 AS (SELECT regexp_replace(replace(replace(sym, ' ', '  '),
+        |    ' ' || replace((SELECT pair FROM b1),' ','  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM b1),' ','') || ' '),
+        |    ' +', ' ', 'g') AS sym, freq FROM v0),
         |a2 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
         |  FROM v1 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
         |p2 AS (SELECT unnest(list_transform(range(1, len(a)),
         |    i -> a[i] || ' ' || a[i+1])) AS pair, freq FROM a2),
         |b2 AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p2
         |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
-        |v2 AS (SELECT replace(sym, ' ' || (SELECT pair FROM b2) || ' ',
-        |    ' ' || replace((SELECT pair FROM b2),' ','') || ' ') AS sym, freq FROM v1),
+        |v2 AS (SELECT regexp_replace(replace(replace(sym, ' ', '  '),
+        |    ' ' || replace((SELECT pair FROM b2),' ','  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM b2),' ','') || ' '),
+        |    ' +', ' ', 'g') AS sym, freq FROM v1),
         |a3 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
         |  FROM v2 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
         |p3 AS (SELECT unnest(list_transform(range(1, len(a)),
@@ -1677,6 +1687,24 @@ object SparkEntry {
         |FROM c, q WHERE c.vec_id <> 0
         |ORDER BY list_cosine_similarity(c.qv, q.qq) DESC, c.vec_id
         |LIMIT 5""".stripMargin,
+    // sim_quantized_probe answers identically to sim_quantized_topk
+    // (the materialized int8 table stores EXACTLY the code vectors the
+    // in-memory path computes — tinyint⇄float casts are exact for
+    // integers ≤ 127), so it shares that oracle verbatim: the driver
+    // hash-checks that materialization changed the COST, not the answer.
+    "sim_quantized_probe" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> round(x / scale)) END AS qv
+        |  FROM s),
+        |q AS (SELECT qv AS qq FROM c WHERE vec_id = 0)
+        |SELECT c.vec_id, round(list_cosine_similarity(c.qv, q.qq), 4) AS cos_sim
+        |FROM c, q WHERE c.vec_id <> 0
+        |ORDER BY list_cosine_similarity(c.qv, q.qq) DESC, c.vec_id
+        |LIMIT 5""".stripMargin,
     // emb_source_centroids: mean-pooled per-source centroid + cohesion.
     // Vectors integerized (round(x·10⁶)) so every cross-row SUM is
     // integer-exact; cosine is scale-invariant so rows compare against
@@ -1693,10 +1721,11 @@ object SparkEntry {
         |sums AS (SELECT source, dim, sum(v)::BIGINT AS sv FROM ex GROUP BY 1, 2),
         |cent AS (SELECT source, list(sv ORDER BY dim) AS cent FROM sums GROUP BY 1),
         |rws AS (SELECT d.source,
-        |    round(10000 * list_sum(list_transform(range(1, len(vi)+1),
+        |    round(round(list_sum(list_transform(range(1, len(vi)+1),
         |        i -> vi[i]::DOUBLE * cent[i]::DOUBLE)) /
         |      (sqrt(list_sum(list_transform(vi, x -> x::DOUBLE*x::DOUBLE))) *
-        |       sqrt(list_sum(list_transform(cent, x -> x::DOUBLE*x::DOUBLE)))))::BIGINT AS c4
+        |       sqrt(list_sum(list_transform(cent, x -> x::DOUBLE*x::DOUBLE)))), 4)
+        |      * 10000)::BIGINT AS c4
         |  FROM d JOIN cent USING (source)),
         |agg AS (SELECT source, count(*)::BIGINT AS n_vecs, sum(c4) AS si
         |  FROM rws GROUP BY 1)

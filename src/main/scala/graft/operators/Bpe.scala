@@ -16,16 +16,26 @@ import org.apache.spark.sql.functions._
   * size). Per round: adjacent pairs explode from each word's symbol
   * sequence (weighted by freq, map-side combinable), the argmax pair is
   * ONE collected row (count desc, pair asc — deterministic), and the
-  * merge rewrites every word's symbol string with a plain
-  * `replace(sym, ' a b ', ' ab ')`.
+  * merge rewrites every word's symbol string with a substring replace
+  * over a DOUBLED delimiter: `' '→'  '`, then `' a  b '→' ab '`, then
+  * collapse runs of spaces back to one.
   *
-  * The space-delimited symbol-string representation is the cross-engine
-  * contract: symbols never contain spaces, every symbol is
-  * space-flanked, so substring replace is exactly the BPE merge —
-  * including the classic left-to-right non-overlapping behavior on runs
-  * ("a a a" merges to "aa a", not "aa aa") — and DuckDB's `replace`
-  * reproduces it byte for byte, making the whole trainer
-  * oracle-checkable with three unrolled SQL rounds.
+  * Why the doubling: a plain `replace(sym, ' a b ', ' ab ')` CONSUMES
+  * the flanking space, so back-to-back occurrences sharing one
+  * delimiter are skipped ("x y x y" → "xy x y", not the canonical
+  * "xy xy") — and repeating that replace to a fixpoint is NOT canonical
+  * either ("a a a a a" fixpoints to "aa a aa" where the canonical
+  * left-to-right scan gives "aa aa a", and the grouping feeds the next
+  * round's pair counts). With two spaces in every gap, adjacent matches
+  * each own one of the shared gap's spaces, so ONE consuming replace is
+  * exactly the canonical left-to-right non-overlapping merge of a
+  * Sennrich-style trainer: runs merge skip-two ("a a a" → "aa a",
+  * "a a a a" → "aa aa") and alternations merge fully ("x y x y" →
+  * "xy xy"). Symbols never contain spaces, so the doubled pattern is
+  * unambiguous, and DuckDB's `replace` has identical consuming
+  * semantics, keeping the whole trainer oracle-checkable with three
+  * unrolled SQL rounds (BpeSpec pins odd runs, even runs, and
+  * alternating bigrams against hand-computed canonical merges).
   */
 object Bpe {
 
@@ -67,10 +77,17 @@ object Bpe {
       val cnt = bestRows.head.getLong(1)
       val merged = pair.replace(" ", "")
       picks += ((step, pair, merged, cnt))
+      // canonical merge via the doubled-delimiter trick (see object doc):
+      // double every space, replace the doubled pair pattern, collapse
+      val doubledPair = " " + pair.replace(" ", "  ") + " "
       vocab = vocab
-        .withColumn("sym", regexp_replace(col("sym"),
-          java.util.regex.Pattern.quote(s" $pair "),
-          java.util.regex.Matcher.quoteReplacement(s" $merged ")))
+        .withColumn("sym",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("sym"), " ", "  "),
+              java.util.regex.Pattern.quote(doubledPair),
+              java.util.regex.Matcher.quoteReplacement(s" $merged ")),
+            " +", " "))
         .localCheckpoint()
       }
     }

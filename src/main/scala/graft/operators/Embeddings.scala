@@ -81,23 +81,78 @@ object Embeddings {
     * representation (deterministic → oracle-checked); recall vs the
     * full-precision top-k is pinned by EmbeddingsSpec. */
   def quantizedTopK(emb: DataFrame, queryId: Long = 0L,
-      k: Int = 5): DataFrame = {
-    val codes = codeVectors(emb)
+      k: Int = 5): DataFrame =
+    topKOverCodes(codeVectors(emb), queryId, k)
+
+  /** Search tail shared by the in-memory ([[quantizedTopK]]) and
+    * materialized ([[qQuantizedProbe]]) code paths. `qv` may be
+    * array<double> (fresh codes) or array<float> (read back from the
+    * int8 table) — codes are integers in [−127, 127], exactly
+    * representable in both, and the cosine kernel widens to double, so
+    * the two paths are bit-identical (EmbeddingsSpec pins it). */
+  private def topKOverCodes(codes: DataFrame, queryId: Long,
+      k: Int): DataFrame = {
     val qrows = codes.filter(col("vec_id") === queryId).head(1)
     require(qrows.nonEmpty,
-      s"quantizedTopK: query vec_id=$queryId not found in the corpus")
-    val qcodes = qrows(0).getSeq[Double](1)
+      s"quantized search: query vec_id=$queryId not found in the corpus")
+    val qcodes: Seq[Double] = qrows(0).getSeq[Any](1).map {
+      case null => 0.0 // the kernel also scores null elements as 0
+      case n: Number => n.doubleValue
+    }
     // An all-zero query quantizes to all-zero codes, whose cosine against
     // everything is NaN — NaN sorts ABOVE every real double in Spark, so
     // the "top-k" would be silently garbage rather than failing.
     require(qcodes.exists(_ != 0.0),
-      s"quantizedTopK: query vec_id=$queryId has zero norm — cosine undefined")
+      s"quantized search: query vec_id=$queryId has zero norm — cosine undefined")
     codes.filter(col("vec_id") =!= queryId)
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine(col("qv"), typedLit(qcodes)))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  // --- materialized codes: the write-once/probe-many int8 path ----------
+
+  /** Bumped whenever quantization semantics change — rides in the cache
+    * key so a stale codes table can never be served for the same data. */
+  private val CodesVersion = 1
+
+  /** Write the quantized corpus as a real int8 table: (vec_id,
+    * array<tinyint>). This is where the 4× storage claim becomes true AT
+    * REST (the in-memory `array<double>` code form is a compute format);
+    * the cast is exact because every code is an integer in [−127, 127].
+    * One quantization scan per ingest, amortized over every probe —
+    * without this, each quantized query re-quantizes the full corpus
+    * (measured 13 s of the 512-d stress wall, PERF_NOTES r13). */
+  def writeQuantizedCodes(emb: DataFrame, path: String): Unit =
+    codeVectors(emb)
+      .select(col("vec_id"), col("qv").cast("array<tinyint>").as("qv"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read the int8 table back in kernel form (array<float> — ~half the
+    * scan width of double, still exact for integer codes ≤ 127). */
+  def readQuantizedCodes(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .select(col("vec_id"), col("qv").cast("array<float>").as("qv"))
+
+  /** Registered write-once/probe-many query (`sim_quantized_probe`):
+    * same answer as `sim_quantized_topk` (one shared oracle), but the
+    * timed path reads the MATERIALIZED int8 table instead of
+    * re-quantizing the corpus per call — the serving shape at 100 TB.
+    * Cache key/build/race discipline is [[MaterializedCache]]'s (the
+    * IVF index pattern). */
+  def qQuantizedProbe(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 5): DataFrame = {
+    val (bytes, mtime) = MaterializedCache.fingerprint(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    val stem = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_int8"
+    val key = s"${stem}_v${CodesVersion}_${bytes}_$mtime"
+    val idx = MaterializedCache.getOrBuild(
+        "graft_int8_codes", stem, key, "_SUCCESS") { tmp =>
+      writeQuantizedCodes(Tables.embeddings(s, dir), tmp.toString)
+    }
+    topKOverCodes(readQuantizedCodes(s, idx.toString), queryId, k)
   }
 
   /** Per-group mean-pooled embedding centroids + cohesion — the
@@ -145,7 +200,11 @@ object Embeddings {
         dot(col("vi"), col("cent")) /
           (sqrt(dot(col("vi"), col("vi"))) *
             sqrt(dot(col("cent"), col("cent")))))
-      .withColumn("cos4i", round(col("cos") * 10000.0).cast("long"))
+      // identical expression shape in BOTH engines (round to 4dp first,
+      // THEN scale by 10⁴ — the q15 discipline): round(cos*10000) vs
+      // round(10000*cos) associate differently and can differ by an ulp
+      // at a half-up boundary
+      .withColumn("cos4i", round(round(col("cos"), 4) * 10000.0).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_vecs"),
         sum("cos4i").as("si"),

@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Write-once/probe-many cache for derived artifacts (the IVF index, the
+  * quantized-codes table): a keyed directory under java.io.tmpdir, built
+  * atomically on first use and reused by every later probe — the
+  * build-amortization shape a 100 TB serving path needs (the index/codes
+  * build is one corpus scan per INGEST, not one per query).
+  *
+  * Key discipline (shared by every artifact kind):
+  *   - `stem` names the (corpus, config) family; superseded siblings of
+  *     the same stem (older algorithm version or data fingerprint) are
+  *     pruned on rebuild so regenerated testdata can't accumulate stale
+  *     trees in tmpdir forever.
+  *   - `key` embeds an ALGORITHM VERSION and a DATA FINGERPRINT
+  *     ([[fingerprint]]: total bytes + max mtime), so changed semantics
+  *     or regenerated data get a fresh build instead of silently serving
+  *     a stale artifact (several consumers are no-oracle queries where a
+  *     stale probe would go undetected).
+  *   - Builds land in a unique temp sibling then ATOMIC_MOVE into place:
+  *     two concurrent first-builds race safely (the loser discards its
+  *     tree iff the winner's `donePath` actually landed).
+  */
+private[graft] object MaterializedCache {
+
+  /** (total bytes, max mtime millis) over a parquet file or directory —
+    * the cheap content fingerprint for cache keys. */
+  def fingerprint(path: Path): (Long, Long) = {
+    val walk = Files.walk(path)
+    try walk.iterator().asScala.filter(Files.isRegularFile(_))
+      .foldLeft((0L, 0L)) { case ((b, m), p) =>
+        (b + Files.size(p), math.max(m, Files.getLastModifiedTime(p).toMillis))
+      }
+    finally walk.close()
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
+  /** Return the cached directory for `key`, building it first if absent.
+    * `doneMarker` is a file that exists only in a complete build (e.g.
+    * the `_centroids.csv` sidecar, or parquet's `_SUCCESS`). */
+  def getOrBuild(rootName: String, stem: String, key: String,
+      doneMarker: String)(build: Path => Unit): Path = {
+    val root = Paths.get(sys.props("java.io.tmpdir"), rootName)
+    val idx = root.resolve(key)
+    if (!Files.exists(idx.resolve(doneMarker))) {
+      Files.createDirectories(root)
+      val ls = Files.list(root)
+      try ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(stem + "_") && n != key && !n.startsWith(".build_")
+        }
+        .foreach(p => try deleteTree(p) catch { case _: java.io.IOException => () })
+      finally ls.close()
+      val tmp = Files.createTempDirectory(root, ".build_")
+      try {
+        build(tmp)
+        Files.move(tmp, idx, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // A failed rename onto the winner's tree surfaces as ENOTEMPTY /
+        // EEXIST / EACCES depending on platform — all FileSystemException.
+        // Losing the race is fine only if the winner's build actually
+        // landed; otherwise the failure must surface.
+        case _: java.nio.file.FileSystemException
+            if Files.exists(idx.resolve(doneMarker)) =>
+          try deleteTree(tmp) catch { case _: java.io.IOException => () }
+        case e: Throwable =>
+          try deleteTree(tmp) catch { case _: java.io.IOException => () }
+          throw e
+      }
+    }
+    idx
+  }
+}

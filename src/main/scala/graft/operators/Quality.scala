@@ -81,8 +81,15 @@ object Quality {
     val spark = docs.sparkSession
     val weights = spark.range(0, dim).toDF("b")
       .withColumn("w", hexInt(col("b").cast("string")) % 201 - 100)
+    // repo-wide null-text convention: coalesce to '' so a null text is
+    // an EMPTY token array, not a null one. Zero-token docs then emit
+    // no row (explicit choice — mean_w is undefined at n_tokens = 0;
+    // the oracle's unnest drops them identically), and the behavior is
+    // stable under composition (pipeline_funnel) rather than an
+    // accident of null propagation.
     val tokens = docs.select(col("doc_id"), explode(
-        filter(split(col("text"), " "), t => t =!= "")).as("term"))
+        filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "")).as("term"))
       .withColumn("b", hexInt(col("term")) % dim)
     tokens.join(broadcast(weights), Seq("b"))
       .groupBy("doc_id")

@@ -211,19 +211,32 @@ object Similarity {
     * and the diversified selection's internal redundancy (max pairwise
     * cosine) is ≤ the λ=1 selection's — diversification must not
     * INCREASE redundancy on the same pool. */
+  /** Fetch exactly the vectors named by `ids` (the audit-collect helper
+    * for [[qMmr]]): the scan filters `vec_id IN ids` BEFORE the
+    * collect, so the driver materializes ≤ ids.size rows no matter how
+    * large the embeddings table is — the same bounded-collect
+    * discipline [[mmrTopK]]'s poolK cut follows. Spec-pinned
+    * (SimilaritySpec) on a corpus far larger than the id set. */
+  private[graft] def collectVecsById(e: DataFrame,
+      ids: Seq[Long]): Map[Long, Array[Double]] =
+    e.filter(col("vec_id").isInCollection(ids.distinct))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
   def qMmr(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val plain = mmrTopK(e, queryId = 0L, lambda = 1.0)
     val diverse = mmrTopK(e, queryId = 0L, lambda = 0.5)
-    val vecs = e.filter(col("vec_id") =!= 0L)
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // audit collect bounded at ≤ 2·k rows: only the picked vectors are
+    // needed for the pairwise-redundancy invariant below
+    val vecs = collectVecsById(e, plain.map(_._2) ++ diverse.map(_._2))
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     def maxPairwise(ids: Seq[Long]): Double =
-      (for {
+      if (ids.size < 2) 0.0
+      else (for {
         i <- ids.indices; j <- (i + 1) until ids.size
       } yield cos(vecs(ids(i)), vecs(ids(j)))).max
     val redPlain = maxPairwise(plain.map(_._2))
@@ -594,68 +607,24 @@ object Similarity {
     * same data. */
   private val IndexVersion = 3
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally walk.close()
-  }
-
   def qIvfProbe(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Paths
     // Cache key = corpus path + ALGORITHM VERSION + a DATA FINGERPRINT
     // (total bytes + max mtime of embeddings.parquet, file or directory):
     // regenerated testdata or changed fit/assignment semantics get a
     // fresh index instead of silently reusing a stale one (this query has
     // no oracle, so a stale probe would go undetected), and the
     // fingerprint also disambiguates distinct dirs that sanitize to the
-    // same string.
-    val src = Paths.get(dir, "embeddings.parquet")
-    val srcWalk = Files.walk(src)
+    // same string. Build/prune/race mechanics live in [[MaterializedCache]].
     val (bytes, mtime) =
-      try srcWalk.iterator().asScala.filter(Files.isRegularFile(_))
-        .foldLeft((0L, 0L)) { case ((b, m), p) =>
-          (b + Files.size(p), math.max(m, Files.getLastModifiedTime(p).toMillis))
-        }
-      finally srcWalk.close()
+      MaterializedCache.fingerprint(Paths.get(dir, "embeddings.parquet"))
     val stem = dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_c$numCentroids"
     val key = s"${stem}_v${IndexVersion}_${bytes}_$mtime"
-    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ivf_index")
-    val idx = root.resolve(key)
-    if (!Files.exists(idx.resolve("_centroids.csv"))) {
-      // Build into a unique temp sibling, then atomically rename into
-      // place — two concurrent first-builds race safely (loser discards).
-      Files.createDirectories(root)
-      // Prune superseded indexes of the same corpus/config (older version
-      // or fingerprint) so regenerated testdata doesn't accumulate stale
-      // trees in tmpdir forever.
-      val ls = Files.list(root)
-      try ls.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith(stem + "_") && n != key && !n.startsWith(".build_")
-        }
-        .foreach(p => try deleteTree(p) catch { case _: java.io.IOException => () })
-      finally ls.close()
-      val tmp = Files.createTempDirectory(root, ".build_")
-      try {
-        val e = Tables.embeddings(s, dir)
-        writeIvfIndex(e, fitCentroids(e, numCentroids), tmp.toString)
-        Files.move(tmp, idx, StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        // A failed rename onto the winner's tree surfaces as ENOTEMPTY /
-        // EEXIST / EACCES depending on platform — all FileSystemException.
-        // Losing the race is fine only if the winner's index actually
-        // landed; otherwise the build genuinely failed and must surface.
-        case _: java.nio.file.FileSystemException
-            if Files.exists(idx.resolve("_centroids.csv")) =>
-          try deleteTree(tmp) catch { case _: java.io.IOException => () }
-        case e: Throwable =>
-          try deleteTree(tmp) catch { case _: java.io.IOException => () }
-          throw e
-      }
+    val idx = MaterializedCache.getOrBuild(
+        "graft_ivf_index", stem, key, "_centroids.csv") { tmp =>
+      val e = Tables.embeddings(s, dir)
+      writeIvfIndex(e, fitCentroids(e, numCentroids), tmp.toString)
     }
     val centroids = readIvfCentroids(idx.toString)
     val qvec = queryVector(Tables.embeddings(s, dir), queryId)

@@ -23,6 +23,36 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
       (3L, "aa ab", "aaab", 3L)))
   }
 
+  test("canonical merge: even runs and alternating bigrams merge fully") {
+    // 'aaaa' → 'a a a a': round 1 merges BOTH pairs skip-two ("aa aa"),
+    // so round 2's top pair is (aa,aa). A consuming single-space
+    // replace would under-merge to 'aa a a' and pick 'a a' in round 2.
+    val even = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val g1 = Bpe.bpeMerges(even, steps = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(g1 === Array((1L, "a a", "aa", 3L), (2L, "aa aa", "aaaa", 1L)))
+
+    // 'xyxyxy' → 'x y x y x y': all three (x,y) occurrences merge in
+    // round 1 ("xy xy xy"), so round 2 sees (xy,xy)×2. The consuming
+    // replace would skip the middle occurrence ("xy x y xy").
+    val alt = Seq((1L, "xyxyxy")).toDF("doc_id", "text")
+    val g2 = Bpe.bpeMerges(alt, steps = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(g2 === Array((1L, "x y", "xy", 3L), (2L, "xy xy", "xyxy", 2L)))
+  }
+
+  test("five-run regroups canonically — a fixpoint replace would NOT") {
+    // 'aaaaa' → canonical round 1 is "aa aa a" (scan left-to-right,
+    // skip two). Iterating the consuming replace to a fixpoint yields
+    // the DIFFERENT grouping "aa a aa", whose round-2 argmax is
+    // ("a aa") instead of ("aa a") — pinning this case is what rules
+    // the fixpoint formulation out.
+    val run5 = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val g = Bpe.bpeMerges(run5, steps = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(g === Array((1L, "a a", "aa", 4L), (2L, "aa a", "aaa", 1L)))
+  }
+
   test("ties break by pair string ascending (deterministic across engines)") {
     // "xy" ×2 and "zw" ×2: both pairs count 2 — "x y" < "z w"
     val docs = Seq((1L, "xy zw xy zw")).toDF("doc_id", "text")

@@ -92,4 +92,38 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
     // all-null vector: maxAbs 0 → zero-scale branch zeros every position
     assert(native(903L) === Seq(0.0))
   }
+
+  test("materialized int8 codes: tinyint round-trip + probe ≡ in-memory search") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_codes_spec").toString
+    Embeddings.writeQuantizedCodes(emb, dir)
+    // storage schema is REALLY int8 — the 4×-at-rest claim
+    val onDisk = spark.read.parquet(dir)
+    assert(onDisk.schema("qv").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    // read-back codes are bit-identical to freshly computed ones
+    // (integers ≤ 127 survive double→tinyint→float exactly)
+    val back = Embeddings.readQuantizedCodes(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(x => if (x == null) null
+          else x.asInstanceOf[Number].doubleValue)).toMap
+    val fresh = Embeddings.codeVectorsHof(emb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(back.keySet === fresh.keySet)
+    back.foreach { case (id, bv) =>
+      assert(bv === fresh(id), s"vec $id codes drifted through storage")
+    }
+  }
+
+  test("sim_quantized_probe answers identically to sim_quantized_topk") {
+    val a = Embeddings.qQuantizedTopK(spark, sf0001).collect().toSeq
+    val b = graft.operators.Embeddings
+      .qQuantizedProbe(spark, sf0001).collect().toSeq
+    assert(a === b, "materialization must change cost, not the answer")
+    // second call hits the cache (write-once): still identical
+    val c = Embeddings.qQuantizedProbe(spark, sf0001).collect().toSeq
+    assert(c === a)
+  }
 }

@@ -341,4 +341,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // determinism
     assert(diverse === Similarity.mmrTopK(emb, 0L, 0.5, poolK = 5, k = 3))
   }
+
+  test("qMmr audit collect is bounded by the pick ids, not the corpus") {
+    // corpus far larger than any pick/pool set: 500 vectors. The audit
+    // helper must materialize EXACTLY the requested ids on the driver —
+    // the r13 verdict's one corpus-unbounded collect, now pinned.
+    val n = 500
+    val emb = (0L until n.toLong).map { i =>
+      (i, Array((1.0 + i % 7).toFloat, (i % 11).toFloat, 1f))
+    }.toDF("vec_id", "embedding")
+    val ids = Seq(3L, 9L, 42L, 9L, 77L) // dup on purpose
+    val vecs = Similarity.collectVecsById(emb, ids)
+    assert(vecs.keySet === ids.distinct.toSet,
+      "collect must return exactly the requested ids")
+    assert(vecs.size <= ids.size && vecs.size < n / 10,
+      s"audit collect pulled ${vecs.size} rows — corpus-sized, not id-bounded")
+    // and the scan plan itself filters before collecting: the executed
+    // plan must contain an IN/OR filter on vec_id (no full-table collect)
+    val plan = emb.filter(col("vec_id").isInCollection(ids.distinct))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("vec_id"),
+      s"expected a vec_id filter in the optimized plan:\n$plan")
+  }
 }

@@ -123,6 +123,36 @@ object ScaleSmoke {
         else col("embedding"))
       .drop("rep", "rot")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // customer — the ER family's table. Replicas are re-keyed; 'distinct'
+    // mode also shifts the c_acctbal blocking key far outside the source
+    // range (+rep·100000, exact in decimal cents), so replicas are
+    // DISTINCT entities and ER work grows row-linearly. 'neardup' keeps
+    // the balance shared: replicas of one customer pile into the same
+    // (nation, balance) / (segment, balance) blocks — block size = scale,
+    // the hot-block shape EntityResolution's star guard exists for.
+    val cust = Tables.customer(s, srcDir)
+    val balType = cust.schema("c_acctbal").dataType
+    cust.select(col("*"), rep)
+      .repartition(parts)
+      .withColumn("c_custkey", col("c_custkey").cast("long") + col("rep") * IdStride)
+      .withColumn("c_acctbal",
+        if (mode == "distinct")
+          (col("c_acctbal") + col("rep") * lit(100000.0)).cast(balType)
+        else col("c_acctbal"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    // lineitem — the graph family's table. BOTH node-key columns are
+    // re-keyed per replica, so the scaled co-supply graph is `scale`
+    // DISJOINT copies of the source graph — the "more of the same world"
+    // scale model: edges, triangles and PageRank work all grow linearly,
+    // and any superlinear ratio is an engine regression, not graph math.
+    Tables(s, srcDir, "lineitem")
+      .select(col("*"), rep)
+      .repartition(parts)
+      .withColumn("l_orderkey", col("l_orderkey").cast("long") + col("rep") * IdStride)
+      .withColumn("l_suppkey", col("l_suppkey").cast("long") + col("rep") * IdStride)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   // Dev aid (mirrors Bench's SPARK_GRAFT_ONLY): SPARK_GRAFT_SMOKE_ONLY=
@@ -151,7 +181,15 @@ object ScaleSmoke {
           n == "source_overlap" || n == "neg_samples" ||
           n == "hh_lang_by_source" || n == "length_batches" ||
           n == "corpus_mix_apply" || n == "cms_term_freq" ||
-          n == "bpe_merges") && n != "text_redact"
+          n == "bpe_merges" ||
+          // r13 verdict item 2: the families whose 100 TB posture rested
+          // on reasoning alone — ER blocking self-joins, edge-driven
+          // graph joins, the composed funnel, RRF fusion, the bounded
+          // MMR audit collect, and the materialized int8 probe
+          n == "er_customers" || n == "graph_pagerank" ||
+          n == "graph_triangles" || n == "pipeline_funnel" ||
+          n == "hybrid_retrieval" || n == "sim_mmr" ||
+          n == "sim_quantized_probe") && n != "text_redact"
       if (only.isEmpty) inDefaultFamily
       else only.exists(n.contains)
     }
@@ -163,6 +201,23 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val rows = fn(s, dir).count()
       (name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+  /** Queries backed by a [[graft.operators.MaterializedCache]] artifact:
+    * their FIRST call pays the write-once index/codes build. Timed
+    * separately BEFORE the family passes (r13 verdict item 3: the r13
+    * stress conflated build with probe — sim_ivf_probe read 6.64×
+    * because the 512-d index build landed in the timed pass), so the
+    * family ratios measure the serving path a 100 TB user pays per
+    * query, and the artifact reports the amortized build cost
+    * explicitly under "prebuild". */
+  private val cacheBacked = Set("sim_ivf_probe", "sim_quantized_probe")
+
+  private def prebuild(s: SparkSession, dir: String): Seq[(String, Double)] =
+    family.collect { case (name, fn) if cacheBacked(name) =>
+      val t0 = System.nanoTime()
+      fn(s, dir).count()
+      (name, (System.nanoTime() - t0) / 1e9)
     }
 
   def main(args: Array[String]): Unit = {
@@ -197,6 +252,10 @@ object ScaleSmoke {
     val vecMult = sys.env.getOrElse("SPARK_GRAFT_VEC_MULT", "1").toInt
     buildScaledDir(spark, srcDir, 1, oneDir, mode, vecMult)
     buildScaledDir(spark, srcDir, scale, bigDir, mode, vecMult)
+    // write-once artifact builds (IVF index, int8 codes) land HERE, not
+    // in the timed family passes — measured so build cost stays visible
+    val pre1 = prebuild(spark, oneDir)
+    val preN = prebuild(spark, bigDir)
     // untimed warm-up at 1× so the timed 1× pass doesn't absorb JIT/codegen
     // warm-up (which would understate every ratio)
     timeFamily(spark, oneDir)
@@ -215,7 +274,13 @@ object ScaleSmoke {
     val onlyJson =
       if (onlyFilter.isEmpty) ""
       else onlyFilter.map(s => s""""$s"""").mkString(""""only":[""", ",", "],")
+    val preByName = pre1.toMap
+    val preJson =
+      if (preN.isEmpty) ""
+      else preN.map { case (name, sec) =>
+        s""""$name":{"x1_build_sec":${f(preByName(name))},"x${scale}_build_sec":${f(sec)},"build_ratio":${f(sec / preByName(name))}}"""
+      }.mkString(""","prebuild":{""", ",", "}")
     spark.stop()
-    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,"vec_mult":$vecMult,${onlyJson}"src":"$srcDir","load":[${f(loadStart)},${f(loadEnd)}],"x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}}""")
+    println(s"""{"metric":"scale_smoke","mode":"$mode","scale":$scale,"vec_mult":$vecMult,${onlyJson}"src":"$srcDir","load":[${f(loadStart)},${f(loadEnd)}],"x1_total_sec":${f(total1)},"x${scale}_total_sec":${f(totalN)},"total_ratio":${f(totalN / total1)},"queries":{${items.mkString(",")}}$preJson}""")
   }
 }

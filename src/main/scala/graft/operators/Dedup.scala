@@ -218,6 +218,12 @@ object Dedup {
     * the exact intersection. Output (doc_a, doc_b, jaccard), doc_a<doc_b. */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
+    // Join strategy measured, not assumed (PERF_NOTES r14): forcing
+    // shuffle_hash on these doc-keyed joins added 18 GB of shuffle
+    // writes and 2–4× wall at 10×-neardup while the query's ~10 GB
+    // deterministic spill did not move — that spill lives in the
+    // prefix-filter's per-doc df-ranking window sort, not here. The
+    // default sort-merge plan is the right one for these joins.
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val pruned = cands
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")

@@ -27,29 +27,70 @@ import org.apache.spark.sql.functions._
   *
   * Scale: block sizes are bounded by key choice — composite keys
   * (nation+balance, segment+balance) keep blocks O(1) here; a skewed
-  * blocking key on real data takes the same `splitHotKeysStar`
-  * degradation the LSH paths use. Shuffles carry (key, id, name) only.
+  * blocking key takes the star degradation the LSH paths use
+  * ([[blockPairs]]' `cap`): a block larger than `cap` emits only the
+  * O(block) star pairs around its min-id representative instead of the
+  * O(block²) all-pairs, and CC clustering restores the full entity
+  * transitively whenever the representative matches. Oracle corpora
+  * never reach the cap (blocks are O(1) by key choice — spec-pinned);
+  * the skew spec plants a hotter key and pins both the pair-count
+  * degradation and the surviving cluster. Shuffles carry
+  * (key, id, name) only.
   */
 object EntityResolution {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default hot-block cap: far above any block a sane composite key
+    * produces, far below a genuinely skewed key (a null-heavy field, a
+    * default-valued balance) whose all-pairs form would be quadratic. */
+  val DefaultBlockCap = 64
+
   /** Candidate pairs from one blocking pass: equi self-join on `keys`,
-    * each unordered pair once. */
-  private def blockPairs(recs: DataFrame, keys: Seq[String]): DataFrame = {
-    val a = recs.select(
-      keys.map(col) :+ col("c_custkey").as("a") :+ col("c_name").as("na"): _*)
-    val b = recs.select(
-      keys.map(col) :+ col("c_custkey").as("b") :+ col("c_name").as("nb"): _*)
-    a.join(b, keys).filter(col("a") < col("b"))
+    * each unordered pair once. Blocks larger than `cap` degrade to star
+    * pairs around the block-min representative (rep < member always, so
+    * a < b is preserved). */
+  private[graft] def blockPairs(recs: DataFrame, keys: Seq[String],
+      cap: Int = DefaultBlockCap): DataFrame = {
+    val keyed = recs.select(
+      keys.map(col) :+ col("c_custkey").as("id") :+ col("c_name").as("nm"): _*)
+    val hot = Lineage.pin(keyed
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("rep"))
+      .filter(col("cnt") > cap)
+      .drop("cnt"))
+    val anyHot = hot.head(1).nonEmpty
+    val cold =
+      if (!anyHot) keyed
+      else keyed.join(hot.select(keys.map(col): _*), keys, "left_anti")
+    val a = cold.select(
+      keys.map(col) :+ col("id").as("a") :+ col("nm").as("na"): _*)
+    val b = cold.select(
+      keys.map(col) :+ col("id").as("b") :+ col("nm").as("nb"): _*)
+    val coldPairs = a.join(b, keys).filter(col("a") < col("b"))
       .select("a", "b", "na", "nb")
+    if (!anyHot) coldPairs
+    else {
+      log.warn(s"blockPairs(${keys.mkString("+")}): hot blocks " +
+        s"(> $cap records) reduced to star candidates around the " +
+        "block-min representative")
+      val star = keyed.join(hot, keys)
+        .filter(col("id") =!= col("rep"))
+        .select(col("rep").as("a"), col("id").as("b"), col("nm").as("nb"))
+        .join(keyed.select(col("id").as("a"), col("nm").as("na")), "a")
+        .select("a", "b", "na", "nb")
+      coldPairs.unionByName(star)
+    }
   }
 
   /** Resolve near-duplicate customer records: two blocking passes
     * (nation+balance, segment+balance), a levenshtein ≤ `maxEdits` name
     * match, CC clustering. Returns (c_custkey, canonical_custkey), one
     * row per record that belongs to a multi-record entity. */
-  def resolveCustomers(recs: DataFrame, maxEdits: Int = 1): DataFrame = {
-    val cand = blockPairs(recs, Seq("c_nationkey", "c_acctbal"))
-      .unionByName(blockPairs(recs, Seq("c_mktsegment", "c_acctbal")))
+  def resolveCustomers(recs: DataFrame, maxEdits: Int = 1,
+      blockCap: Int = DefaultBlockCap): DataFrame = {
+    val cand = blockPairs(recs, Seq("c_nationkey", "c_acctbal"), blockCap)
+      .unionByName(blockPairs(recs, Seq("c_mktsegment", "c_acctbal"), blockCap))
       .distinct()
     val matched = cand
       .filter(levenshtein(col("na"), col("nb")) <= maxEdits)

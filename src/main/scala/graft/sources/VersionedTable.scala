@@ -40,17 +40,70 @@ object VersionedTable {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def hintPath(table: Path) =
+    new Path(manifestDir(table), "_latest_hint")
+
+  /** Best-effort latest-version hint (the Delta `_last_checkpoint`
+    * pattern): one tiny file naming the newest version known at the last
+    * commit, so resolution reads ONE file and probes forward instead of
+    * LISTING a manifest directory that grows one entry per commit — on
+    * an object store a LIST over 10³–10⁵ version files is paged and
+    * linear, while the hint is O(1 + commits-since-hint). Only a HINT:
+    * it may lag (concurrent committers race the overwrite; a dead writer
+    * never wrote it) but can never overtake a commit, so the forward
+    * probe always lands on the true newest; absent/corrupt hints fall
+    * back to the full listing. Failures writing it are swallowed — a
+    * commit must never fail over its accelerator. */
+  private def writeHint(fs: org.apache.hadoop.fs.FileSystem, table: Path,
+      v: Long): Unit =
+    try {
+      val tmp = new Path(manifestDir(table),
+        s".hint-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(hintPath(table), false)
+      if (!fs.rename(tmp, hintPath(table))) fs.delete(tmp, false)
+    } catch { case _: java.io.IOException => () }
+
+  private def readHint(fs: org.apache.hadoop.fs.FileSystem,
+      table: Path): Option[Long] =
+    try {
+      if (!fs.exists(hintPath(table))) None
+      else {
+        val in = fs.open(hintPath(table))
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+        txt.toLongOption.filter(_ >= 0)
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** Newest committed version, or None for a directory that was never
-    * [[init]]-ed. */
+    * [[init]]-ed. Resolution order: a valid [[writeHint]] whose manifest
+    * exists → probe forward to the newest (commits are gapless: every
+    * public writer commits currentVersion+1, and vacuum only drops the
+    * OLD end); otherwise the full directory listing. Spec-pinned
+    * (VersionedTableSpec): with the hint present the listing is never
+    * consulted. */
   def currentVersion(spark: SparkSession, tablePath: String): Option[Long] = {
-    val dir = manifestDir(new Path(tablePath))
+    val table = new Path(tablePath)
+    val dir = manifestDir(table)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) None
-    else fs.listStatus(dir).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{8}\\.json") =>
-        n.substring(1, 9).toLong }
-      .maxOption
+    else readHint(fs, table)
+      .filter(h => fs.exists(manifestPath(table, h)))
+      .map { h =>
+        var v = h
+        while (fs.exists(manifestPath(table, v + 1))) v += 1
+        v
+      }
+      .orElse(fs.listStatus(dir).iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d{8}\\.json") =>
+          n.substring(1, 9).toLong }
+        .maxOption)
   }
 
   private def readManifest(spark: SparkSession, table: Path,
@@ -118,6 +171,7 @@ object VersionedTable {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       require(fs.rename(tmp, target), s"commit: rename $tmp -> $target failed")
+      writeHint(fs, table, v)
     } finally fs.delete(claim, false)
   }
 

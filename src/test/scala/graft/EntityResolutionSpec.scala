@@ -46,4 +46,45 @@ class EntityResolutionSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0)).toSet
     assert(singlePass === Set(1L, 2L), "fixture rot: pass 1 should catch only 1-2")
   }
+
+  test("skewed blocking key: star guard caps hot-block pairs, cluster survives") {
+    // 200 records pile into ONE (nation, balance) block — the
+    // default-valued-field skew real customer data has. All-pairs would
+    // be C(200,2) = 19,900 levenshtein candidates from this block; the
+    // star guard must emit only the 199 rep-centered pairs.
+    val n = 200
+    val hot = (1 to n).map(i =>
+      (i.toLong, "Customer#000000001", 5, 0.0, s"SEG$i"))
+    // distinct segments kill the second blocking pass for these records
+    val cold = Seq(
+      (900L, "Customer#000000900", 7, 55.0, "AUTO"),
+      (901L, "Cstomer#000000900", 7, 55.0, "AUTO"))
+    val recs = (hot ++ cold)
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+    val pairs = EntityResolution.blockPairs(
+      recs, Seq("c_nationkey", "c_acctbal"), cap = 64)
+    val got = pairs.collect()
+    // hot block degraded: 199 star pairs (rep 1 vs each other member),
+    // cold block untouched: its single all-pairs candidate
+    assert(got.length === (n - 1) + 1,
+      s"expected ${n - 1} star + 1 cold pairs, got ${got.length}")
+    val hotPairs = got.filter(_.getLong(0) == 1L)
+    assert(hotPairs.length === n - 1)
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)), "a < b must hold")
+
+    // end-to-end: the degraded candidates still resolve the whole hot
+    // entity (identical names → every star pair matches; CC closes the
+    // cluster transitively through the representative)
+    val out = EntityResolution.resolveCustomers(recs, blockCap = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to n).foreach(i => assert(out(i.toLong) === 1L,
+      s"record $i fell out of the hot-block cluster"))
+    assert(out(901L) === 900L)
+
+    // below the cap nothing degrades: all-pairs form is unchanged
+    val full = EntityResolution.blockPairs(
+      recs, Seq("c_nationkey", "c_acctbal"), cap = 500)
+    assert(full.count() === n.toLong * (n - 1) / 2 + 1)
+  }
 }

@@ -304,4 +304,54 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     assert(reclaimed === 16)
     assert(VersionedTable.read(spark, tbl).count() === docs.count())
   }
+
+  test("version resolution is hint-driven at 1000 versions, never a directory walk") {
+    // r13 verdict item 5: after thousands of commits, latestVersion/diff
+    // must not pay a LIST over the whole manifest directory. 1,000
+    // manifests committed through the real claim-and-rename path (no
+    // data files needed — resolution only touches manifests).
+    import spark.implicits._
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl,
+      Seq((1L, "a")).toDF("doc_id", "text"))
+    val table = new org.apache.hadoop.fs.Path(tbl)
+    (1L until 1000L).foreach(v =>
+      VersionedTable.commitManifest(spark, table, v, Seq("f.parquet")))
+    assert(VersionedTable.currentVersion(spark, tbl) === Some(999L))
+
+    // Proof the hint path (read hint → probe forward) is what resolves,
+    // not the fallback listing: plant a DECOY manifest far above the
+    // contiguous chain. A directory walk would report it as newest; the
+    // hint probe (999 → 1000 missing → stop) never sees it.
+    val mdir = java.nio.file.Paths.get(tbl, "_manifests")
+    java.nio.file.Files.writeString(mdir.resolve("v99999999.json"),
+      """{"version":99999999,"merge":false,"files":["f.parquet"]}""")
+    assert(VersionedTable.currentVersion(spark, tbl) === Some(999L),
+      "resolution consulted the directory listing despite a valid hint")
+
+    // Hint is only an accelerator: a STALE hint (lagging commits) probes
+    // forward to the true newest... (written through the Hadoop fs —
+    // a direct nio write would leave a stale .crc sidecar and read as
+    // corrupt, which is the NEXT case, not this one)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hintP = new org.apache.hadoop.fs.Path(
+      mdir.resolve("_latest_hint").toString)
+    def setHint(s: String): Unit = {
+      val out = fs.create(hintP, true)
+      try out.write(s.getBytes) finally out.close()
+    }
+    setHint("500")
+    assert(VersionedTable.currentVersion(spark, tbl) === Some(999L))
+    // ...a corrupt hint falls back to the listing (which now honestly
+    // reports the decoy — the fallback is a full walk by design)...
+    setHint("garbage")
+    assert(VersionedTable.currentVersion(spark, tbl) === Some(99999999L))
+    // ...and the next commit repairs the hint.
+    java.nio.file.Files.delete(mdir.resolve("v99999999.json"))
+    fs.delete(hintP, false)
+    VersionedTable.commitManifest(spark, table, 1000L, Seq("f.parquet"))
+    assert(java.nio.file.Files.readString(mdir.resolve("_latest_hint"))
+      .trim === "1000")
+    assert(VersionedTable.currentVersion(spark, tbl) === Some(1000L))
+  }
 }

@@ -469,6 +469,7 @@ object SparkEntry {
     "text_redact"         -> (Redaction.qRedact _),
     "text_normalize_dedup" -> (TextAnalysis.qNormalizeDedup _),
     "bpe_merges"          -> (Bpe.qBpeMerges _),
+    "bpe_encode"          -> (Bpe.qBpeEncode _),
     // --- corpus-level text statistics ---
     "text_top_terms"      -> (TextStats.qTopTerms _),
     "hh_lang_by_source"   -> (qHeavyHitters _),
@@ -478,6 +479,7 @@ object SparkEntry {
     "pipeline_funnel"     -> (qPipelineFunnel _),
     "text_collocations"   -> (TextStats.qCollocations _),
     "text_rarity"         -> (TextStats.qRarity _),
+    "lm_logprob"          -> (TextStats.qLmLogprob _),
     "text_inverted_index" -> (TextStats.qInvertedIndex _),
     "text_bm25"           -> (TextStats.qBm25 _),
     "hybrid_retrieval"    -> (Similarity.qHybridRetrieval _),
@@ -1417,6 +1419,61 @@ object SparkEntry {
         |UNION ALL SELECT 2, pair, replace(pair,' ',''), cnt FROM b2
         |UNION ALL SELECT 3, pair, replace(pair,' ',''), cnt FROM b3
         |ORDER BY step""".stripMargin,
+    // bpe_encode: re-trains the same three merges (CTE chain identical
+    // to bpe_merges), then applies them IN ORDER to the exploded word
+    // stream with the same doubled-space canonical replace, and counts
+    // per-doc tokens before (chars) and after (symbols) merging.
+    "bpe_encode" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split(coalesce(text,''),' '), t->t<>'')) AS w FROM documents),
+        |wf AS (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY 1),
+        |v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym, freq FROM wf),
+        |a1 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
+        |  FROM v0 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(a)),
+        |    i -> a[i] || ' ' || a[i+1])) AS pair, freq FROM a1),
+        |b1 AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p1
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+        |v1 AS (SELECT regexp_replace(replace(replace(sym, ' ', '  '),
+        |    ' ' || replace((SELECT pair FROM b1),' ','  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM b1),' ','') || ' '),
+        |    ' +', ' ', 'g') AS sym, freq FROM v0),
+        |a2 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
+        |  FROM v1 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(a)),
+        |    i -> a[i] || ' ' || a[i+1])) AS pair, freq FROM a2),
+        |b2 AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p2
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+        |v2 AS (SELECT regexp_replace(replace(replace(sym, ' ', '  '),
+        |    ' ' || replace((SELECT pair FROM b2),' ','  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM b2),' ','') || ' '),
+        |    ' +', ' ', 'g') AS sym, freq FROM v1),
+        |a3 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
+        |  FROM v2 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
+        |p3 AS (SELECT unnest(list_transform(range(1, len(a)),
+        |    i -> a[i] || ' ' || a[i+1])) AS pair, freq FROM a3),
+        |b3 AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p3
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+        |dw AS (SELECT doc_id, unnest(list_filter(
+        |    string_split(coalesce(text,''),' '), t->t<>'')) AS w FROM documents),
+        |e0 AS (SELECT doc_id, w,
+        |    ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym FROM dw),
+        |e1 AS (SELECT doc_id, w, regexp_replace(replace(replace(sym, ' ', '  '),
+        |    ' ' || replace((SELECT pair FROM b1),' ','  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM b1),' ','') || ' '),
+        |    ' +', ' ', 'g') AS sym FROM e0),
+        |e2 AS (SELECT doc_id, w, regexp_replace(replace(replace(sym, ' ', '  '),
+        |    ' ' || replace((SELECT pair FROM b2),' ','  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM b2),' ','') || ' '),
+        |    ' +', ' ', 'g') AS sym FROM e1),
+        |e3 AS (SELECT doc_id, w, regexp_replace(replace(replace(sym, ' ', '  '),
+        |    ' ' || replace((SELECT pair FROM b3),' ','  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM b3),' ','') || ' '),
+        |    ' +', ' ', 'g') AS sym FROM e2)
+        |SELECT doc_id, sum(length(w))::BIGINT AS n_char_tokens,
+        |  sum(len(list_filter(string_split(sym,' '), x->x<>'')))::BIGINT
+        |    AS n_bpe_tokens
+        |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // pipeline_funnel: the cleaning chain composed in CTEs — each
     // stage's rule text is lifted verbatim from its standalone oracle
     // (text_normalize_dedup / text_filter_verdict / text_score_model),
@@ -1612,6 +1669,30 @@ object SparkEntry {
         |    AS rare_frac,
         |  min(c)::BIGINT AS min_bigram_count
         |FROM b JOIN bc USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // lm_logprob: bigram-LM avg log-prob with add-one smoothing. The
+    // oracle groups the raw strings where Spark groups 64-bit hashes
+    // (identical counts modulo a ~V²/2⁶⁵ collision, the text_rarity
+    // contract); per-token ln is integerized to 6dp BEFORE the per-doc
+    // sum, so the only cross-engine double is one ln per distinct
+    // (bigram-count, unigram-count) rational — same shape both engines.
+    "lm_logprob" ->
+      """WITH tk AS (SELECT unnest(list_filter(
+        |    string_split(coalesce(text,''),' '), t->t<>'')) AS w FROM documents),
+        |uc AS (SELECT w, count(*)::BIGINT AS c1 FROM tk GROUP BY 1),
+        |vv AS (SELECT count(*)::BIGINT AS v FROM uc),
+        |ar AS (SELECT doc_id, list_filter(
+        |    string_split(coalesce(text,''),' '), t->t<>'') AS a FROM documents),
+        |bg AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS w1,
+        |    unnest(a[2:len(a)]) AS w2 FROM ar WHERE len(a) >= 2),
+        |b2 AS (SELECT doc_id, w1, w1 || ' ' || w2 AS b FROM bg),
+        |bc AS (SELECT b, count(*)::BIGINT AS c12 FROM b2 GROUP BY 1),
+        |r AS (SELECT doc_id,
+        |    round(ln((c12 + 1)::DOUBLE / (c1 + v)) * 1000000)::BIGINT AS il
+        |  FROM b2 JOIN bc USING (b) JOIN uc ON uc.w = b2.w1 CROSS JOIN vv)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(il)::BIGINT AS ilogp_sum,
+        |  round(sum(il) / (count(*) * 1000000.0), 4) AS avg_logp
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decon_hits" ->
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),

@@ -39,6 +39,20 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Apply ONE canonical BPE merge to a space-delimited symbol-string
+    * column via the doubled-delimiter trick (object doc): double every
+    * space, consume-replace the doubled pair pattern, collapse runs of
+    * spaces. Shared by the trainer's per-round vocabulary rewrite and
+    * the [[bpeEncode]] corpus encoder, so the two can never drift. */
+  private def applyMerge(sym: org.apache.spark.sql.Column, pair: String,
+      merged: String): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(sym, " ", "  "),
+        java.util.regex.Pattern.quote(" " + pair.replace(" ", "  ") + " "),
+        java.util.regex.Matcher.quoteReplacement(s" $merged ")),
+      " +", " ")
+
   /** One row per merge step: (step, pair "a b", merged "ab", weighted
     * occurrence count at selection time). */
   def bpeMerges(docs: DataFrame, steps: Int = 3): DataFrame = {
@@ -77,17 +91,8 @@ object Bpe {
       val cnt = bestRows.head.getLong(1)
       val merged = pair.replace(" ", "")
       picks += ((step, pair, merged, cnt))
-      // canonical merge via the doubled-delimiter trick (see object doc):
-      // double every space, replace the doubled pair pattern, collapse
-      val doubledPair = " " + pair.replace(" ", "  ") + " "
       vocab = vocab
-        .withColumn("sym",
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("sym"), " ", "  "),
-              java.util.regex.Pattern.quote(doubledPair),
-              java.util.regex.Matcher.quoteReplacement(s" $merged ")),
-            " +", " "))
+        .withColumn("sym", applyMerge(col("sym"), pair, merged))
         .localCheckpoint()
       }
     }
@@ -101,4 +106,40 @@ object Bpe {
   /** Registered query (`bpe_merges`). */
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables.documents(s, dir))
+
+  /** BPE ENCODING — the trainer's other half: apply the learned merge
+    * table to the corpus and report each document's token count before
+    * (characters) and after (BPE symbols) merging — the
+    * compression-accounting pass every tokenizer pipeline runs to size
+    * a training corpus in tokens rather than bytes.
+    *
+    * Distributed shape: the merge table is ≤ `steps` COLLECTED rows
+    * (vocabulary-trained, [[bpeMerges]]); application folds those rows
+    * into ONE composed column expression over the exploded word stream
+    * — per-row codegen'd string work, no shuffle until the final
+    * doc-key sum (map-side combinable, one narrow row per doc).
+    * Merges never cross word boundaries (the [[bpeMerges]] contract),
+    * so encoding word-by-word is exact. Null text → no words → no row
+    * (the repo-wide explode convention; mirrored by the oracle's
+    * unnest). Shares [[applyMerge]] with the trainer, so encoder and
+    * trainer semantics cannot drift. */
+  def bpeEncode(docs: DataFrame, steps: Int = 3): DataFrame = {
+    val merges = bpeMerges(docs, steps).collect() // ≤ steps rows
+    val words = docs.select(col("doc_id"), explode(
+      filter(split(coalesce(col("text"), lit("")), " "),
+        t => t =!= "")).as("w"))
+    val sym0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val sym = merges.foldLeft(sym0)((c, m) =>
+      applyMerge(c, m.getString(1), m.getString(2)))
+    words
+      .select(col("doc_id"), length(col("w")).cast("long").as("nc"),
+        size(filter(split(sym, " "), x => x =!= "")).cast("long").as("nb"))
+      .groupBy("doc_id")
+      .agg(sum("nc").as("n_char_tokens"), sum("nb").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered query (`bpe_encode`). */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(s, dir))
 }

@@ -156,6 +156,70 @@ object TextStats {
     * for shingles: a collision merges two bigrams' corpus counts —
     * P ≈ V²/2⁶⁵, immaterial for a rarity heuristic and unobservable at
     * oracle scale (V ~ 10⁵ → P ~ 10⁻¹⁰). */
+  /** Bigram-LM average log-probability per document — the REAL
+    * CCNet-style perplexity quality signal (self-trained: the corpus is
+    * its own LM, so boilerplate scores high and outlier text scores
+    * low). p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V), add-one smoothed over
+    * the corpus unigram/bigram counts.
+    *
+    * [[rarityScores]]' docstring called a real avg-log-prob "not
+    * oracle-checkable" because a cross-row double SUM is accumulation-
+    * order-sensitive. The centroid-pooling discipline (r13,
+    * emb_source_centroids) lifts that: each token's log-prob is ONE
+    * double op from integer counts, rounded to 6dp and INTEGERIZED
+    * per row — so the per-doc sum is an exact integer aggregation with
+    * no order sensitivity, and the only cross-engine double contract is
+    * per-row `ln` on identical rationals (the contract text_bm25's
+    * oracle already pins). The exact integer sum ships in the output
+    * (`ilogp_sum`), so the driver hash-checks the score to 1e-6·token
+    * resolution, not just the 4dp mean.
+    *
+    * Plan: token and bigram streams hash to 64-bit keys and pin once
+    * (the [[rarityScores]] reshaping); unigram/bigram count shuffles and
+    * both join-backs move longs only; V rides as a broadcast 1-row
+    * scalar (BNLJ-allowlisted); the doc-key rollup is map-side
+    * combinable. Hash collisions merge two strings' counts —
+    * P ≈ V²/2⁶⁵, unobservable at oracle scale, same caveat as
+    * [[rarityScores]]. Docs with < 2 tokens have no bigrams → no row
+    * (the explode convention; oracle matches). */
+  def lmLogprob(docs: DataFrame): DataFrame = {
+    val arr = filter(split(coalesce(col("text"), lit("")), " "),
+      t => t =!= "")
+    val uc = Lineage.pin(docs.select(explode(arr).as("w"))
+      .groupBy(xxhash64(col("w")).as("h1"))
+      .agg(count(lit(1)).as("c1")))
+    val vocab = uc.agg(count(lit(1)).as("v"))
+    val pairs = Lineage.pin(docs
+      .select(col("doc_id"), arr.as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("a")) - 2),
+          i => struct(element_at(col("a"), i + 1).as("w1"),
+            concat(element_at(col("a"), i + 1), lit(" "),
+              element_at(col("a"), i + 2)).as("b")))).as("p"))
+      .select(col("doc_id"), xxhash64(col("p.w1")).as("h1"),
+        xxhash64(col("p.b")).as("h12")))
+    val bc = pairs.groupBy("h12").agg(count(lit(1)).as("c12"))
+    pairs
+      .join(bc, "h12")
+      .join(uc, "h1")
+      .crossJoin(broadcast(vocab))
+      // identical expression shape in the oracle: (c12+1)::double /
+      // (c1+v), ln, ×10⁶, half-up round, integerize — THEN sum
+      .withColumn("il", round(log((col("c12") + 1).cast("double") /
+        (col("c1") + col("v"))) * 1000000.0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("il").as("ilogp_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("ilogp_sum"),
+        round(col("ilogp_sum") / (col("n_bigrams") * 1000000.0), 4)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered query (`lm_logprob`). */
+  def qLmLogprob(s: SparkSession, dir: String): DataFrame =
+    lmLogprob(graft.Tables.documents(s, dir))
+
   def rarityScores(docs: DataFrame, rareBelow: Long = 10L): DataFrame = {
     val b = Lineage.pin(bigramStream(docs)
       .select(col("doc_id"), xxhash64(col("bg")).as("bg")))

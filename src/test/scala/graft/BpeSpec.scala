@@ -53,6 +53,29 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(g === Array((1L, "a a", "aa", 4L), (2L, "aa a", "aaa", 1L)))
   }
 
+  test("encode applies the trained merges in order; counts chars vs BPE tokens") {
+    // corpus: "aaab ab" + "aaab" → words aaab×2, ab×1.
+    // r1: (a,a) 4 vs (a,b) 3 → merge aa; r2: (aa,a) 2 vs (a,b) 3 →
+    // merge ab; r3: (aa,ab) 2 → merge aaab. Encoding: "aaab" → 1
+    // token, "ab" → 1 token.
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = Bpe.bpeEncode(docs, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array((1L, 6L, 2L), (2L, 4L, 1L)))
+
+    // fewer merges than steps (tiny vocab exhausts): encoder applies
+    // what exists and still counts correctly
+    val tiny = Seq((7L, "xy xy")).toDF("doc_id", "text")
+    // r1 merges (x,y) → "xy" single symbol; r2/r3 have nothing to merge
+    val enc = Bpe.bpeEncode(tiny, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc === Array((7L, 4L, 2L)))
+
+    // null text emits no row (repo-wide explode convention)
+    val withNull = Seq((1L, "ab"), (2L, null)).toDF("doc_id", "text")
+    assert(Bpe.bpeEncode(withNull).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("ties break by pair string ascending (deterministic across engines)") {
     // "xy" ×2 and "zw" ×2: both pairs count 2 — "x y" < "z w"
     val docs = Seq((1L, "xy zw xy zw")).toDF("doc_id", "text")

@@ -27,7 +27,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     // broadcast 1-row grand-total scalar crossed onto the top-k slice
     "key_skew_audit",
     // lexical leg embeds text_bm25's broadcast 1-row corpus-stats scalar
-    "hybrid_retrieval")
+    "hybrid_retrieval",
+    // broadcast 1-row vocabulary-size scalar crossed onto the bigram
+    // stream (the add-one-smoothing denominator)
+    "lm_logprob")
 
   /** Queries that intentionally plan an unpartitioned (global) Window —
     * the canonical 100 TB plan killer when it sits over corpus-sized data.

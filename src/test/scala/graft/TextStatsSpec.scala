@@ -152,4 +152,23 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     // window (the scalar-count agg is the only legitimate 1-row exchange)
     assert(plan.contains("hashpartitioning(doc_id"), plan)
   }
+  test("lm_logprob: add-one bigram LM, integerized per-token logs, exact sums") {
+    // corpus: "a b a", "b a", "z" -> unigrams a:3 b:2 z:1, V=3.
+    // p(b|a) = (1+1)/(3+3) = 1/3  -> ln = -1.0986123 -> -1098612
+    // p(a|b) = (2+1)/(2+3) = 3/5  -> ln = -0.5108256 -> -510826
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextStats.lmLogprob(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array(
+      (1L, 2L, -1609438L, -0.8047),
+      (2L, 1L, -510826L, -0.5108)))
+    // doc 3 has one token -> no bigrams -> no row, but its token still
+    // contributed to V and the unigram counts (asserted by the values
+    // above: V=3 not 2)
+    assert(!got.map(_._1).contains(3L))
+    // determinism across runs (integer sums: no accumulation-order drift)
+    assert(TextStats.lmLogprob(docs).collect().toSeq ===
+      TextStats.lmLogprob(docs).collect().toSeq)
+  }
 }

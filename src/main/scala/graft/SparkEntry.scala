@@ -442,6 +442,7 @@ object SparkEntry {
     "emb_quantize"        -> (Embeddings.qQuantize _),
     "sim_quantized_topk"  -> (Embeddings.qQuantizedTopK _),
     "sim_quantized_probe" -> ((s, d) => Embeddings.qQuantizedProbe(s, d)),
+    "sim_quantized_batch" -> (Embeddings.qQuantizedBatch _),
     // --- dedup family ---
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
@@ -1786,6 +1787,28 @@ object SparkEntry {
         |FROM c, q WHERE c.vec_id <> 0
         |ORDER BY list_cosine_similarity(c.qv, q.qq) DESC, c.vec_id
         |LIMIT 5""".stripMargin,
+    // sim_quantized_batch: the sim_batch_topk ranking on the QUANTIZED
+    // representation — codes recomputed in SQL (deterministic), ranks
+    // on the raw cosine with vec_id tie-break, the established batch
+    // contract.
+    "sim_quantized_batch" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> round(x / scale)) END AS qv
+        |  FROM s),
+        |q AS (SELECT vec_id AS query_id, qv AS qq FROM c WHERE vec_id <= 7),
+        |scored AS (SELECT q.query_id, c.vec_id,
+        |    list_cosine_similarity(c.qv, q.qq) AS cos
+        |  FROM c, q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk::BIGINT AS rnk, vec_id, round(cos, 4) AS cos_sim
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // emb_source_centroids: mean-pooled per-source centroid + cohesion.
     // Vectors integerized (round(x·10⁶)) so every cross-row SUM is
     // integer-exact; cosine is scale-invariant so rows compare against

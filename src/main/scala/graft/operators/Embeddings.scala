@@ -142,8 +142,10 @@ object Embeddings {
     * re-quantizing the corpus per call — the serving shape at 100 TB.
     * Cache key/build/race discipline is [[MaterializedCache]]'s (the
     * IVF index pattern). */
-  def qQuantizedProbe(s: SparkSession, dir: String, queryId: Long = 0L,
-      k: Int = 5): DataFrame = {
+  /** The materialized codes table for `dir`, building it on first use
+    * (cache key/build/race discipline = [[MaterializedCache]]'s, the
+    * IVF index pattern). */
+  private def materializedCodes(s: SparkSession, dir: String): DataFrame = {
     val (bytes, mtime) = MaterializedCache.fingerprint(
       java.nio.file.Paths.get(dir, "embeddings.parquet"))
     val stem = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_int8"
@@ -152,8 +154,41 @@ object Embeddings {
         "graft_int8_codes", stem, key, "_SUCCESS") { tmp =>
       writeQuantizedCodes(Tables.embeddings(s, dir), tmp.toString)
     }
-    topKOverCodes(readQuantizedCodes(s, idx.toString), queryId, k)
+    readQuantizedCodes(s, idx.toString)
   }
+
+  def qQuantizedProbe(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 5): DataFrame =
+    topKOverCodes(materializedCodes(s, dir), queryId, k)
+
+  /** Batch top-k over the materialized int8 codes — M queries answered
+    * from ONE scan of the 4×-smaller table, the actual ANN-serving
+    * batch shape ([[graft.operators.Similarity.batchTopK]]'s plan on
+    * the quantized representation): query codes ride a broadcast, the
+    * per-query top-k is the bounded TopKByScore aggregate (map-side
+    * partials ≤ k per query, never a Window sort over the corpus). */
+  def quantizedBatchTopK(codes: DataFrame, queryIds: Seq[Long],
+      k: Int = 3): DataFrame = {
+    val q = codes.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("qv").as("qcodes"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions
+          .cosine(col("qv"), col("qcodes")).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rnk"),
+        col("t.id").as("vec_id"), round(col("t.score"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Registered query (`sim_quantized_batch`): 3 nearest quantized
+    * neighbors for each of the 8 query vectors 0..7, one scan of the
+    * materialized codes table. */
+  def qQuantizedBatch(s: SparkSession, dir: String): DataFrame =
+    quantizedBatchTopK(materializedCodes(s, dir), 0L to 7L)
 
   /** Per-group mean-pooled embedding centroids + cohesion — the
     * domain-profile aggregation every corpus-balancing / semantic-audit

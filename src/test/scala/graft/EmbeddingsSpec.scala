@@ -117,6 +117,20 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("quantized batch top-k agrees with the single-query path per query") {
+    val batch = Embeddings.qQuantizedBatch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(batch.keySet === (0L to 7L).toSet)
+    val emb = Tables.embeddings(spark, sf0001)
+    (0L to 7L).foreach { qid =>
+      val single = Embeddings.quantizedTopK(emb, qid, k = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val got = batch(qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(got.toSeq === single.toSeq, s"query $qid batch/single drift")
+    }
+  }
+
   test("sim_quantized_probe answers identically to sim_quantized_topk") {
     val a = Embeddings.qQuantizedTopK(spark, sf0001).collect().toSeq
     val b = graft.operators.Embeddings

@@ -30,7 +30,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     "hybrid_retrieval",
     // broadcast 1-row vocabulary-size scalar crossed onto the bigram
     // stream (the add-one-smoothing denominator)
-    "lm_logprob")
+    "lm_logprob",
+    // broadcast 8-query-row frame crossed onto the codes scan — the
+    // sim_batch_topk batch-serving shape on the quantized table
+    "sim_quantized_batch")
 
   /** Queries that intentionally plan an unpartitioned (global) Window —
     * the canonical 100 TB plan killer when it sits over corpus-sized data.

@@ -512,6 +512,7 @@ object SparkEntry {
     "mm_audio_features"   -> (Multimodal.qAudioFeatures _),
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
+    "stream_dedup"        -> (StreamingOps.qStreamDedup _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
     "stream_sessions_append" -> (StreamingOps.qStreamSessions _),
     "stream_stream_join"  -> (StreamingOps.qStreamStreamJoin _),
@@ -2109,6 +2110,14 @@ object SparkEntry {
     // --- streaming (tumbling replays the stream; sessions run the same
     // operator in batch; both reconstruct in SQL) ---
     "stream_tumbling" -> q11Sql,
+    // stream_dedup: which duplicate survives the streaming dedup is
+    // parallelism-dependent, but the surviving KEY SET is not — the
+    // rollup (distinct users per day × type) is the deterministic,
+    // oracle-checkable contract.
+    "stream_dedup" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+        |  count(DISTINCT user_id)::BIGINT AS n_unique_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_stream_join" ->
       """SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
         |FROM events p JOIN events v

@@ -507,6 +507,34 @@ object StreamingOps {
       .filter(col("event_type") =!= "__sentinel__")
       .orderBy("bucket", "event_type")
 
+  /** Registered query (`stream_dedup`): [[streamingDedup]] driven end to
+    * end through the engine — the dedupe-at-ingest front of a
+    * training-data pipeline, previously spec-only.
+    *
+    * Determinism design: WHICH duplicate row survives
+    * `dropDuplicatesWithinWatermark` is parallelism-dependent, but the
+    * SET of surviving keys is not — so the query dedups on
+    * (user_id, event_type, day) and rolls the survivors up to
+    * distinct-users per (day window × type), a count the oracle
+    * reproduces exactly (`count(DISTINCT user_id)` per day/type; the
+    * day inside the key pins each survivor's window assignment no
+    * matter which duplicate won). The windowed rollup also gives the
+    * replay harness's flush latch a watermark-closed output to await —
+    * bare dropDuplicates emits mid-batch and would never trip it — and
+    * exercises the chained-stateful-operator path (dedup state THEN
+    * window state in one query). The sentinel's own far-future window
+    * never closes, so it self-excludes from the append output. */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    replayEventsAppend(s, dir, "sdedup")(ev =>
+      streamingDedup(ev.withColumn("day", date_trunc("day", col("ts"))),
+        Seq("user_id", "event_type", "day"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_unique_users"))
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n_unique_users")))
+      .filter(col("event_type") =!= "__sentinel__")
+      .orderBy("bucket", "event_type")
+
   /** Streaming volume-anomaly detection against a BATCH-computed
     * profile — the production monitoring split: a nightly batch job
     * profiles per-type hourly volume (mean + population stddev), the

@@ -510,6 +510,7 @@ object SparkEntry {
     "mm_media_features"   -> (Multimodal.qMediaFeatures _),
     "mm_frame_sample"     -> (Multimodal.qFrameSample _),
     "mm_audio_features"   -> (Multimodal.qAudioFeatures _),
+    "mm_dedup"            -> (Multimodal.qMediaDedup _),
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
     "stream_dedup"        -> (StreamingOps.qStreamDedup _),
@@ -2078,6 +2079,18 @@ object SparkEntry {
          |  (checksum % 480 + 1)::BIGINT AS stub_height,
          |  checksum
          |FROM f ORDER BY doc_id""".stripMargin,
+    // mm_dedup: blob-level exact dedup on a REAL content hash — Spark's
+    // sha2 and DuckDB's sha256 digest the same payload bytes, so the
+    // whole query (hash → group → canonical/min → size) is hash-checked
+    // with no fingerprint-collision caveat. Null payloads coalesce to
+    // the empty blob on both sides.
+    "mm_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |    sha256(coalesce(text, '')) AS h FROM documents)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+        |  count(*) OVER (PARTITION BY h) AS group_size
+        |FROM k ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH f AS (SELECT doc_id,
          |    octet_length(encode(text))::BIGINT AS n_bytes,

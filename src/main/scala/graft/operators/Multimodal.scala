@@ -314,4 +314,37 @@ object Multimodal {
         "duration_ms", "n_bytes")
       .orderBy("doc_id")
   }
+
+  /** Blob-level exact dedup — the first pass of every multimodal dedup
+    * pipeline: identical payloads (re-crawled images, mirrored files)
+    * collapse on a cryptographic content hash BEFORE any expensive
+    * perceptual/embedding comparison runs. One codegen'd sha256 per
+    * blob, one hash-partitioned window — no byte shuffles (the 32-byte
+    * digest shuffles, never the blob), no pairwise anything; at 100 TB
+    * this is a metadata-weight pass over arbitrarily large payloads.
+    * sha2 here and sha256 in the DuckDB oracle hash the same bytes, so
+    * the query is hash-checked end to end (unlike the stub checksum,
+    * collisions are not a caveat). Null payloads coalesce to empty
+    * (the repo convention) and thus dedup into one group. */
+  def blobDedup(media: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_hash")
+    media
+      .select(col(idCol), sha2(coalesce(col(bytesCol),
+        lit(Array.emptyByteArray)), 256).as("content_hash"))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col(idCol), col("canonical_id"), col("group_size"))
+      .orderBy(idCol)
+  }
+
+  /** Registered query (`mm_dedup`): [[blobDedup]] over the documents'
+    * payload bytes (the same text-as-opaque-blob framing the rest of
+    * the mm_ family uses). */
+  def qMediaDedup(s: SparkSession, dir: String): DataFrame =
+    blobDedup(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("bytes")),
+      "doc_id", "bytes")
 }

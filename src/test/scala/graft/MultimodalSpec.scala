@@ -195,4 +195,19 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .schema.fieldNames.toSet
     assert(!schema.contains("bytes"))
   }
+  test("blobDedup: identical payloads collapse on sha256; null == empty") {
+    val media = Seq(
+      (1L, "same payload"),
+      (2L, "same payload"),   // exact duplicate of 1
+      (3L, "different"),
+      (4L, null),             // null payload...
+      (5L, "")                // ...groups with the empty payload
+    ).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text").cast("binary").as("bytes"))
+    val out = graft.operators.Multimodal.blobDedup(media, "doc_id", "bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 2L), (5L, 4L, 2L)))
+  }
 }

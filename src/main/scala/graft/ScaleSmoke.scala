@@ -189,7 +189,8 @@ object ScaleSmoke {
           n == "er_customers" || n == "graph_pagerank" ||
           n == "graph_triangles" || n == "pipeline_funnel" ||
           n == "hybrid_retrieval" || n == "sim_mmr" ||
-          n == "sim_quantized_probe") && n != "text_redact"
+          n == "sim_quantized_probe" || n == "sim_quantized_batch" ||
+          n == "mm_dedup") && n != "text_redact"
       if (only.isEmpty) inDefaultFamily
       else only.exists(n.contains)
     }

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MaterializedCache
+
+/** Direct unit pins for the shared write-once cache machinery (the IVF
+  * index and the int8 codes table both ride it — a regression here
+  * corrupts two no-oracle/serving families at once, so the contract is
+  * pinned at the unit seam, not only through the queries). */
+class MaterializedCacheSpec extends AnyFunSuite {
+
+  private def freshRoot(): String =
+    "mcache_spec_" + java.util.UUID.randomUUID.toString.take(8)
+
+  private def rootPath(rootName: String) =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), rootName)
+
+  test("builds once, then serves the cached tree without re-building") {
+    val root = freshRoot()
+    var builds = 0
+    def get() = MaterializedCache.getOrBuild(root, "stemA",
+        "stemA_v1_100_1", "done.marker") { tmp =>
+      builds += 1
+      java.nio.file.Files.writeString(tmp.resolve("done.marker"), "ok")
+      java.nio.file.Files.writeString(tmp.resolve("payload"), "data")
+    }
+    val p1 = get()
+    val p2 = get()
+    assert(builds === 1, "second call must hit the cache")
+    assert(p1 === p2)
+    assert(java.nio.file.Files.readString(p1.resolve("payload")) === "data")
+  }
+
+  test("an incomplete tree (no done marker) is rebuilt, not served") {
+    val root = freshRoot()
+    val idx = rootPath(root).resolve("stemB_v1_5_5")
+    java.nio.file.Files.createDirectories(idx)
+    java.nio.file.Files.writeString(idx.resolve("payload"), "torn write")
+    var builds = 0
+    // ATOMIC_MOVE onto the existing residue directory fails on POSIX
+    // when non-empty, so the discard-vs-surface branch is exercised:
+    // without a landed marker the failure must SURFACE, not be
+    // swallowed as a lost race.
+    val e = intercept[java.nio.file.FileSystemException] {
+      MaterializedCache.getOrBuild(root, "stemB", "stemB_v1_5_5",
+          "done.marker") { tmp =>
+        builds += 1
+        java.nio.file.Files.writeString(tmp.resolve("done.marker"), "ok")
+      }
+    }
+    assert(builds === 1, "the incomplete tree must trigger a rebuild")
+    assert(e != null)
+  }
+
+  test("superseded siblings of the same stem are pruned; other stems kept") {
+    val root = freshRoot()
+    val stale = rootPath(root).resolve("stemC_v1_OLD_0")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("junk"), "old fingerprint")
+    val other = rootPath(root).resolve("stemD_v1_1_1")
+    java.nio.file.Files.createDirectories(other)
+    java.nio.file.Files.writeString(other.resolve("done.marker"), "ok")
+    MaterializedCache.getOrBuild(root, "stemC", "stemC_v1_NEW_1",
+        "done.marker") { tmp =>
+      java.nio.file.Files.writeString(tmp.resolve("done.marker"), "ok")
+    }
+    assert(!java.nio.file.Files.exists(stale),
+      "stale sibling of the same stem must be pruned")
+    assert(java.nio.file.Files.exists(other.resolve("done.marker")),
+      "other stems must be left alone")
+  }
+
+  test("fingerprint sums bytes and maxes mtime over a tree") {
+    val dir = java.nio.file.Files.createTempDirectory("mcache_fp")
+    java.nio.file.Files.writeString(dir.resolve("a"), "12345")
+    java.nio.file.Files.writeString(dir.resolve("b"), "678")
+    val (bytes, mtime) = MaterializedCache.fingerprint(dir)
+    assert(bytes === 8L)
+    assert(mtime > 0L)
+    // content growth changes the fingerprint (the cache-key property)
+    java.nio.file.Files.writeString(dir.resolve("c"), "9")
+    assert(MaterializedCache.fingerprint(dir)._1 === 9L)
+  }
+}

@@ -53,10 +53,22 @@ private[graft] object MaterializedCache {
     if (!Files.exists(idx.resolve(doneMarker))) {
       Files.createDirectories(root)
       val ls = Files.list(root)
+      // Prune (a) superseded siblings of this stem and (b) `.build_`
+      // residue older than an hour — a crashed builder's temp tree is
+      // never moved into place and would otherwise leak in tmpdir
+      // forever; an hour is far beyond any real build, so a LIVE
+      // concurrent build's tree is never touched.
+      val staleBuildCutoff = System.currentTimeMillis() - 3600000L
       try ls.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith(stem + "_") && n != key && !n.startsWith(".build_")
+          val supersededSibling =
+            n.startsWith(stem + "_") && n != key && !n.startsWith(".build_")
+          def crashedBuild =
+            n.startsWith(".build_") &&
+              (try Files.getLastModifiedTime(p).toMillis < staleBuildCutoff
+               catch { case _: java.io.IOException => false })
+          supersededSibling || crashedBuild
         }
         .foreach(p => try deleteTree(p) catch { case _: java.io.IOException => () })
       finally ls.close()

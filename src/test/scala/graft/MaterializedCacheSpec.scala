@@ -71,6 +71,28 @@ class MaterializedCacheSpec extends AnyFunSuite {
       "other stems must be left alone")
   }
 
+  test("crashed-build residue is pruned after an hour; a live build tree is not") {
+    val root = freshRoot()
+    java.nio.file.Files.createDirectories(rootPath(root))
+    val dead = java.nio.file.Files
+      .createTempDirectory(rootPath(root), ".build_")
+    java.nio.file.Files.writeString(dead.resolve("partial"), "crashed")
+    // age it past the 1h cutoff (tree mtime is the directory's)
+    val old = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2 * 3600000L)
+    java.nio.file.Files.setLastModifiedTime(dead, old)
+    val live = java.nio.file.Files
+      .createTempDirectory(rootPath(root), ".build_")
+    MaterializedCache.getOrBuild(root, "stemE", "stemE_v1_1_1",
+        "done.marker") { tmp =>
+      java.nio.file.Files.writeString(tmp.resolve("done.marker"), "ok")
+    }
+    assert(!java.nio.file.Files.exists(dead),
+      "hour-old crashed-build residue must be pruned")
+    assert(java.nio.file.Files.exists(live),
+      "a fresh (possibly live) build tree must survive")
+  }
+
   test("fingerprint sums bytes and maxes mtime over a tree") {
     val dir = java.nio.file.Files.createTempDirectory("mcache_fp")
     java.nio.file.Files.writeString(dir.resolve("a"), "12345")

@@ -169,8 +169,22 @@ object Embeddings {
     * partials ≤ k per query, never a Window sort over the corpus). */
   def quantizedBatchTopK(codes: DataFrame, queryIds: Seq[Long],
       k: Int = 3): DataFrame = {
+    // pinned: read once for the zero-norm validation collect, once as
+    // the broadcast build side — |queryIds| rows either way
     val q = codes.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("qv").as("qcodes"))
+      .localCheckpoint()
+    // Same guard as [[topKOverCodes]] (r14 ADVICE): an all-zero query's
+    // cosine is NaN, which TopKByScore silently skips (zero rows for
+    // that query) while the DuckDB oracle's ORDER BY cos DESC sorts NaN
+    // FIRST — a silent cross-engine divergence instead of a loud error.
+    q.collect().foreach { r =>
+      val zero = r.getSeq[Any](1).forall {
+        case n: Number => n.doubleValue == 0.0
+      }
+      require(!zero, s"quantized batch search: query vec_id=${r.getLong(0)} " +
+        "has zero norm — cosine undefined")
+    }
     codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

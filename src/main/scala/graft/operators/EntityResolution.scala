@@ -39,8 +39,6 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** Default hot-block cap: far above any block a sane composite key
     * produces, far below a genuinely skewed key (a null-heavy field, a
     * default-valued balance) whose all-pairs form would be quadratic. */
@@ -49,38 +47,44 @@ object EntityResolution {
   /** Candidate pairs from one blocking pass: equi self-join on `keys`,
     * each unordered pair once. Blocks larger than `cap` degrade to star
     * pairs around the block-min representative (rep < member always, so
-    * a < b is preserved). */
+    * a < b is preserved).
+    *
+    * Both branches are built UNCONDITIONALLY into one plan: the hot
+    * frame is empty in the common no-skew case, so the anti-join passes
+    * everything through, the star branch contributes zero rows, and the
+    * union is near-free. The previous formulation probed for hot blocks
+    * eagerly (`hot.head(1)` behind a `Lineage.pin`) to pick a branch on
+    * the driver — 2 extra Spark jobs per blocking pass, paid on EVERY
+    * call including the no-skew common case (the r14 clean bench showed
+    * er_customers regressing 1.52 → 2.48 s on exactly that overhead).
+    * The hot aggregate is pinned LAZILY (`localCheckpoint(false)`):
+    * materialized by the first branch that needs it, reused by the
+    * second, no driver round-trip. */
   private[graft] def blockPairs(recs: DataFrame, keys: Seq[String],
       cap: Int = DefaultBlockCap): DataFrame = {
     val keyed = recs.select(
       keys.map(col) :+ col("c_custkey").as("id") :+ col("c_name").as("nm"): _*)
-    val hot = Lineage.pin(keyed
+    // lazy pin: read twice below (anti-join + star join) — one compute,
+    // zero extra driver jobs (the eager pin/probe this replaces ran 2)
+    val hot = keyed
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("rep"))
       .filter(col("cnt") > cap)
-      .drop("cnt"))
-    val anyHot = hot.head(1).nonEmpty
-    val cold =
-      if (!anyHot) keyed
-      else keyed.join(hot.select(keys.map(col): _*), keys, "left_anti")
+      .drop("cnt")
+      .localCheckpoint(false)
+    val cold = keyed.join(hot.select(keys.map(col): _*), keys, "left_anti")
     val a = cold.select(
       keys.map(col) :+ col("id").as("a") :+ col("nm").as("na"): _*)
     val b = cold.select(
       keys.map(col) :+ col("id").as("b") :+ col("nm").as("nb"): _*)
     val coldPairs = a.join(b, keys).filter(col("a") < col("b"))
       .select("a", "b", "na", "nb")
-    if (!anyHot) coldPairs
-    else {
-      log.warn(s"blockPairs(${keys.mkString("+")}): hot blocks " +
-        s"(> $cap records) reduced to star candidates around the " +
-        "block-min representative")
-      val star = keyed.join(hot, keys)
-        .filter(col("id") =!= col("rep"))
-        .select(col("rep").as("a"), col("id").as("b"), col("nm").as("nb"))
-        .join(keyed.select(col("id").as("a"), col("nm").as("na")), "a")
-        .select("a", "b", "na", "nb")
-      coldPairs.unionByName(star)
-    }
+    val star = keyed.join(hot, keys)
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"), col("nm").as("nb"))
+      .join(keyed.select(col("id").as("a"), col("nm").as("na")), "a")
+      .select("a", "b", "na", "nb")
+    coldPairs.unionByName(star)
   }
 
   /** Resolve near-duplicate customer records: two blocking passes

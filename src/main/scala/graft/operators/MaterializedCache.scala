@@ -36,6 +36,20 @@ private[graft] object MaterializedCache {
     finally walk.close()
   }
 
+  /** (algorithm version, data mtime) parsed from a cache-key directory
+    * name of the canonical `{stem}_v{V}[_{anything}]_{bytes}_{mtime}`
+    * shape — the fields the prune predicate orders siblings by. None for
+    * names that predate the versioned-key discipline. */
+  private[graft] def keyMeta(stem: String, name: String): Option[(Int, Long)] =
+    if (!name.startsWith(stem + "_")) None
+    else {
+      val KeyRe = "^v(\\d+)(?:_.+)?_(\\d+)_(\\d+)$".r
+      name.drop(stem.length + 1) match {
+        case KeyRe(v, _, mtime) => Some((v.toInt, mtime.toLong))
+        case _ => None
+      }
+    }
+
   private def deleteTree(p: Path): Unit = {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder())
@@ -58,12 +72,30 @@ private[graft] object MaterializedCache {
       // never moved into place and would otherwise leak in tmpdir
       // forever; an hour is far beyond any real build, so a LIVE
       // concurrent build's tree is never touched.
+      //
+      // "Superseded" is ORDERED, not just "different key" (r14 ADVICE):
+      // a sibling is pruned only when its embedded algorithm version is
+      // OLDER than ours, or same-version with an OLDER data mtime. Two
+      // live corpora whose dirs sanitize to the same stem (the collision
+      // the fingerprint key disambiguates) therefore never evict each
+      // other's trees in a loop — at worst the newer-mtime corpus evicts
+      // the older's tree ONCE on its first build, the older rebuilds,
+      // and both trees coexist from then on. Unparseable sibling names
+      // (pre-versioning residue) still prune.
       val staleBuildCutoff = System.currentTimeMillis() - 3600000L
+      val myMeta = keyMeta(stem, key)
       try ls.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
+          def superseded = (keyMeta(stem, n), myMeta) match {
+            case (Some((sv, sm)), Some((mv, mm))) =>
+              sv < mv || (sv == mv && sm < mm)
+            case (None, _) => true // legacy / unversioned residue
+            case _ => false
+          }
           val supersededSibling =
-            n.startsWith(stem + "_") && n != key && !n.startsWith(".build_")
+            n.startsWith(stem + "_") && n != key && !n.startsWith(".build_") &&
+              superseded
           def crashedBuild =
             n.startsWith(".build_") &&
               (try Files.getLastModifiedTime(p).toMillis < staleBuildCutoff

@@ -513,8 +513,17 @@ object StreamingOps {
     *
     * Determinism design: WHICH duplicate row survives
     * `dropDuplicatesWithinWatermark` is parallelism-dependent, but the
-    * SET of surviving keys is not — so the query dedups on
-    * (user_id, event_type, day) and rolls the survivors up to
+    * SET of surviving keys is not — WITHIN the watermark window
+    * (equivalently: under this harness's single-micro-batch replay,
+    * where dedup state never evicts mid-stream). In a genuine
+    * multi-batch stream, two same-key events arriving more than the 2h
+    * watermark apart BOTH survive `dropDuplicatesWithinWatermark` (the
+    * documented contract of within-watermark dedup: state for a key is
+    * dropped once the watermark passes it), so the distinct-user
+    * equality with the oracle's global `count(DISTINCT ...)` holds for
+    * bounded arrival spread, not arbitrary re-delivery gaps — so the
+    * query dedups on (user_id, event_type, day) and rolls the survivors
+    * up to
     * distinct-users per (day window × type), a count the oracle
     * reproduces exactly (`count(DISTINCT user_id)` per day/type; the
     * day inside the key pins each survivor's window assignment no

@@ -71,6 +71,44 @@ class MaterializedCacheSpec extends AnyFunSuite {
       "other stems must be left alone")
   }
 
+  test("prune is ordered: older version/mtime pruned, newer sibling kept") {
+    // r14 ADVICE: two live corpora whose dirs sanitize to the SAME stem
+    // must not evict each other's completed trees in a loop. The prune
+    // predicate orders siblings by the key's embedded (version, mtime):
+    // only genuinely superseded trees (older algorithm version, or
+    // same-version older data) go; a NEWER-mtime sibling — the
+    // stem-colliding live corpus case — survives our build.
+    val root = freshRoot()
+    def mk(name: String): java.nio.file.Path = {
+      val p = rootPath(root).resolve(name)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("done.marker"), "ok")
+      p
+    }
+    val olderVersion = mk("stemF_v1_100_500")   // v1 < v2 → pruned
+    val olderMtime   = mk("stemF_v2_100_400")   // mtime 400 < 500 → pruned
+    val newerMtime   = mk("stemF_v2_100_900")   // mtime 900 > 500 → kept
+    val geometryKey  = mk("stemF_v2_b48x14_100_400") // mid-key segment, older → pruned
+    MaterializedCache.getOrBuild(root, "stemF", "stemF_v2_100_500",
+        "done.marker") { tmp =>
+      java.nio.file.Files.writeString(tmp.resolve("done.marker"), "ok")
+    }
+    assert(!java.nio.file.Files.exists(olderVersion), "older version must prune")
+    assert(!java.nio.file.Files.exists(olderMtime), "older data must prune")
+    assert(!java.nio.file.Files.exists(geometryKey),
+      "keys with extra mid segments must still parse and prune by mtime")
+    assert(java.nio.file.Files.exists(newerMtime.resolve("done.marker")),
+      "a newer-mtime live sibling (stem-colliding corpus) must survive")
+  }
+
+  test("keyMeta parses canonical keys, with and without mid segments") {
+    assert(MaterializedCache.keyMeta("s", "s_v3_12_34") === Some((3, 34L)))
+    assert(MaterializedCache.keyMeta("s", "s_v3_b48x14_t095_12_34")
+      === Some((3, 34L)))
+    assert(MaterializedCache.keyMeta("s", "s_v3_OLD_34") === None)
+    assert(MaterializedCache.keyMeta("s", "other_v3_12_34") === None)
+  }
+
   test("crashed-build residue is pruned after an hour; a live build tree is not") {
     val root = freshRoot()
     java.nio.file.Files.createDirectories(rootPath(root))

@@ -212,7 +212,8 @@ object ScaleSmoke {
     * family ratios measure the serving path a 100 TB user pays per
     * query, and the artifact reports the amortized build cost
     * explicitly under "prebuild". */
-  private val cacheBacked = Set("sim_ivf_probe", "sim_quantized_probe")
+  private val cacheBacked =
+    Set("sim_ivf_probe", "sim_quantized_probe", "dedup_embedding")
 
   private def prebuild(s: SparkSession, dir: String): Seq[(String, Double)] =
     family.collect { case (name, fn) if cacheBacked(name) =>

@@ -841,11 +841,19 @@ object Dedup {
     * noise fraction. Sketch frames are pinned (n·(d+16) bytes — small)
     * so the sketch UDF runs once per side, not once per consumer. */
   private[graft] def verifyCosinePairs(cands: DataFrame, aFrame: DataFrame,
-      bFrame: DataFrame, aId: String, bId: String, threshold: Double)
-      : DataFrame = {
-    def sk(f: DataFrame, id: String, tag: String) =
-      f.select(col("vec_id").as(id), verifySketchUdf(col("embedding")).as(tag))
-        .localCheckpoint()
+      bFrame: DataFrame, aId: String, bId: String, threshold: Double,
+      sketches: Option[DataFrame] = None): DataFrame = {
+    // `sketches` = a pre-materialized (vec_id, sk) frame (the write-once
+    // LSH artifact, [[materializedLshTables]]): both sides read it
+    // directly — no per-call sketch UDF pass, no checkpoint (the backing
+    // parquet is already re-readable).
+    def sk(f: DataFrame, id: String, tag: String) = sketches match {
+      case Some(s) => s.select(col("vec_id").as(id), col("sk").as(tag))
+      case None =>
+        f.select(col("vec_id").as(id),
+          verifySketchUdf(col("embedding")).as(tag))
+          .localCheckpoint()
+    }
     val survivors = cands
       .join(sk(aFrame, aId, "_ska"), aId)
       .join(sk(bFrame, bId, "_skb"), bId)
@@ -872,15 +880,27 @@ object Dedup {
     val banded0 = embeddings
       .select(col("vec_id"), posexplode(sketch(col("embedding"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    // hot-bucket guard, same shape as minhashLshCore: a dense embedding
-    // region (mass-duplicated vectors — the web-image/boilerplate case)
-    // puts >cap ids in one (band, key) bucket in EVERY band; the
-    // self-join there is O(bucket²) per band. Degrade hot buckets to
-    // star candidates around the bucket minimum — O(bucket) edges whose
-    // exact-cosine verification + connected components still recover
-    // the full duplicate group. Checkpoint only when the guard reads
-    // the banded frame twice.
+    // Checkpoint only when the guard reads the per-call banded frame
+    // twice (the materialized path skips this — parquet re-reads free).
     val banded = if (dfCap.isDefined) banded0.localCheckpoint() else banded0
+    bandedNearDupCore(banded, embeddings, threshold, dfCap, sketches = None)
+  }
+
+  /** The post-banding half of [[embeddingNearDupPairs]], shared by the
+    * per-call path and the materialized-artifact path
+    * ([[qEmbeddingNearDup]]): hot-bucket guard → (band, key) candidate
+    * self-join → sketch-prefiltered exact-cosine verification.
+    *
+    * Hot-bucket guard, same shape as minhashLshCore: a dense embedding
+    * region (mass-duplicated vectors — the web-image/boilerplate case)
+    * puts >cap ids in one (band, key) bucket in EVERY band; the
+    * self-join there is O(bucket²) per band. Degrade hot buckets to
+    * star candidates around the bucket minimum — O(bucket) edges whose
+    * exact-cosine verification + connected components still recover
+    * the full duplicate group. */
+  private def bandedNearDupCore(banded: DataFrame, embeddings: DataFrame,
+      threshold: Double, dfCap: Option[Int],
+      sketches: Option[DataFrame]): DataFrame = {
     val (capped, hotSplit) = dfCap match {
       case None => (banded, None)
       case Some(cap) =>
@@ -897,7 +917,7 @@ object Dedup {
       h.star.select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"))))
       .distinct()
     verifyCosinePairs(cands, embeddings, embeddings, "vid_a", "vid_b",
-      threshold)
+      threshold, sketches)
       .orderBy("vid_a", "vid_b")
   }
 
@@ -1298,14 +1318,61 @@ object Dedup {
     incrementalNearDups(Tables.documents(s, dir), col("doc_id") % 10 === 0)
       .orderBy("corpus_doc_id", "batch_doc_id")
 
+  /** Bumped whenever the hyperplane-sketch / verify-sketch semantics
+    * change — rides in the cache key so a stale LSH artifact can never
+    * be served for the same data. */
+  private val LshTableVersion = 1
+
+  /** Write-once materialized LSH artifact for `dir`'s embeddings table
+    * (the int8-codes / IVF-index pattern, [[MaterializedCache]]):
+    * `banded/` = the (vec_id, band, key) hyperplane band signatures,
+    * `sketch/` = the compact (vec_id, sk) verify sketches
+    * ([[verifySketchUdf]] — int8 codes + scale + exact norm, d+16 bytes
+    * per vector). Both are pure per-row functions of the embedding under
+    * a FIXED seed, so materializing them changes nothing downstream —
+    * the candidate join and verification read identical rows.
+    *
+    * Why: these two builds were the one remaining per-call corpus pass
+    * of the near-dup serving path — at the 512-d 100× stress they
+    * dominated dedup_embedding's curve (5.73×, ~9.5 s of re-sketching
+    * per call, r14 verdict #1). One build per INGEST, keyed on
+    * (algorithm version, band geometry, data fingerprint); every later
+    * call is probe-only. Returns (banded, sketches) frames. */
+  private def materializedLshTables(s: SparkSession, dir: String,
+      bands: Int, rowsPerBand: Int, dim: Int = 64): (DataFrame, DataFrame) = {
+    val (bytes, mtime) = MaterializedCache.fingerprint(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    val stem = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_lsh"
+    val key =
+      s"${stem}_v${LshTableVersion}_b${bands}x${rowsPerBand}d${dim}_${bytes}_$mtime"
+    val idx = MaterializedCache.getOrBuild("graft_lsh_bands", stem, key,
+        "sketch/_SUCCESS") { tmp =>
+      val e = Tables.embeddings(s, dir)
+      val sketch = hyperplaneSketch(bands, rowsPerBand, dim)
+      e.select(col("vec_id"), posexplode(sketch(col("embedding"))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+        .write.mode("overwrite").parquet(tmp.resolve("banded").toString)
+      e.select(col("vec_id"), verifySketchUdf(col("embedding")).as("sk"))
+        .write.mode("overwrite").parquet(tmp.resolve("sketch").toString)
+    }
+    (s.read.parquet(idx.resolve("banded").toString),
+      s.read.parquet(idx.resolve("sketch").toString))
+  }
+
   /** dedup_embedding — band geometry tuned to the corpus row count
     * ([[bandGeometry]]; the count is a metadata-cheap job), so noise
     * candidates stay ~linear in n at any scale while the (48, 14)
-    * oracle-scale geometry is preserved bit-exact below ~26k rows. */
+    * oracle-scale geometry is preserved bit-exact below ~26k rows.
+    * Band signatures and verify sketches come from the write-once
+    * materialized artifact ([[materializedLshTables]]) — the serving
+    * path re-sketches nothing; full embeddings are joined back only for
+    * the surviving candidates' exact cosine. */
   def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val (bands, rowsPerBand) = bandGeometry(e.count(), 0.95)
-    embeddingNearDupPairs(e, bands = bands, rowsPerBand = rowsPerBand)
+    val (banded, sketches) = materializedLshTables(s, dir, bands, rowsPerBand)
+    bandedNearDupCore(banded, e, threshold = 0.95,
+      dfCap = Some(DefaultDfCap), sketches = Some(sketches))
   }
 
   /** emb_cross_decon — every 10th vector plays the "benchmark" set

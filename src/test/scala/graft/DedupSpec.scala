@@ -195,6 +195,33 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === Seq((100L, 101L)))
   }
 
+  test("materialized LSH artifact serves identical pairs to the per-call path") {
+    // qEmbeddingNearDup reads the write-once banded/sketch tables
+    // (MaterializedCache); the band signatures and verify sketches are
+    // pure per-row functions of the embedding under a fixed seed, so the
+    // output must be ROW-IDENTICAL to the per-call formulation — and a
+    // second call (cache hit) identical again.
+    val rng = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = vec()
+    val rows = (0 until 25).map(i => (i.toLong, vec())) :+
+      (100L, base) :+ (101L, base.map(_ + 0.01f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshmat").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (bands, rpb) = Dedup.bandGeometry(emb.count(), 0.95)
+    val expect = Dedup.embeddingNearDupPairs(
+        Dedup.qEmbeddingNearDup(spark, dir).sparkSession.read
+          .parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.95, bands = bands, rowsPerBand = rpb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def got() = Dedup.qEmbeddingNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got() === expect)
+    assert(got() === expect, "cache-hit second call must serve the same rows")
+    assert(expect.map(t => (t._1, t._2)).contains((100L, 101L)))
+  }
+
   test("embedding cross join finds planted cross pairs, never within-side pairs") {
     val rng = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)

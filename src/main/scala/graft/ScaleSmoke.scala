@@ -213,7 +213,8 @@ object ScaleSmoke {
     * query, and the artifact reports the amortized build cost
     * explicitly under "prebuild". */
   private val cacheBacked =
-    Set("sim_ivf_probe", "sim_quantized_probe", "dedup_embedding")
+    Set("sim_ivf_probe", "sim_quantized_probe", "dedup_embedding",
+      "dedup_semantic")
 
   private def prebuild(s: SparkSession, dir: String): Seq[(String, Double)] =
     family.collect { case (name, fn) if cacheBacked(name) =>

@@ -459,6 +459,8 @@ object SparkEntry {
     "dedup_spans"         -> (Dedup.qRemoveDuplicatedSpans _),
     "dedup_segments"      -> (Segments.qDedupSegments _),
     "dedup_incremental"   -> (Dedup.qIncremental _),
+    "dedup_semantic"      -> (SemanticDedup.qSemanticPrune _), // no oracle: cluster membership depends on fitted centroids; gated by dedup_semantic_gate
+    "dedup_semantic_gate" -> (SemanticDedup.qSemanticGate _),
     "er_customers"        -> (EntityResolution.qResolveCustomers _),
     // --- text analysis ---
     "text_token_counts"   -> (TextAnalysis.qTokenCounts _),
@@ -1208,6 +1210,19 @@ object SparkEntry {
     "dedup_simhash_exact" ->
       """SELECT 0::BIGINT AS max_hamming, true AS nonempty,
         |  true AS pass""".stripMargin,
+    // dedup_semantic_gate: the semantic prune's clusters come from a
+    // fitted k-means (engine-internal — the oracle cannot re-run it),
+    // but the CONTRACT is oracle-checkable: every planted exact-copy
+    // vector must be caught in its source's group (identical vectors
+    // share a cluster regardless of where the centroids landed, and
+    // verify at cosine 1). n_planted is recomputed from the table, so
+    // the gate is tied to the data; a clustering/verify/grouping
+    // regression flips a flag and hash-mismatches this row.
+    "dedup_semantic_gate" ->
+      """SELECT CAST(0.95 AS DOUBLE) AS threshold,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)::BIGINT
+        |    AS n_planted,
+        |  true AS all_planted_caught, true AS pass""".stripMargin,
     // dedup_hist_sampled: deterministic md5-prefix sample whose RATE is
     // derived from the corpus count (constant sample BUDGET ~1250 docs,
     // powers-of-4 mod up to 256) — the oracle recomputes the same rate

@@ -178,7 +178,7 @@ object Dedup {
     * to know WHICH keys were degraded — see [[ngramJaccardCore]]). */
   private[operators] case class HotSplit(star: DataFrame, hotKeys: DataFrame)
 
-  private def splitHotKeysStar(df: DataFrame, keys: Seq[String],
+  private[operators] def splitHotKeysStar(df: DataFrame, keys: Seq[String],
       idCol: String, cap: Int, what: String)
       : (DataFrame, Option[HotSplit]) = {
     val (hot, nHot) = materializeHot(
@@ -1076,8 +1076,15 @@ object Dedup {
     session.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
     // Re-root the persisted pair frame in the child session: the scan
     // reads the parent's cache; everything downstream plans under the
-    // child's conf.
-    val pc = session.createDataFrame(p.rdd, p.schema)
+    // child's conf. COALESCE to the graph-sized width immediately — the
+    // parent cache holds the pairs in parentParts partitions (32+ on a
+    // 32-thread session), and without the coalesce every iteration
+    // action re-scans all of them as separate tasks: on a small graph
+    // (the planted-duplicate shapes er_customers / dedup_semantic /
+    // dedup_clusters emit) task scheduling dominated the whole CC call
+    // (~0.4-0.5 s PER labelSum action, measured r15). At real graph
+    // sizes ccParts ≈ parentParts and this is a no-op.
+    val pc = session.createDataFrame(p.rdd, p.schema).coalesce(ccParts.toInt)
     val edges = pc.unionAll(pc.select(col("b").as("a"), col("a").as("b")))
       .persist()
     var labels = edges.groupBy(col("a").as("node"))

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.SemanticDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(5)
+  private def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+
+  test("planted semantic duplicates collapse to one representative per group") {
+    // two "restatement" groups (tiny perturbations of a base vector —
+    // cosine ≈ 1) amid noise; each group must come out as one component
+    // with the min id canonical, and no noise vector may be pruned
+    val baseA = vec()
+    val baseB = vec()
+    val rows =
+      Seq((10L, baseA), (11L, baseA.map(_ + 0.005f)), (12L, baseA.map(_ * 1.01f)),
+        (20L, baseB), (21L, baseB.map(_ + 0.005f))) ++
+        (100 until 140).map(i => (i.toLong, vec()))
+    val e = rows.toDF("vec_id", "embedding")
+    val out = SemanticDedup.semanticPrune(e, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.view.filterKeys(Set(10L, 11L, 12L)).values.toSet === Set(10L))
+    assert(out.view.filterKeys(Set(20L, 21L)).values.toSet === Set(20L))
+    assert(out.keySet.forall(k => k < 100L), s"noise pruned: $out")
+  }
+
+  test("degenerate cluster beyond the cap degrades to a star; CC recovers the group") {
+    // 60 exact copies all land on one centroid — with cap 16 the
+    // within-cluster self-join would be C(60,2)=1770 candidate pairs;
+    // the star guard must hold it to 59 spanning edges, and the
+    // component still covers all 60 members
+    val base = vec()
+    val e = ((0 until 60).map(i => (i.toLong, base.clone())) ++
+      (100 until 130).map(i => (i.toLong, vec()))).toDF("vec_id", "embedding")
+    val out = SemanticDedup.semanticPrune(e, threshold = 0.99,
+      clusterTarget = 4, cap = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 60).foreach(i => assert(out(i.toLong) === 0L,
+      s"copy $i fell out of the degraded hot cluster"))
+    assert(out.keySet.forall(_ < 60L))
+  }
+
+  test("empty corpus returns empty, no crash") {
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SemanticDedup.semanticPrune(e).count() === 0L)
+  }
+
+  test("gate query passes end to end on a parquet corpus") {
+    val e = ((0 until 50).map(i => (i.toLong, vec())))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val row = SemanticDedup.qSemanticGate(spark, dir).head()
+    assert(row.getDouble(0) === 0.95)
+    assert(row.getLong(1) === 5L) // vec_ids 0,10,20,30,40
+    assert(row.getBoolean(2), "every planted clone must be caught")
+    assert(row.getBoolean(3))
+  }
+}

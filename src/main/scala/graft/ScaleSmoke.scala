@@ -190,7 +190,8 @@ object ScaleSmoke {
           n == "graph_triangles" || n == "pipeline_funnel" ||
           n == "hybrid_retrieval" || n == "sim_mmr" ||
           n == "sim_quantized_probe" || n == "sim_quantized_batch" ||
-          n == "mm_dedup") && n != "text_redact"
+          n == "mm_dedup" || n == "mm_neardup" ||
+          n == "mm_neardup_gate") && n != "text_redact"
       if (only.isEmpty) inDefaultFamily
       else only.exists(n.contains)
     }

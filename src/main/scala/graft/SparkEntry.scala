@@ -513,6 +513,8 @@ object SparkEntry {
     "mm_frame_sample"     -> (Multimodal.qFrameSample _),
     "mm_audio_features"   -> (Multimodal.qAudioFeatures _),
     "mm_dedup"            -> (Multimodal.qMediaDedup _),
+    "mm_neardup"          -> (Multimodal.qMediaNearDup _), // no oracle: byte-resampled aHash grid; gated by mm_neardup_gate
+    "mm_neardup_gate"     -> (Multimodal.qMediaNearDupGate _),
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
     "stream_dedup"        -> (StreamingOps.qStreamDedup _),
@@ -2106,6 +2108,23 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY h) AS canonical_id,
         |  count(*) OVER (PARTITION BY h) AS group_size
         |FROM k ORDER BY doc_id""".stripMargin,
+    // mm_neardup_gate: the aHash fingerprints are engine-internal (a
+    // byte-resampling grid kernel SQL can't reasonably replay), but the
+    // CONTRACT is oracle-checkable — pigeonhole banding at radius 2 is
+    // exact, so every planted byte-identical copy (Hamming 0) and every
+    // planted total-preserving 2-byte swap (Hamming <= 2 by
+    // construction) MUST surface as a pair. The planted population is
+    // recomputed from the table, the flags ride as constants; a
+    // fingerprint/banding/verify regression flips a flag and
+    // hash-mismatches this row.
+    "mm_neardup_gate" ->
+      """SELECT 2::BIGINT AS max_hamming,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 30 = 0)::BIGINT
+        |    AS n_exact,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 20 = 0)::BIGINT
+        |    AS n_near,
+        |  true AS all_exact_caught, true AS all_near_caught,
+        |  true AS pass""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH f AS (SELECT doc_id,
          |    octet_length(encode(text))::BIGINT AS n_bytes,

@@ -685,17 +685,29 @@ object Dedup {
     if (width >= 64) -1L else (1L << width) - 1
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+      dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+    fingerprintPairs(simhash(docs), maxHamming, dfCap, "simhashPairs")
+
+  /** Pigeonhole-banded Hamming pair join over ANY 64-bit fingerprint
+    * frame (doc_id, simhash) — the shared core of [[simhashPairs]] and
+    * the perceptual-hash near-dup path
+    * ([[Multimodal.qMediaNearDup]]): split the fingerprint into
+    * (maxHamming+1) bands, ids-only band join, xor/bit_count verify.
+    * All the simhash scale properties (hot-bucket star guard, bandMask
+    * width-64 wrap pin, never-broadcast corpus sides) apply to every
+    * fingerprint kind riding it. */
+  private[graft] def fingerprintPairs(fingerprints: DataFrame,
+      maxHamming: Int, dfCap: Option[Int], what: String): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
     // The fingerprint frame feeds the banding (plus its hot-bucket
     // aggregation job when the cap is on) AND two verification rejoins —
-    // pin it so the tokenizing UDF runs once per doc. Rows are
+    // pin it so the fingerprint UDF runs once per doc. Rows are
     // (doc_id, simhash) = 16 bytes — disk-friendly at corpus scale (a
     // real cluster would use reliable checkpoint()). Cap off keeps the
     // pure plan: the three readers share the computed exchange anyway.
-    val sh0 = simhash(docs)
-    val sh = if (dfCap.isDefined) sh0.localCheckpoint() else sh0
+    val sh = if (dfCap.isDefined) fingerprints.localCheckpoint()
+      else fingerprints
     val banded = sh.select(col("doc_id"),
       explode(sequence(lit(0), lit(nBands - 1))).as("band"),
       col("simhash"))
@@ -705,8 +717,7 @@ object Dedup {
     val (capped, hotSplit) = dfCap match {
       case None => (banded, None)
       case Some(cap) =>
-        splitHotKeysStar(banded, Seq("band", "key"), "doc_id", cap,
-          "simhashPairs")
+        splitHotKeysStar(banded, Seq("band", "key"), "doc_id", cap, what)
     }
     val l = capped.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val r = capped.select(col("doc_id").as("doc_b"), col("band"), col("key"))

@@ -347,4 +347,141 @@ object Multimodal {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("bytes")),
       "doc_id", "bytes")
+
+  // ---------------------------------------------------------------------
+  // Perceptual near-dup (the pass AFTER blobDedup: one corrupted /
+  // re-encoded byte defeats a cryptographic hash; a perceptual
+  // fingerprint survives it)
+  // ---------------------------------------------------------------------
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint over a payload:
+    * resample the byte stream onto an 8×8 grid (64 equal segments, cell
+    * value = mean byte), bit k = 1 iff cell k's mean exceeds the global
+    * mean. This is the standard aHash structure with the byte stream
+    * standing in for the grayscale raster — the [[extractFeatures]]
+    * stub-decode convention (no raster codec ships in this container;
+    * a real pipeline decodes pixels at this seam and feeds THEM to the
+    * same grid/mean/threshold kernel, changing nothing downstream).
+    *
+    * Properties the near-dup contract needs, both exact-integer:
+    * locality — a byte edit perturbs only its own cell's mean (plus the
+    * global mean by ±delta/n), so small corruptions move few bits;
+    * determinism — mean comparisons are exact cross-multiplied longs
+    * (sums(k)·n vs total·cnt(k)), no float rounding. Empty/null → 0L. */
+  def perceptualHash(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.length == 0) return 0L
+    val n = bytes.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * 64 / n).toInt
+      val v = bytes(i) & 0xff
+      sums(c) += v
+      cnts(c) += 1
+      total += v
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      // cellMean > globalMean  ⇔  sums(k)/cnts(k) > total/n
+      //                        ⇔  sums(k)·n > total·cnts(k)
+      // (exact in Long: sums(k) ≤ 255·n/64, so the product ≤ 4·n² —
+      // safe for payloads to ~1.5 GB, far past any single-blob row)
+      if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  private val phashUdf = udf { bytes: Array[Byte] => perceptualHash(bytes) }
+
+  /** Total-preserving 2-byte corruption: swap the first and middle
+    * bytes. Models a re-encoded/bit-rotted blob that [[blobDedup]]'s
+    * sha256 can never match, while perturbing at most TWO aHash cells
+    * (the swap leaves the global byte sum unchanged, so no other cell's
+    * comparison can flip) — Hamming ≤ 2 by construction, which is what
+    * makes [[qMediaNearDupGate]]'s catch-all contract exact rather than
+    * probabilistic. */
+  private val corruptUdf = udf { bytes: Array[Byte] =>
+    if (bytes == null || bytes.length < 2) bytes
+    else {
+      val out = bytes.clone()
+      val mid = out.length / 2
+      val t = out(0); out(0) = out(mid); out(mid) = t
+      out
+    }
+  }
+
+  /** Perceptual near-dup pairs over a blob frame: aHash fingerprints,
+    * then the shared pigeonhole Hamming band join
+    * ([[Dedup.fingerprintPairs]] — ids-only band join, xor/bit_count
+    * verify, hot-bucket star guard). Shuffles carry (id, 64-bit
+    * fingerprint); blobs never leave the scan. */
+  def perceptualNearDup(media: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 2,
+      dfCap: Option[Int] = Some(Dedup.DefaultDfCap)): DataFrame =
+    Dedup.fingerprintPairs(
+        media.select(col(idCol).as("doc_id"),
+          phashUdf(col(bytesCol)).as("simhash")),
+        maxHamming, dfCap, "perceptualNearDup")
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        col("hamming"))
+
+  /** The planted corpus both mm_neardup queries run on: document blobs
+    * plus, for every 20th doc, a [[corruptUdf]] near-copy under
+    * +3000000 (invisible to sha256, Hamming ≤ 2 to its source) and, for
+    * every 30th doc, an EXACT byte copy under +2000000 (Hamming 0). */
+  private def plantedMedia(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+    docs
+      .unionByName(docs.filter(col("id") % 30 === 0)
+        .select((col("id") + 2000000L).as("id"), col("bytes")))
+      .unionByName(docs.filter(col("id") % 20 === 0)
+        .select((col("id") + 3000000L).as("id"),
+          corruptUdf(col("bytes")).as("bytes")))
+  }
+
+  /** Registered query (`mm_neardup`): perceptual near-dup pairs over
+    * the planted media corpus at Hamming ≤ 2. No-oracle (the aHash
+    * grid resample is byte-iterating arithmetic DuckDB SQL can't
+    * reasonably replay); [[qMediaNearDupGate]] is the oracle-checked
+    * companion. */
+  def qMediaNearDup(s: SparkSession, dir: String): DataFrame =
+    perceptualNearDup(plantedMedia(s, dir), "id", "bytes")
+
+  /** Registered gate (`mm_neardup_gate`): the oracle-checkable CONTRACT
+    * of the perceptual pass — every planted exact copy (Hamming 0) and
+    * every planted 2-byte corruption (Hamming ≤ 2 by the
+    * total-preserving-swap construction) MUST appear in the banded pair
+    * set; pigeonhole banding is exact at the configured radius, so a
+    * miss is a regression, not noise. n_exact / n_near are recomputed
+    * from the table by the oracle. Runs the UNCAPPED plan (dfCap=None,
+    * the qSimhashExact discipline): the hot-bucket star guard
+    * deliberately thins pair sets, so the completeness contract is
+    * checked on the pure banding; the guard's own degradation contract
+    * is spec-pinned separately (MultimodalSpec). */
+  def qMediaNearDupGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val pairs = perceptualNearDup(plantedMedia(s, dir), "id", "bytes",
+      dfCap = None).localCheckpoint()
+    val exactWanted = docs.filter(col("doc_id") % 30 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 2000000L).as("id_b"))
+    val nearWanted = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 3000000L).as("id_b"))
+    val nExact = exactWanted.count()
+    val nNear = nearWanted.count()
+    val exactCaught = exactWanted
+      .join(pairs.filter(col("hamming") === 0L), Seq("id_a", "id_b")).count()
+    val nearCaught = nearWanted.join(pairs, Seq("id_a", "id_b")).count()
+    import s.implicits._
+    Seq((2L, nExact, nNear,
+      exactCaught == nExact, nearCaught == nNear,
+      exactCaught == nExact && nearCaught == nNear && nExact > 0))
+      .toDF("max_hamming", "n_exact", "n_near",
+        "all_exact_caught", "all_near_caught", "pass")
+  }
 }

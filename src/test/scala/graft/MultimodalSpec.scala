@@ -210,4 +210,82 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array(
       (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 2L), (5L, 4L, 2L)))
   }
+
+  test("perceptualHash: deterministic, local to the edited cell, exact-integer") {
+    import graft.operators.Multimodal.perceptualHash
+    val rng = new scala.util.Random(9)
+    val blob = Array.fill(4096)(rng.nextInt(256).toByte)
+    assert(perceptualHash(blob) === perceptualHash(blob.clone()))
+    assert(perceptualHash(null) === 0L)
+    assert(perceptualHash(Array.emptyByteArray) === 0L)
+    // total-preserving first/middle swap perturbs at most TWO cells
+    val swapped = blob.clone()
+    val mid = swapped.length / 2
+    val t = swapped(0); swapped(0) = swapped(mid); swapped(mid) = t
+    val hamming = java.lang.Long.bitCount(
+      perceptualHash(blob) ^ perceptualHash(swapped))
+    assert(hamming <= 2, s"swap moved $hamming bits")
+    // a different random blob is far (the fingerprint actually separates)
+    val other = Array.fill(4096)(rng.nextInt(256).toByte)
+    assert(java.lang.Long.bitCount(
+      perceptualHash(blob) ^ perceptualHash(other)) > 10)
+  }
+
+  test("perceptual near-dup: exact copy at hamming 0, corrupted copy within 2; sha256 blind to it") {
+    val rng = new scala.util.Random(13)
+    def blob() = Array.fill(2048)(rng.nextInt(256).toByte)
+    val base = blob()
+    val corrupted = base.clone()
+    val mid = corrupted.length / 2
+    val t = corrupted(0); corrupted(0) = corrupted(mid); corrupted(mid) = t
+    val media = (Seq((1L, base), (2L, base.clone()), (3L, corrupted)) ++
+      (10 until 30).map(i => (i.toLong, blob()))).toDF("id", "bytes")
+    val pairs = graft.operators.Multimodal
+      .perceptualNearDup(media, "id", "bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) === 0L, "exact copy must verify at hamming 0")
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L)) <= 2L,
+      "2-byte corruption must stay within the radius")
+    // the corruption defeats the cryptographic pass (why this operator exists)
+    val sha = graft.operators.Multimodal.blobDedup(media, "id", "bytes")
+      .filter($"id".isin(1L, 3L)).collect().map(_.getLong(1)).distinct
+    assert(sha.length === 2, "sha256 must NOT group the corrupted copy")
+  }
+
+  test("perceptual hot bucket degrades to a star; CC recovers the group") {
+    val rng = new scala.util.Random(17)
+    val base = Array.fill(1024)(rng.nextInt(256).toByte)
+    // 30 byte-identical blobs: identical fingerprints put all 30 ids in
+    // one (band, key) bucket per band; with cap 8 the self-join would be
+    // C(30,2)=435 pairs — the star guard must emit the 29 spanning edges
+    val media = (0 until 30).map(i => (i.toLong, base.clone()))
+      .toDF("id", "bytes")
+    val pairs = graft.operators.Multimodal
+      .perceptualNearDup(media, "id", "bytes", dfCap = Some(8))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 29)
+    assert(got.forall(_._1 == 0L))
+    val cc = graft.operators.Dedup.connectedComponents(
+      pairs.select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 30 && cc.forall(_._2 == 0L))
+  }
+
+  test("mm_neardup gate passes end to end on a parquet corpus") {
+    val docs = (0 until 120).map(i =>
+      (i.toLong, s"document $i body " + ("x" * (50 + i % 37)), "web"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmnd").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = graft.operators.Multimodal.qMediaNearDupGate(spark, dir).head()
+    assert(row.getLong(0) === 2L)
+    assert(row.getLong(1) === 4L) // 0,30,60,90
+    assert(row.getLong(2) === 6L) // 0,20,40,60,80,100
+    assert(row.getBoolean(3), "exact copies must all be caught")
+    assert(row.getBoolean(4), "corrupted copies must all be caught")
+    assert(row.getBoolean(5))
+  }
 }

@@ -181,6 +181,7 @@ object ScaleSmoke {
           n == "source_overlap" || n == "neg_samples" ||
           n == "hh_lang_by_source" || n == "length_batches" ||
           n == "corpus_mix_apply" || n == "cms_term_freq" ||
+          n == "corpus_domain_caps" || n == "funnel_domain_capped" ||
           n == "bpe_merges" || n == "bpe_encode" || n == "lm_logprob" ||
           // r13 verdict item 2: the families whose 100 TB posture rested
           // on reasoning alone — ER blocking self-joins, edge-driven

@@ -504,6 +504,8 @@ object SparkEntry {
     "quantile_filter"     -> (CorpusOps.qQuantileFilter _),
     "lang_token_stats"    -> (CorpusOps.qLangTokenStats _),
     "mixture_weights"     -> (CorpusOps.qMixtureWeights _),
+    "corpus_domain_caps"  -> (CorpusOps.qDomainCaps _),
+    "funnel_domain_capped" -> (CorpusOps.qFunnelDomainCapped _),
     "corpus_shuffle"      -> (CorpusOps.qCorpusShuffle _),
     "token_budget_sample" -> (CorpusOps.qTokenBudgetSample _),
     "source_overlap"      -> (CorpusOps.qSourceOverlap _),
@@ -2023,6 +2025,80 @@ object SparkEntry {
         |  floor(100000.0 * pt / tot)::BIGINT AS target_tokens,
         |  round(100000.0 * (pt / tot) / tokens, 4) AS upsample_factor
         |FROM p, t ORDER BY lang""".stripMargin,
+    // corpus_domain_caps: per-source rollup + the per-domain cap policy
+    // (no source over 1/4 of corpus tokens). The keep machinery is exact
+    // integer end to end — threshold = min(65536, (65536·total) div
+    // (4·src)) — so both engines derive the identical keep decision; the
+    // 4dp ratios ride the repo-wide round discipline.
+    "corpus_domain_caps" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 4000000, 'srcHot',
+        |    text || ' hotclone' || doc_id::VARCHAR
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id + 5000000, source, text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |t AS (SELECT doc_id, source,
+        |    len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      x -> x <> ''))::BIGINT AS n_tokens,
+        |    md5(coalesce(text, '')) AS h
+        |  FROM docs),
+        |c AS (SELECT h, min(doc_id) AS canonical_id FROM t GROUP BY h),
+        |p AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN t.doc_id <> c.canonical_id THEN 1 ELSE 0
+        |      END)::BIGINT AS n_dup_docs,
+        |    sum(n_tokens)::BIGINT AS n_tokens
+        |  FROM t JOIN c USING (h) GROUP BY source),
+        |w AS (SELECT *, sum(n_tokens) OVER () AS total_tokens FROM p),
+        |k AS (SELECT *, CASE WHEN n_tokens > 0 THEN least(65536,
+        |    (65536 * total_tokens) // (4 * n_tokens)) ELSE 65536
+        |  END AS keep_threshold
+        |  FROM w)
+        |SELECT source, n_docs, n_dup_docs,
+        |  round(n_dup_docs::DOUBLE / n_docs, 4) AS dup_rate,
+        |  n_tokens,
+        |  round(n_tokens::DOUBLE / total_tokens, 4) AS token_share,
+        |  keep_threshold::BIGINT AS keep_threshold,
+        |  round(keep_threshold / 65536.0, 4) AS keep_fraction
+        |FROM k ORDER BY source""".stripMargin,
+    // funnel_domain_capped: the governance policy APPLIED as a funnel
+    // (dedup exact, then cap what remains — the RefinedWeb order); the
+    // md5-16-bit-prefix keep predicate is the hashSample idea widened to
+    // a fractional rate, integer-exact in both engines.
+    "funnel_domain_capped" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 4000000, 'srcHot',
+        |    text || ' hotclone' || doc_id::VARCHAR
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id + 5000000, source, text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |d AS (SELECT doc_id, source, text,
+        |    md5(coalesce(text, '')) AS h FROM docs),
+        |s1 AS (SELECT d.doc_id, d.source, d.text FROM d
+        |  JOIN (SELECT h, min(doc_id) AS doc_id FROM d GROUP BY h) m
+        |    USING (h, doc_id)),
+        |thr AS (SELECT source, CASE WHEN st > 0 THEN least(65536,
+        |    (65536 * (sum(st) OVER ())) // (4 * st)) ELSE 65536
+        |  END AS keep_threshold
+        |  FROM (SELECT source,
+        |      sum(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |        x -> x <> ''))) AS st
+        |    FROM s1 GROUP BY source)),
+        |s2 AS (SELECT s1.* FROM s1 JOIN thr USING (source)
+        |  WHERE ('0x' || substr(md5(s1.doc_id::VARCHAR), 1, 4))::BIGINT
+        |    < keep_threshold),
+        |st AS (
+        |  SELECT 0 AS stage, 'raw' AS name, count(*) AS n_docs,
+        |    coalesce(sum(len(list_filter(string_split(coalesce(text, ''),
+        |      ' '), t -> t <> ''))), 0) AS n_tokens FROM docs
+        |  UNION ALL SELECT 1, 'dedup_exact', count(*),
+        |    coalesce(sum(len(list_filter(string_split(coalesce(text, ''),
+        |      ' '), t -> t <> ''))), 0) FROM s1
+        |  UNION ALL SELECT 2, 'domain_cap', count(*),
+        |    coalesce(sum(len(list_filter(string_split(coalesce(text, ''),
+        |      ' '), t -> t <> ''))), 0) FROM s2)
+        |SELECT stage::BIGINT AS stage, name, n_docs::BIGINT AS n_docs,
+        |  n_tokens::BIGINT AS n_tokens
+        |FROM st ORDER BY stage""".stripMargin,
     "corpus_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT

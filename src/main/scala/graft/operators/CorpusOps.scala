@@ -342,6 +342,134 @@ object CorpusOps {
   def qMixtureWeights(s: SparkSession, dir: String): DataFrame =
     mixtureWeights(Tables.documents(s, dir))
 
+  // ---------------------------------------------------------------------
+  // Domain-level governance (the RefinedWeb / CCNet per-domain cap)
+  // ---------------------------------------------------------------------
+
+  /** Per-source governance rollup + cap policy: for each source
+    * (standing in for a domain/URL-host), the document and exact-dup
+    * counts, token total and corpus share — and the KEEP decision a
+    * per-domain cap policy derives from them: no source may exceed
+    * 1/`maxShareDen` of corpus tokens; over-cap sources get a
+    * deterministic downsample threshold.
+    *
+    * The keep machinery is EXACT INTEGER end to end so every engine
+    * derives the identical decision: `keep_threshold = min(65536,
+    * (65536·total_tokens) div (maxShareDen·src_tokens))` and a doc
+    * survives iff its md5 16-bit prefix (first 4 hex digits as an
+    * integer) is below it — the [[Sampling.hashSample]] idea widened to
+    * a fractional rate. `keep_fraction` is the same value reported as a
+    * 4dp ratio for humans and [[mixtureWeights]]-style composition.
+    *
+    * Scale shape: one corpus scan → (digest, source, tokens) rows; the
+    * exact-dup canonical join shuffles 16-byte digests, never text; the
+    * per-source rollup is a low-cardinality aggregate; the corpus total
+    * is a window over the ≤#sources post-agg table (the documented
+    * bounded-window shape of [[mixtureWeights]]). */
+  def domainCaps(docs: DataFrame, maxShareDen: Int = 4): DataFrame = {
+    require(maxShareDen >= 1, s"maxShareDen must be >= 1: $maxShareDen")
+    val hashed = docs.select(col("doc_id"), col("source"),
+      nTokens(col("text")).as("n_tokens"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    val canon = hashed.groupBy("h").agg(min(col("doc_id")).as("canonical_id"))
+    val per = hashed.join(canon, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum("n_tokens").as("n_tokens"))
+    val wAll = Window.partitionBy()
+    per
+      .withColumn("total_tokens", sum("n_tokens").over(wAll))
+      // a zero-token source (all-null/empty texts) has no share to cap —
+      // full keep, and the guard keeps ANSI mode from throwing on the
+      // division (EmptyInputSpec's null-text sweep)
+      .withColumn("keep_threshold",
+        when(col("n_tokens") > 0, least(lit(65536L),
+          expr(s"(65536 * total_tokens) div ($maxShareDen * n_tokens)")))
+          .otherwise(lit(65536L)))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 4)
+          .as("token_share"),
+        col("keep_threshold"),
+        round(col("keep_threshold") / 65536.0, 4).as("keep_fraction"))
+      .orderBy("source")
+  }
+
+  /** The per-row survival predicate for a [[domainCaps]] threshold
+    * column: md5 16-bit prefix of the decimal doc id below the
+    * source's threshold. Engine-portable exact integers (DuckDB:
+    * `CAST('0x' || substring(md5(...), 1, 4) AS INTEGER)`). */
+  def capKeepPredicate(idCol: String, thresholdCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") < col(thresholdCol)
+
+  /** The planted corpus both governance queries run on: the balanced sf
+    * documents table (every source ~5% of tokens — nothing to govern)
+    * plus a crawler-gone-wrong domain: every 2nd doc cloned under
+    * `srcHot` with a per-clone tail token (UNIQUE texts, so the hot
+    * domain SURVIVES exact dedup and the cap stage is what has to stop
+    * it — ~1/3 of corpus tokens against the 1/4 cap), and every 25th
+    * doc cloned VERBATIM into its own source (exact dups, so dup_rate
+    * is non-zero and the dedup stage has real work). The oracle
+    * replicates the construction in SQL (the pipeline_funnel pattern). */
+  private def plantedGovernance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    d.unionByName(d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          lit("srcHot").as("source"),
+          concat(col("text"), lit(" hotclone"),
+            col("doc_id").cast("string")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+          col("text")))
+  }
+
+  /** Registered query (`corpus_domain_caps`). */
+  def qDomainCaps(s: SparkSession, dir: String): DataFrame =
+    domainCaps(plantedGovernance(s, dir))
+
+  /** Registered query (`funnel_domain_capped`) — the governance rollup
+    * APPLIED, composed as a funnel: raw corpus → exact-dedup survivors
+    * (canonical per md5 text group) → per-domain cap downsample using
+    * [[domainCaps]]' integer thresholds computed ON THE SURVIVORS (the
+    * RefinedWeb order: dedup first, then cap what remains). Emits the
+    * (stage, name, n_docs, n_tokens) accounting rows of
+    * `pipeline_funnel`; every step is engine-exact, so unlike the
+    * clustering funnels this one is fully hash-checked. The cap-policy
+    * join back to the corpus is a BROADCAST of the ≤#sources threshold
+    * table. */
+  def qFunnelDomainCapped(s: SparkSession, dir: String): DataFrame = {
+    val docs = plantedGovernance(s, dir)
+    val hashed = docs.withColumn("h", md5(coalesce(col("text"), lit(""))))
+    val s1 = hashed
+      .join(hashed.groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+        Seq("h", "doc_id"))
+      .select("doc_id", "source", "text")
+    val thr = s1
+      .groupBy("source").agg(sum(nTokens(col("text"))).as("src_tokens"))
+      .withColumn("total_tokens",
+        sum("src_tokens").over(Window.partitionBy()))
+      .select(col("source"),
+        when(col("src_tokens") > 0, least(lit(65536L),
+          expr("(65536 * total_tokens) div (4 * src_tokens)")))
+          .otherwise(lit(65536L)).as("keep_threshold"))
+    val s2 = s1.join(broadcast(thr), "source")
+      .filter(capKeepPredicate("doc_id", "keep_threshold"))
+    def stat(df: DataFrame, stage: Int, name: String): DataFrame = df
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+        coalesce(sum(nTokens(col("text"))), lit(0L)).as("n_tokens"))
+      .select(lit(stage.toLong).as("stage"), lit(name).as("name"),
+        col("n_docs"), col("n_tokens"))
+    stat(docs, 0, "raw")
+      .unionByName(stat(s1, 1, "dedup_exact"))
+      .unionByName(stat(s2, 2, "domain_cap"))
+      .orderBy("stage")
+  }
+
   def qCorpusShuffle(s: SparkSession, dir: String): DataFrame =
     corpusShuffle(Tables.documents(s, dir))
 

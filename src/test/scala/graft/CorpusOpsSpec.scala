@@ -251,6 +251,46 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("domainCaps: over-cap source throttled, balanced sources full-keep, dups counted") {
+    import spark.implicits._
+    // srcA: 12 unique docs of 10 tokens (80% of tokens — way over 1/4);
+    // srcB: 2 unique docs (20%, under cap) + one verbatim dup
+    val rows =
+      (1 to 12).map(i => (i.toLong, "srcA", s"a$i " + Seq.fill(9)("w").mkString(" "))) ++
+      (21 to 22).map(i => (i.toLong, "srcB", s"b$i " + Seq.fill(9)("w").mkString(" "))) :+
+      (25L, "srcB", "b21 " + Seq.fill(9)("w").mkString(" ")) // dup of 21
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out = graft.operators.CorpusOps.domainCaps(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6))).toMap
+    val (aDocs, aDups, aTokens, aThr) = out("srcA")
+    val (bDocs, bDups, bTokens, bThr) = out("srcB")
+    assert((aDocs, aDups, aTokens) === (12L, 0L, 120L))
+    assert((bDocs, bDups, bTokens) === (3L, 1L, 30L))
+    // srcA: share 120/150 > 1/4 → threshold = 65536*150 div (4*120) = 20480
+    assert(aThr === 65536L * 150 / (4 * 120))
+    assert(bThr === 65536L, "under-cap source keeps everything")
+    // the keep predicate respects the threshold semantics exactly
+    val kept = docs.filter(col("source") === "srcA")
+      .join(broadcast(Seq(("srcA", aThr)).toDF("source", "keep_threshold")),
+        "source")
+      .filter(graft.operators.CorpusOps
+        .capKeepPredicate("doc_id", "keep_threshold"))
+      .count()
+    assert(kept < 12L, "an over-cap source must actually lose docs")
+  }
+
+  test("funnel_domain_capped: stages monotone, every stage does real work on the planted corpus") {
+    val out = graft.operators.CorpusOps.qFunnelDomainCapped(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).toSeq === Seq("raw", "dedup_exact", "domain_cap"))
+    val docs = out.map(_._3)
+    assert(docs(0) > docs(1), "dedup must remove the planted verbatim clones")
+    assert(docs(1) > docs(2), "the cap must downsample the planted hot domain")
+    val toks = out.map(_._4)
+    assert(toks(0) > toks(1) && toks(1) > toks(2))
+  }
+
   test("sourceOverlap: self-join fanout is bounded by the source catalog") {
     val docs = Tables.documents(spark, sf0001)
     val out = CorpusOps.sourceOverlap(docs)

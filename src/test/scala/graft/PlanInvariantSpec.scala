@@ -62,7 +62,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
   private val globalWindowAllowed = Set("pack_sequences", "shard_assembly",
     "corpus_shuffle", "token_budget_sample", "quantile_filter",
     "mixture_weights", "neg_samples", "source_overlap", "length_batches",
-    "hybrid_retrieval")
+    "hybrid_retrieval",
+    // corpus-total windows over the POST-AGGREGATION per-source table
+    // (≤ #sources rows — the documented mixtureWeights shape)
+    "corpus_domain_caps", "funnel_domain_capped")
 
   // ONE registry sweep serves every invariant: several query wrappers do
   // eager storage work on CONSTRUCTION (cow_time_travel builds a

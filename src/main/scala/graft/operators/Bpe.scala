@@ -54,7 +54,24 @@ object Bpe {
       " +", " ")
 
   /** One row per merge step: (step, pair "a b", merged "ab", weighted
-    * occurrence count at selection time). */
+    * occurrence count at selection time).
+    *
+    * SCALE ENVELOPE — stated, not implied: the merge loop is
+    * driver-SEQUENTIAL by nature (round t's argmax depends on round
+    * t−1's rewrite; every BPE trainer ever shipped iterates), so wall
+    * cost is steps × (one vocabulary scan + one 1-row collect). The
+    * corpus is scanned exactly ONCE (the word-frequency build);
+    * everything after runs over the VOCABULARY table, which is what
+    * bounds a tokenizer trainer's memory at any corpus size, and each
+    * round's rewrite is pinned with a LAZY `localCheckpoint(false)` so
+    * the plan cannot snowball across hundreds of rounds while adding no
+    * per-round driver job. A realistic 32k-merge training run is
+    * therefore 32k small Spark jobs — hours of scheduler latency, the
+    * same shape (and the same answer) as running HuggingFace's trainer
+    * on the collected word-frequency table, which is what a production
+    * pipeline would do with THIS operator's first-stage output. BpeSpec
+    * pins a 50-round run against the in-memory canonical reference
+    * merge for merge. */
   def bpeMerges(docs: DataFrame, steps: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val words = docs
@@ -65,7 +82,9 @@ object Bpe {
       .withColumn("sym",
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
       .select("sym", "freq")
-      .localCheckpoint() // vocabulary-sized; each round rewrites it
+      // vocabulary-sized; each round rewrites it. LAZY pin: round 1's
+      // aggregate materializes it — no separate checkpoint job
+      .localCheckpoint(false)
     var vocab = words
     val picks = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -91,9 +110,12 @@ object Bpe {
       val cnt = bestRows.head.getLong(1)
       val merged = pair.replace(" ", "")
       picks += ((step, pair, merged, cnt))
+      // lazy pin (materialized by the NEXT round's aggregate): truncates
+      // lineage so the plan can't snowball over hundreds of rounds,
+      // without the eager form's one-extra-driver-job-per-round
       vocab = vocab
         .withColumn("sym", applyMerge(col("sym"), pair, merged))
-        .localCheckpoint()
+        .localCheckpoint(false)
       }
     }
     import spark.implicits._

@@ -83,4 +83,37 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(1), r.getLong(3)))
     assert(got === Array(("x y", 2L)))
   }
+
+  test("scale envelope: 50 driver-sequential rounds match the reference merge for merge") {
+    // The trainer's loop is driver-SEQUENTIAL by nature (each round's
+    // argmax depends on the previous merge) — realistic vocabularies run
+    // it hundreds/thousands of times, so this pins a deep run: 50 rounds
+    // on a corpus rich enough to never exhaust, every pick equal to the
+    // in-memory canonical reference, and the per-round rewrite's lazy
+    // checkpoint keeping the plan from snowballing (completion well
+    // inside the suite budget IS the envelope check; cost grows as
+    // steps × vocabulary scan, documented on bpeMerges).
+    val rng = new scala.util.Random(21)
+    val letters = "abcdefgh"
+    def word() = Seq.fill(3 + rng.nextInt(8))(
+      letters(rng.nextInt(letters.length))).mkString
+    val texts = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(12)(word()).mkString(" ")))
+    val docs = texts.toDF("doc_id", "text")
+    val allWords = texts.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+    val (expMerges, encoded) = BpeReference.refBpeMerges(allWords, steps = 50)
+    assert(expMerges.length === 50, "fixture rot: vocab exhausted early")
+    val got = Bpe.bpeMerges(docs, steps = 50).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === expMerges)
+    // the 50-merge table applied by the encoder matches the reference's
+    // per-word symbol counts
+    val gotEnc = Bpe.bpeEncode(docs, steps = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    texts.foreach { case (id, t) =>
+      val exp = t.split(" ").filter(_.nonEmpty).map(w => encoded(w).toLong).sum
+      assert(gotEnc(id) === exp, s"doc $id symbol count")
+    }
+  }
 }

@@ -50,7 +50,19 @@ object SemanticDedup {
   /** Cluster-population target: k = max(16, n/target). 256 keeps the
     * per-cluster candidate quadratic ~3·10⁴ pairs — bounded work per
     * cluster at ANY corpus size, with cluster count (and so centroid-fit
-    * cost) growing linearly instead. */
+    * cost) growing linearly instead.
+    *
+    * Scale envelope of the FIT (the BPE-trainer discipline of stating
+    * it): one Lloyd assignment pass costs n·k multiplies, and with
+    * k ∝ n that is n²/target — measured build_ratio 5.61 at 100×
+    * (SCALE_STRESS_r15) against the probe's cluster-bounded 3.03. The
+    * fit is write-once per corpus ([[materializedCentroids]], prebuild
+    * phase), so the quadratic term is paid once at ingest, and a 100 TB
+    * deployment caps it the way every production k-means does: fit
+    * centroids on a fixed-size SAMPLE (fitCentroids already is
+    * sample-bound; it is the refine pass that sweeps the corpus) and/or
+    * hold k at a ceiling, trading cluster population growth for fit
+    * cost — the probe stays cluster-bounded either way. */
   val DefaultClusterTarget = 256
 
   /** Degenerate-cluster guard: same default as the LSH bucket caps. */

@@ -192,7 +192,12 @@ object ScaleSmoke {
           n == "hybrid_retrieval" || n == "sim_mmr" ||
           n == "sim_quantized_probe" || n == "sim_quantized_batch" ||
           n == "mm_dedup" || n == "mm_neardup" ||
-          n == "mm_neardup_gate") && n != "text_redact"
+          n == "mm_neardup_gate") && n != "text_redact" &&
+          // the recall gate's truth set is EXHAUSTIVE all-pairs by design
+          // (verification-scale only, require-guarded) — running it on a
+          // replicated corpus would be quadratic in scale, measuring the
+          // oracle, not the engine
+          n != "dedup_semantic_recall"
       if (only.isEmpty) inDefaultFamily
       else only.exists(n.contains)
     }
@@ -217,6 +222,18 @@ object ScaleSmoke {
   private val cacheBacked =
     Set("sim_ivf_probe", "sim_quantized_probe", "dedup_embedding",
       "dedup_semantic")
+
+  /** Queries that SHARE a cacheBacked query's MaterializedCache artifact
+    * without being the one prebuild() times (sim_quantized_batch reads
+    * the int8 codes sim_quantized_probe is timed on; dedup_semantic_gate
+    * builds the centroid fit dedup_semantic is timed on). Excluded from
+    * warm-up alongside the cacheBacked set (r15 ADVICE #1): warming them
+    * would build the shared artifact UNTIMED at 1×, so x1_build_sec
+    * would measure a cache-hit probe while xN still pays the real
+    * build — exactly the build/probe conflation prebuild() exists to
+    * prevent, reintroduced through the side door. */
+  private val sharesArtifact =
+    Set("sim_quantized_batch", "dedup_semantic_gate")
 
   private def prebuild(s: SparkSession, dir: String): Seq[(String, Double)] =
     family.collect { case (name, fn) if cacheBacked(name) =>
@@ -270,8 +287,12 @@ object ScaleSmoke {
     // codegen warm-up and build_ratio read overstated — the same
     // distortion the prebuild split fixed on the probe side). The
     // cache-backed queries are excluded here because their first call
-    // IS the build prebuild() exists to measure.
-    warmup(spark, oneDir, n => !cacheBacked(n))
+    // IS the build prebuild() exists to measure — as are the queries
+    // that share those artifacts (r15 ADVICE #1: warming
+    // dedup_semantic_gate / sim_quantized_batch built the centroid fit /
+    // int8 codes untimed, so x1_build_sec measured a cache hit and
+    // build_ratio was overstated).
+    warmup(spark, oneDir, n => !cacheBacked(n) && !sharesArtifact(n))
     // write-once artifact builds (IVF index, int8 codes, LSH sketch
     // tables) land HERE, not in the timed family passes — measured so
     // build cost stays visible

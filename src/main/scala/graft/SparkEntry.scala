@@ -459,8 +459,9 @@ object SparkEntry {
     "dedup_spans"         -> (Dedup.qRemoveDuplicatedSpans _),
     "dedup_segments"      -> (Segments.qDedupSegments _),
     "dedup_incremental"   -> (Dedup.qIncremental _),
-    "dedup_semantic"      -> (SemanticDedup.qSemanticPrune _), // no oracle: cluster membership depends on fitted centroids; gated by dedup_semantic_gate
+    "dedup_semantic"      -> ((s: SparkSession, d: String) => SemanticDedup.qSemanticPrune(s, d)), // no oracle: cluster membership depends on fitted centroids; gated by dedup_semantic_gate + dedup_semantic_recall
     "dedup_semantic_gate" -> (SemanticDedup.qSemanticGate _),
+    "dedup_semantic_recall" -> ((s: SparkSession, d: String) => SemanticDedup.qSemanticRecall(s, d)),
     "er_customers"        -> (EntityResolution.qResolveCustomers _),
     // --- text analysis ---
     "text_token_counts"   -> (TextAnalysis.qTokenCounts _),
@@ -1227,6 +1228,22 @@ object SparkEntry {
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)::BIGINT
         |    AS n_planted,
         |  true AS all_planted_caught, true AS pass""".stripMargin,
+    // dedup_semantic_recall: the recall value itself is engine-internal
+    // (the oracle cannot re-run the clustering), but BOTH halves of the
+    // contract are oracle-checkable — n_true_pairs must equal the
+    // planted near-restatement count (the in-engine EXHAUSTIVE cosine
+    // scan found exactly the planted pairs and nothing else: the
+    // fixtures' natural max off-diagonal cosine is ≤ 0.61 and the
+    // perturbed clones sit at ≈ 0.97), and a clustering regression that
+    // splits restatement pairs across clusters drops recall under the
+    // floor and flips the flags. The sim_recall discipline applied to
+    // the semantic-dedup miss rate (VERDICT r15 ask #3).
+    "dedup_semantic_recall" ->
+      """SELECT CAST(0.95 AS DOUBLE) AS threshold,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)::BIGINT
+        |    AS n_true_pairs,
+        |  CAST(0.8 AS DOUBLE) AS floor,
+        |  true AS recall_ok, true AS pass""".stripMargin,
     // dedup_hist_sampled: deterministic md5-prefix sample whose RATE is
     // derived from the corpus count (constant sample BUDGET ~1250 docs,
     // powers-of-4 mod up to 256) — the oracle recomputes the same rate
@@ -2031,11 +2048,13 @@ object SparkEntry {
     // (4·src)) — so both engines derive the identical keep decision; the
     // 4dp ratios ride the repo-wide round discipline.
     "corpus_domain_caps" ->
-      """WITH docs AS (SELECT doc_id, source, text FROM documents
-        |  UNION ALL SELECT doc_id + 4000000, 'srcHot',
+      """WITH off AS (SELECT ((max(doc_id) // 1000000) + 1) * 1000000 AS o
+        |  FROM documents),
+        |docs AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), 'srcHot',
         |    text || ' hotclone' || doc_id::VARCHAR
         |  FROM documents WHERE doc_id % 2 = 0
-        |  UNION ALL SELECT doc_id + 5000000, source, text
+        |  UNION ALL SELECT doc_id + 2 * (SELECT o FROM off), source, text
         |  FROM documents WHERE doc_id % 25 = 0),
         |t AS (SELECT doc_id, source,
         |    len(list_filter(string_split(coalesce(text, ''), ' '),
@@ -2065,11 +2084,13 @@ object SparkEntry {
     // md5-16-bit-prefix keep predicate is the hashSample idea widened to
     // a fractional rate, integer-exact in both engines.
     "funnel_domain_capped" ->
-      """WITH docs AS (SELECT doc_id, source, text FROM documents
-        |  UNION ALL SELECT doc_id + 4000000, 'srcHot',
+      """WITH off AS (SELECT ((max(doc_id) // 1000000) + 1) * 1000000 AS o
+        |  FROM documents),
+        |docs AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), 'srcHot',
         |    text || ' hotclone' || doc_id::VARCHAR
         |  FROM documents WHERE doc_id % 2 = 0
-        |  UNION ALL SELECT doc_id + 5000000, source, text
+        |  UNION ALL SELECT doc_id + 2 * (SELECT o FROM off), source, text
         |  FROM documents WHERE doc_id % 25 = 0),
         |d AS (SELECT doc_id, source, text,
         |    md5(coalesce(text, '')) AS h FROM docs),

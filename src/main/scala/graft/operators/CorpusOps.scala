@@ -418,13 +418,20 @@ object CorpusOps {
     * replicates the construction in SQL (the pipeline_funnel pattern). */
   private def plantedGovernance(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    // Clone ids at DERIVED offsets (hot +off, verbatim +2·off — see
+    // Dedup.plantOffset; r15 ADVICE #3): a fixed constant collides with
+    // real ids once the table grows past it, and here the id VALUE
+    // feeds the md5 keep predicate, so a collision would silently warp
+    // the cap accounting. The oracle derives the identical offset in
+    // SQL (integer-exact in both engines).
+    val off = Dedup.plantOffset(d, "doc_id")
     d.unionByName(d.filter(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 4000000L).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           lit("srcHot").as("source"),
           concat(col("text"), lit(" hotclone"),
             col("doc_id").cast("string")).as("text")))
       .unionByName(d.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+        .select((col("doc_id") + 2L * off).as("doc_id"), col("source"),
           col("text")))
   }
 

@@ -137,6 +137,21 @@ object Dedup {
       pinned.count())
   }
 
+  /** Clone-id offset for a planted-corpus gate: the next `unit` multiple
+    * STRICTLY above max(`idCol`), so clone ids `id + offset` (and
+    * `id + 2·offset`, … — each planting class gets its own multiple) can
+    * never collide with a real id at any input scale. Fixed offset
+    * constants break once a source table's ids grow past them (r15
+    * ADVICE #3: scaled dirs replicate with a 10⁷ id stride); deriving
+    * from the data costs one max() scan per gate call — gate queries
+    * already pay a planted-count scan of the same table. Empty frame →
+    * `unit`. */
+  private[graft] def plantOffset(df: DataFrame, idCol: String,
+      unit: Long = 1000000L): Long = {
+    val row = df.agg(max(col(idCol).cast("long"))).head()
+    if (row.isNullAt(0)) unit else (row.getLong(0) / unit + 1L) * unit
+  }
+
   /** Drop rows whose `keys` combination occurs in more than `cap` rows —
     * the plain drop-semantics guard, used by [[shinglePosting]]'s public
     * capped posting list. The hot key set stays a DataFrame (see

@@ -169,22 +169,25 @@ object Embeddings {
     * partials ≤ k per query, never a Window sort over the corpus). */
   def quantizedBatchTopK(codes: DataFrame, queryIds: Seq[Long],
       k: Int = 3): DataFrame = {
-    // pinned: read once for the zero-norm validation collect, once as
-    // the broadcast build side — |queryIds| rows either way
-    val q = codes.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("qv").as("qcodes"))
-      .localCheckpoint()
     // Same guard as [[topKOverCodes]] (r14 ADVICE): an all-zero query's
     // cosine is NaN, which TopKByScore silently skips (zero rows for
     // that query) while the DuckDB oracle's ORDER BY cos DESC sorts NaN
     // FIRST — a silent cross-engine divergence instead of a loud error.
-    q.collect().foreach { r =>
-      val zero = r.getSeq[Any](1).forall {
-        case n: Number => n.doubleValue == 0.0
-      }
-      require(!zero, s"quantized batch search: query vec_id=${r.getLong(0)} " +
-        "has zero norm — cosine undefined")
-    }
+    // Folded INTO the scan (r15 ADVICE #4 — the previous
+    // localCheckpoint+collect validation ran an extra eager job on every
+    // call of the hot batch-serving path, and its `case n: Number` match
+    // threw an opaque MatchError on null elements): assert_true
+    // evaluates on the |queryIds|-row broadcast build side, null
+    // elements and null arrays count as zeros (the kernel scores them
+    // as 0), and the failure message still names the vec_id.
+    val zeroNorm = col("qcodes").isNull ||
+      forall(col("qcodes"), x => coalesce(x.cast("double"), lit(0d)) === 0d)
+    val q = codes.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("qv").as("qcodes"))
+      .filter(assert_true(!zeroNorm,
+        concat(lit("quantized batch search: query vec_id="),
+          col("query_id").cast("string"),
+          lit(" has zero norm — cosine undefined"))).isNull)
     codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

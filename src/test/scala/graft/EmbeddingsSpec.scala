@@ -55,6 +55,27 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
     assert(zero.getMessage.contains("zero norm"))
   }
 
+  test("batch search zero-norm guard: in-plan, null-safe, names the vec_id") {
+    val codes = spark.sql(
+      """SELECT * FROM VALUES
+        | (0L, array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        | (1L, array(CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT))),
+        | (2L, array(CAST(2.0 AS FLOAT), CAST(1.0 AS FLOAT))),
+        | (3L, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))
+        | AS t(vec_id, qv)""".stripMargin)
+    // a null ELEMENT in a nonzero query scores as 0 (the kernel's
+    // convention) — the guard must not crash on it (r15 ADVICE #4: the
+    // old collect-side partial function threw MatchError here)
+    assert(graft.operators.Embeddings
+      .quantizedBatchTopK(codes, Seq(1L, 2L), k = 2).count() > 0)
+    // an all-zero query fails loudly from inside the plan
+    val ex = intercept[Throwable](graft.operators.Embeddings
+      .quantizedBatchTopK(codes, Seq(0L, 2L), k = 2).count())
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("zero norm") && msgs.contains("vec_id=0"), msgs)
+  }
+
   test("quantization is deterministic across runs") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Embeddings.quantizeInt8(emb).collect().toSeq

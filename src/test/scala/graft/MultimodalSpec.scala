@@ -288,4 +288,42 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(row.getBoolean(4), "corrupted copies must all be caught")
     assert(row.getBoolean(5))
   }
+
+  test("pngEncode emits a genuine PNG: imageDecode reads the true dimensions back") {
+    import graft.operators.Multimodal.{pngEncode, imageDecode}
+    val blob = pngEncode(31, 17, seed = 42L)
+    // PNG signature bytes — a real container, not a stub
+    assert((blob(0) & 0xff) === 0x89 && blob(1) === 'P'.toByte)
+    assert(imageDecode(blob) === Some((31, 17)))
+    // deterministic across calls (the planted exact-copy contract
+    // depends on re-encoding the same row to identical bytes)
+    assert(blob.sameElements(pngEncode(31, 17, seed = 42L)))
+    assert(!blob.sameElements(pngEncode(31, 17, seed = 43L)))
+  }
+
+  test("seeded wav payload: deterministic, still a valid header-only parse, entropy varies by seed") {
+    import graft.operators.Multimodal.{wavEncode, wavDecode}
+    val a = wavEncode(8000, 1, 16, 40, payloadSeed = Some(7L))
+    val b = wavEncode(8000, 1, 16, 40, payloadSeed = Some(8L))
+    assert(a.sameElements(wavEncode(8000, 1, 16, 40, payloadSeed = Some(7L))))
+    assert(!a.sameElements(b), "different seeds must give different payloads")
+    assert(wavDecode(a).exists(m => m.sampleRate == 8000 && m.dataBytes == 80L))
+  }
+
+  test("mm_neardup gate: derived clone offsets survive ids past the old fixed constants") {
+    // ids spanning far past 2M/3M (the r15 fixed offsets) — the derived
+    // offset must clear them, so every planted pair is still counted
+    val docs = (0 until 60).map(i =>
+      (i.toLong * 1000000L, s"document $i body " + ("x" * (50 + i % 37)), "web"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmnd_off").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = graft.operators.Multimodal.qMediaNearDupGate(spark, dir).head()
+    // ids are i·10⁶: 10⁶ ≡ 10 (mod 30) → %30 hits every 3rd i; 10⁶ ≡ 0
+    // (mod 20) → %20 hits all 60
+    assert(row.getLong(1) === 20L && row.getLong(2) === 60L)
+    assert(row.getBoolean(3) && row.getBoolean(4) && row.getBoolean(5))
+  }
 }

@@ -44,6 +44,33 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     assert(out.keySet.forall(_ < 60L))
   }
 
+  test("fitK: population-targeted below the ceiling, capped above it") {
+    // below the bind point k grows with n (population stays ~target)…
+    assert(SemanticDedup.fitK(500L) === 16)
+    assert(SemanticDedup.fitK(25600L) === 100)
+    // …and at n > kCeiling·clusterTarget the ceiling binds, making the
+    // fit O(maxFitRows·kCeiling) CONSTANT in the corpus; the trade is
+    // cluster population growing as n/kCeiling, which is the hot-cluster
+    // star guard's job (pinned below)
+    assert(SemanticDedup.fitK(100L * 500L) === SemanticDedup.DefaultKCeiling)
+    assert(SemanticDedup.fitK(Long.MaxValue / 2) === SemanticDedup.DefaultKCeiling)
+  }
+
+  test("bounded fit (tiny maxFitRows) still collapses planted groups; probe semantics survive the sample bound") {
+    // the refine sample is a DETERMINISTIC hash subset — a fit from 1/4
+    // of the rows must still put identical vectors in one cluster
+    // (argmax determinism is fit-independent) and verify them at cos 1
+    val base = vec()
+    val rows = Seq((10L, base), (11L, base.clone())) ++
+      (100 until 160).map(i => (i.toLong, vec()))
+    val e = rows.toDF("vec_id", "embedding")
+    val out = SemanticDedup.semanticPrune(e, threshold = 0.95,
+      maxFitRows = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) === 10L && out(11L) === 10L)
+    assert(out.keySet.forall(_ < 100L), s"noise pruned: $out")
+  }
+
   test("empty corpus returns empty, no crash") {
     val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(SemanticDedup.semanticPrune(e).count() === 0L)
@@ -59,5 +86,47 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     assert(row.getLong(1) === 5L) // vec_ids 0,10,20,30,40
     assert(row.getBoolean(2), "every planted clone must be caught")
     assert(row.getBoolean(3))
+  }
+
+  test("planted clone ids derive from max(vec_id) — no collision at any id scale") {
+    // ids already past the old fixed 1M offset (the scaled-dir shape,
+    // r15 ADVICE #3): the gate must still count every planted clone,
+    // which requires the derived offset to clear the real id range
+    val e = ((0 until 50).map(i => (i.toLong * 1000000L, vec())))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_off").toString
+    e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val row = SemanticDedup.qSemanticGate(spark, dir).head()
+    assert(row.getLong(1) === 50L) // every id is % 10 == 0 here
+    assert(row.getBoolean(2) && row.getBoolean(3))
+  }
+
+  test("recall gate: exhaustive truth finds exactly the planted restatements; cluster-bounded recall clears the floor") {
+    val e = ((0 until 60).map(i => (i.toLong, vec())))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_semrecall").toString
+    e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val row = SemanticDedup.qSemanticRecall(spark, dir).head()
+    assert(row.getDouble(0) === 0.95)
+    // 12 planted near-restatements (vec_ids 0,5,…,55) and NOTHING else:
+    // a spurious natural pair here means the perturbation drifted out of
+    // its [0.95, 1) envelope
+    assert(row.getLong(1) === 12L)
+    assert(row.getDouble(2) === SemanticDedup.RecallFloor)
+    assert(row.getBoolean(3), "recall under the floor")
+    assert(row.getBoolean(4))
+  }
+
+  test("recall gate refuses a corpus past the exhaustive-truth bound") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_semrecall_big").toString
+    spark.range(SemanticDedup.MaxRecallCorpus + 1)
+      .select(col("id").as("vec_id"),
+        array(Seq.fill(4)(rand(7).cast("float")): _*).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      SemanticDedup.qSemanticRecall(spark, dir).head()
+    }
+    assert(ex.getMessage.contains("verification-scale only"))
   }
 }

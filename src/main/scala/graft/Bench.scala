@@ -187,16 +187,36 @@ object Bench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** One bench-pass session. Fresh per measured iteration (VERDICT r15
+    * asks #5/#6): the r15 A/B measured iter3/iter1 ≈ 1.12 on a shared
+    * 147-query session — accumulated driver state (status-store
+    * listener rows, block-manager residue from per-call localCheckpoints,
+    * codegen-cache-missed broadcast cleanups) taxed every later pass,
+    * which made raw cross-round totals incomparable whenever the sweep
+    * length changed. A fresh SparkContext per pass resets all of it
+    * (whole-stage codegen classes live in a JVM-static cache, so the
+    * warm-up pass still pays the compilation, not the timed passes),
+    * making each pass — and therefore the full sweep — matched by
+    * construction. Status-store retention is bounded anyway so a single
+    * pass over a growing registry stays flat-footed. */
+  private def makeSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Dev aid: SPARK_GRAFT_ONLY=substr1,substr2 restricts the run to
     // queries whose name contains any of the substrings (full run default);
     // the selection is recorded in the JSON so partial runs self-identify.
@@ -208,8 +228,15 @@ object Bench {
     }
     val loadStart = loadAvg()
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
-    if (warmup) selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    if (warmup) {
+      // warm-up gets its own session too: JIT/codegen warm-up is
+      // JVM-static and survives the context restart; the session-local
+      // garbage it makes does not reach pass 1
+      val spark = makeSession(cpus)
+      selected.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      spark.stop()
     }
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt)
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
@@ -240,6 +267,7 @@ object Bench {
     val gcSettleMs =
       sys.env.getOrElse("SPARK_GRAFT_GC_SETTLE_MS", "200").toLong
     (1 to iters).foreach { _ =>
+      val spark = makeSession(cpus)
       selected.foreach { case (name, fn) =>
         if (!failed.contains(name)) {
           if (gcBetween) {
@@ -259,6 +287,7 @@ object Bench {
           }
         }
       }
+      spark.stop()
     }
     val loadEnd = loadAvg()
     samples.foreach { case (name, xs) =>
@@ -308,9 +337,9 @@ object Bench {
     Option(outPath.getParent)
       .foreach(p => java.nio.file.Files.createDirectories(p))
     java.nio.file.Files.writeString(outPath, full + "\n")
-    // Stop Spark BEFORE printing so no async executor/shutdown log line can
-    // land after the JSON and push its head out of the tail window.
-    spark.stop()
+    // Spark is already stopped (each pass stops its own session), so no
+    // async executor/shutdown log line can land after the JSON and push
+    // its head out of the tail window.
     if (compact.length > LineBudget)
       // Only reachable when the BASELINED entries alone blow the budget
       // (~34 names ≈ 800 chars, so this means BASELINE.md grew a lot):

@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * Composition — nothing here is new machinery, which is the point:
   *   1. CLUSTERING — [[Similarity.fitCentroids]] (bounded driver-side
   *      sample, deterministic) + [[Similarity.refineCentroids]]
-  *      (distributed spherical Lloyd passes) + the codegen'd
+  *      (distributed spherical Lloyd pass over a bounded hash-sample —
+  *      see [[DefaultMaxFitRows]]) + the codegen'd
   *      [[Similarity.assignCentroids]] argmax scan. k scales with the
-  *      corpus (`n / clusterTarget`), so cluster populations — and
-  *      therefore per-cluster comparison cost — stay bounded as the
-  *      corpus grows: the SemDeDup contract that makes this
-  *      cluster-bounded, never corpus².
+  *      corpus (`n / clusterTarget`) up to [[DefaultKCeiling]], so
+  *      cluster populations — and therefore per-cluster comparison
+  *      cost — stay bounded while k grows, and the FIT cost is bounded
+  *      by the ceiling once k stops growing: the SemDeDup contract
+  *      that makes this cluster-bounded, never corpus², with a fit
+  *      that is O(maxFitRows·kCeiling·d), never n².
   *   2. CANDIDATES — an ids-only self-join on `cid`. A degenerate
   *      cluster larger than `cap` (k-means collapsing a mass-duplicated
   *      region onto one centroid) degrades to star candidates around

@@ -40,7 +40,7 @@ object SparkEntry {
   private def q17bOutSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lines = Tables.documents(s, dir).select("text").as[String].rdd
-    val out = java.nio.file.Files.createTempDirectory("graft_out_q17b")
+    val out = TmpDirs.scratch("graft_out_q17b")
       .toString
     MapReduceJob.writeReferenceLayout(
       MapReduceJob.wordCount(lines, numReducers = 8), out, "word_count")
@@ -57,7 +57,7 @@ object SparkEntry {
     * narrow enough that a 100 TB scan prunes most files on BOTH columns.
     */
   private def qZorderScan(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val out = TmpDirs.scratch("graft_zorder").toString
     sources.ZOrder.zorderWrite(
       Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
       "user_id", "value", out)
@@ -77,7 +77,7 @@ object SparkEntry {
     * depends on. */
   private def qCowUpsert(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tbl = java.nio.file.Files.createTempDirectory("graft_cow")
+    val tbl = TmpDirs.scratch("graft_cow")
       .resolve("tbl").toString
     docs.repartitionByRange(8, col("doc_id")).write.parquet(tbl)
     val updates = docs.filter(col("doc_id") % 7 === 0)
@@ -107,7 +107,7 @@ object SparkEntry {
     * that version — content-checking the commit protocol itself. */
   private def qCowTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tbl = java.nio.file.Files.createTempDirectory("graft_vt")
+    val tbl = TmpDirs.scratch("graft_vt")
       .resolve("tbl").toString
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
     sources.VersionedTable.init(s, tbl,
@@ -152,7 +152,7 @@ object SparkEntry {
     * a missed change breaks the match. */
   private def qCowDiff(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tbl = java.nio.file.Files.createTempDirectory("graft_vdiff")
+    val tbl = TmpDirs.scratch("graft_vdiff")
       .resolve("tbl").toString
     sources.VersionedTable.init(s, tbl,
       docs.repartitionByRange(8, col("doc_id")))
@@ -185,7 +185,7 @@ object SparkEntry {
     * regression hash-mismatches the driver gate. */
   private def qCowOptimize(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tbl = java.nio.file.Files.createTempDirectory("graft_vopt")
+    val tbl = TmpDirs.scratch("graft_vopt")
       .resolve("tbl").toString
     sources.VersionedTable.init(s, tbl, docs.repartition(16))
     sources.VersionedTable.upsert(s, tbl,

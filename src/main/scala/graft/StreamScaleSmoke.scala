@@ -98,7 +98,7 @@ object StreamScaleSmoke {
       .split(' ')(0).toDouble
       catch { case _: Exception => -1.0 }
     val loadStart = loadAvg()
-    val work = java.nio.file.Files.createTempDirectory("graft_sscale")
+    val work = TmpDirs.scratch("graft_sscale")
     val oneDir = work.resolve("x1").toString
     val bigDir = work.resolve(s"x$scale").toString
     buildScaledDir(spark, srcDir, 1, oneDir)

@@ -50,6 +50,32 @@ private[graft] object MaterializedCache {
       }
     }
 
+  /** Known cache roots — kept in sync with the [[getOrBuild]] call sites
+    * (IVF index, int8 codes, LSH band/sketch tables, semantic
+    * centroids). */
+  private[graft] val Roots = Seq("graft_ivf_index", "graft_int8_codes",
+    "graft_lsh_bands", "graft_sem_centroids")
+
+  /** Drop every cache entry (across all [[Roots]]) whose key embeds
+    * `token`. Scale harnesses call this on exit with their unique work
+    * dir name, so artifacts built for throwaway replicated corpora do
+    * not accumulate in tmpdir forever (measured 631 MB of stale
+    * graft_ivf_index entries across past capture runs — each run's
+    * random scaled-dir path is a fresh stem the sibling prune can never
+    * match). */
+  private[graft] def dropEntriesContaining(token: String): Unit =
+    Roots.foreach { rootName =>
+      val root = Paths.get(sys.props("java.io.tmpdir"), rootName)
+      if (Files.isDirectory(root)) {
+        val ls = Files.list(root)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.contains(token))
+          .foreach(p => try deleteTree(p)
+            catch { case _: java.io.IOException => () })
+        finally ls.close()
+      }
+    }
+
   private def deleteTree(p: Path): Unit = {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder())

@@ -235,11 +235,21 @@ object ScaleSmoke {
   private val sharesArtifact =
     Set("sim_quantized_batch", "dedup_semantic_gate")
 
-  private def prebuild(s: SparkSession, dir: String): Seq[(String, Double)] =
+  /** First call = artifact build + one probe; second call = cache-hit
+    * probe only. Reporting BOTH splits the write-once build cost from
+    * the serving cost generically (r16: the bounded semantic fit had
+    * shrunk to ~1 s at 100× but the first-call "build_ratio" still read
+    * 3.6 because the cluster-bounded PROBE dominated the first call —
+    * the number stopped measuring what it was named after). */
+  private def prebuild(s: SparkSession, dir: String)
+      : Seq[(String, Double, Double)] =
     family.collect { case (name, fn) if cacheBacked(name) =>
       val t0 = System.nanoTime()
       fn(s, dir).count()
-      (name, (System.nanoTime() - t0) / 1e9)
+      val first = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      fn(s, dir).count()
+      (name, first, (System.nanoTime() - t1) / 1e9)
     }
 
   /** Untimed warm-up over the selected subset of the family — JIT /
@@ -335,11 +345,16 @@ object ScaleSmoke {
     val onlyJson =
       if (onlyFilter.isEmpty) ""
       else onlyFilter.map(s => s""""$s"""").mkString(""""only":[""", ",", "],")
-    val preByName = pre1.toMap
+    val preByName = pre1.map(t => t._1 -> t).toMap
     val preJson =
       if (preN.isEmpty) ""
-      else preN.map { case (name, sec) =>
-        s""""$name":{"x1_build_sec":${f(preByName(name))},"x${scale}_build_sec":${f(sec)},"build_ratio":${f(sec / preByName(name))}}"""
+      else preN.map { case (name, firstN, probeN) =>
+        val (_, first1, probe1) = preByName(name)
+        // first-call ratio keeps the legacy "build_ratio" name for
+        // cross-round comparability; *_build_only_sec isolates the
+        // write-once artifact cost (first − cache-hit probe, floored
+        // at 0 for timer noise) — the number the fit envelope is about
+        s""""$name":{"x1_build_sec":${f(first1)},"x${scale}_build_sec":${f(firstN)},"build_ratio":${f(firstN / first1)},"x1_probe_sec":${f(probe1)},"x${scale}_probe_sec":${f(probeN)},"x1_build_only_sec":${f(math.max(0.0, first1 - probe1))},"x${scale}_build_only_sec":${f(math.max(0.0, firstN - probeN))}}"""
       }.mkString(""","prebuild":{""", ",", "}")
     spark.stop()
     // drop this run's cache artifacts (keyed on the unique work dir — the

@@ -221,7 +221,12 @@ object ScaleSmoke {
     * explicitly under "prebuild". */
   private val cacheBacked =
     Set("sim_ivf_probe", "sim_quantized_probe", "dedup_embedding",
-      "dedup_semantic")
+      "dedup_semantic",
+      // r16: rides the LSH artifact at its own 0.9-threshold geometry
+      // (when a scale makes the two geometries coincide, the shared
+      // build lands under dedup_embedding — alphabetically first in
+      // prebuild — and this line reads probe-only)
+      "emb_cross_decon")
 
   /** Queries that SHARE a cacheBacked query's MaterializedCache artifact
     * without being the one prebuild() times (sim_quantized_batch reads

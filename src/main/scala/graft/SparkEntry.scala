@@ -453,6 +453,7 @@ object SparkEntry {
     "emb_source_centroids" -> (Embeddings.qSourceCentroids _),
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "dedup_filtered"      -> (Dedup.qDedupFiltered _),
+    "dedup_survivors"     -> (Dedup.qDedupSurvivors _),
     "dedup_threshold_hist" -> (Dedup.qJaccardHistogram _),
     "dedup_hist_sampled"  -> (Dedup.qJaccardHistogramSampled _),
     "text_dup_fraction"   -> (Dedup.qDupShingleFraction _),
@@ -501,6 +502,7 @@ object SparkEntry {
     "corpus_mix_apply"    -> (Sampling.qMixApply _),
     // --- corpus management ---
     "split_assign"        -> (CorpusOps.qSplitAssign _),
+    "split_groupsafe"     -> (CorpusOps.qGroupSafeSplit _),
     "corpus_drift"        -> (CorpusOps.qCorpusDrift _),
     "quantile_filter"     -> (CorpusOps.qQuantileFilter _),
     "lang_token_stats"    -> (CorpusOps.qLangTokenStats _),
@@ -1160,6 +1162,33 @@ object SparkEntry {
          |drop_ids AS (SELECT node FROM reach GROUP BY node
          |             HAVING least(node, min(r)) <> node)
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)
+         |ORDER BY d.doc_id""".stripMargin,
+    // dedup_survivors: dedup_filtered's CC oracle with the RefinedWeb
+    // keep policy replayed in SQL — each component keeps its LONGEST
+    // member (max token count, ties to min doc_id) instead of min id.
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT node, least(node, min(r)) AS c
+         |         FROM reach GROUP BY node),
+         |stok AS (SELECT doc_id,
+         |    len(list_filter(string_split(coalesce(text, ''), ' '),
+         |      x -> x <> ''))::BIGINT AS n_tokens
+         |  FROM documents),
+         |ranked AS (SELECT comp.node,
+         |    row_number() OVER (PARTITION BY comp.c
+         |      ORDER BY stok.n_tokens DESC, comp.node ASC) AS rk
+         |  FROM comp JOIN stok ON stok.doc_id = comp.node),
+         |drop_ids AS (SELECT node FROM ranked WHERE rk > 1)
+         |SELECT d.doc_id, d.source, stok.n_tokens
+         |FROM documents d JOIN stok USING (doc_id)
          |WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)
          |ORDER BY d.doc_id""".stripMargin,
     // er_customers: entity resolution with planted drifted duplicates.
@@ -1990,6 +2019,40 @@ object SparkEntry {
         |  FROM documents)
         |SELECT split, lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // split_groupsafe: the leakage-safe split keys on the exact-dup
+    // GROUP (md5-of-text, canonical = min doc_id), so every member
+    // inherits its group's split; naive_strays counts the docs the
+    // per-doc policy would have scattered — each one a duplicate leaked
+    // across train/val. Integer/string-exact end to end.
+    "split_groupsafe" ->
+      """WITH off AS (SELECT ((max(doc_id) // 1000000) + 1) * 1000000 AS o
+        |  FROM documents),
+        |docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |b AS (SELECT doc_id,
+        |    len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      x -> x <> ''))::BIGINT AS n_tokens,
+        |    md5(coalesce(text, '')) AS h
+        |  FROM docs),
+        |g AS (SELECT h, min(doc_id) AS gid FROM b GROUP BY h),
+        |a AS (SELECT b.doc_id, b.n_tokens, g.gid,
+        |    CASE WHEN substring(md5(g.gid::VARCHAR), 1, 1)
+        |           IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |         THEN 'train'
+        |         WHEN substring(md5(g.gid::VARCHAR), 1, 1) IN ('c','d')
+        |         THEN 'val' ELSE 'test' END AS split,
+        |    CASE WHEN substring(md5(b.doc_id::VARCHAR), 1, 1)
+        |           IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |         THEN 'train'
+        |         WHEN substring(md5(b.doc_id::VARCHAR), 1, 1) IN ('c','d')
+        |         THEN 'val' ELSE 'test' END AS naive_split
+        |  FROM b JOIN g USING (h))
+        |SELECT split, count(DISTINCT gid)::BIGINT AS n_groups,
+        |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)::BIGINT
+        |    AS naive_strays
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
     "corpus_drift" ->
       """WITH c AS (SELECT lang,
         |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,

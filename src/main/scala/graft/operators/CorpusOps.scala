@@ -53,6 +53,59 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .orderBy("split", "lang")
 
+  /** [[splitColumn]] over an arbitrary key expression (the group-safe
+    * split keys on the GROUP id, not a named column). */
+  def splitColumnOf(key: Column): Column = {
+    val d = substring(md5(key.cast("string")), 1, 1)
+    when(d.isin("0123456789ab".map(_.toString): _*), "train")
+      .when(d.isin("c", "d"), "val")
+      .otherwise("test")
+  }
+
+  /** GROUP-AWARE (leakage-safe) train/val/test split — the fix for the
+    * classic eval-contamination bug [[splitColumn]] alone ships: a
+    * per-DOC hash split scatters the members of a duplicate group
+    * across splits, so val/test contain byte-copies of training docs
+    * and the held-out loss is fiction. Assignment here keys on the
+    * GROUP (md5-of-text exact-dup group, canonical = min doc_id): every
+    * member inherits its group's split, so no group straddles by
+    * construction — the near-dup extension keys the same expression on
+    * [[Dedup.connectedComponents]]' canonical id instead.
+    *
+    * Registered query (`split_groupsafe`): per-split audit rows
+    * (n_groups, n_docs, n_tokens) plus `naive_strays` — how many of
+    * this split's docs the per-doc policy would have assigned to a
+    * DIFFERENT split than their group (each one a leaked duplicate):
+    * the measured justification for group keying, and a hash-checked
+    * zero-regression guard on the policy. Runs on a PLANTED corpus
+    * (every 25th doc cloned verbatim at a derived offset — the
+    * governance-query discipline; the sf fixtures' texts are unique, so
+    * without planting every group is a singleton and the audit is
+    * vacuous). Scale shape: one scan; the group join shuffles 16-byte
+    * digests; the rollup is 3 rows. */
+  def qGroupSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val off = Dedup.plantOffset(d, "doc_id")
+    val cloneCols = (col("doc_id") + off).as("doc_id") +:
+      d.columns.filter(_ != "doc_id").map(col).toIndexedSeq
+    val docs = d.unionByName(
+      d.filter(col("doc_id") % 25 === 0).select(cloneCols: _*))
+    val base = docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    val canon = base.groupBy("h").agg(min("doc_id").as("gid"))
+    base.join(canon, "h")
+      .select(col("doc_id"), col("n_tokens"), col("gid"),
+        splitColumnOf(col("gid")).as("split"),
+        splitColumnOf(col("doc_id")).as("naive_split"))
+      .groupBy("split")
+      .agg(countDistinct("gid").as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
+          .as("naive_strays"))
+      .orderBy("split")
+  }
+
   /** Language-distribution drift between two corpus slices (here: even /
     * odd doc_id, standing in for "last snapshot" vs "new crawl") — the
     * shift detector a pipeline runs before mixing a new batch into

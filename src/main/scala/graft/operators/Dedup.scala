@@ -1013,6 +1013,18 @@ object Dedup {
     val (lb, rb) =
       if (dfCap.isDefined) (lb0.localCheckpoint(), rb0.localCheckpoint())
       else (lb0, rb0)
+    crossPairsCore(lb, rb, left, right, threshold, dfCap, sketches = None)
+  }
+
+  /** The post-banding half of [[embeddingCrossPairs]], shared by the
+    * per-call path and the materialized-artifact path
+    * ([[qEmbeddingCrossDecon]] — both sides of the decon split come
+    * from the SAME corpus, so one write-once band/sketch table serves
+    * left and right; the per-call path re-sketched both sides on every
+    * call, which at the 512-d stress was the widest remaining curve). */
+  private def crossPairsCore(lb: DataFrame, rb: DataFrame,
+      left: DataFrame, right: DataFrame, threshold: Double,
+      dfCap: Option[Int], sketches: Option[DataFrame]): DataFrame = {
     // Bipartite hot-bucket guard: the join fanout of bucket b is
     // |L_b|·|R_b|, so THAT product is what the cap bounds. A hot bucket
     // degrades to the SPANNING cross set — left-min × every right
@@ -1051,7 +1063,8 @@ object Dedup {
           cold.unionByName(starR).unionByName(starL)
         }
     }).distinct()
-    verifyCosinePairs(cands, left, right, "vid_left", "vid_right", threshold)
+    verifyCosinePairs(cands, left, right, "vid_left", "vid_right", threshold,
+        sketches)
       .orderBy("vid_left", "vid_right")
   }
 
@@ -1411,13 +1424,29 @@ object Dedup {
   /** emb_cross_decon — every 10th vector plays the "benchmark" set
     * checked against the rest of the corpus (the semantic analogue of
     * decon_hits' lexical split). Geometry sized to the LARGER side (the
-    * bucket-noise driver is |L|·|R|·B/2ᵇ ≤ max² · B/2ᵇ). */
+    * bucket-noise driver is |L|·|R|·B/2ᵇ ≤ max² · B/2ᵇ).
+    *
+    * Round 16: both sides of the split come from the SAME embeddings
+    * table, so the band signatures and verify sketches ride the
+    * write-once [[materializedLshTables]] artifact (keyed on THIS
+    * query's 0.9-threshold geometry — a second small artifact next to
+    * dedup_embedding's 0.95 one) instead of re-sketching both sides per
+    * call. Per-row band/sketch values are identical, so the candidate
+    * join and verification read the same rows as the per-call path —
+    * only the per-call corpus passes disappear (this was the widest
+    * remaining 512-d curve: 4.06× at 100×). */
   def qEmbeddingCrossDecon(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val l = e.filter(col("vec_id") % 10 === 0)
     val r = e.filter(col("vec_id") % 10 =!= 0)
     val (bands, rowsPerBand) = bandGeometry(math.max(l.count(), r.count()), 0.9)
-    embeddingCrossPairs(l, r, bands = bands, rowsPerBand = rowsPerBand)
+    val (banded, sketches) = materializedLshTables(s, dir, bands, rowsPerBand)
+    val lb = banded.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("vid_left"), col("band"), col("key"))
+    val rb = banded.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("vid_right"), col("band"), col("key"))
+    crossPairsCore(lb, rb, l, r, threshold = 0.9,
+        dfCap = Some(DefaultDfCap), sketches = Some(sketches))
       .withColumnRenamed("vid_left", "vid_bench")
       .withColumnRenamed("vid_right", "vid_corpus")
   }
@@ -1449,6 +1478,38 @@ object Dedup {
     dedupCorpus(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
+
+  /** Survivorship-priority near-dup removal — [[dedupCorpus]] with the
+    * RefinedWeb keep policy: each near-dup cluster keeps its LONGEST
+    * member (max token count, ties to the min doc_id) instead of the
+    * min-id member. Min-id survivorship is the right default for
+    * id-stable audits; a training pipeline wants the most complete
+    * variant of a page, and truncated mirrors are the common near-dup
+    * shape. Plan shape: the cluster table is duplicate-bounded (one row
+    * per clustered doc), the ranking window is PARTITIONED by component
+    * (never global), and the corpus joins the drop list by id — no
+    * text ever shuffles.
+    *
+    * Registered query (`dedup_survivors`): the kept corpus
+    * (doc_id, source, n_tokens). Shares the exhaustive-Jaccard
+    * CC oracle of dedup_clusters/dedup_filtered with the argmax keep
+    * rule replayed in SQL — fully hash-checked. */
+  def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val nTok = Packing.nTokensUdf(col("text"))
+    val clusters = connectedComponents(minhashLshCore(docs))
+      .join(docs.select(col("doc_id"), nTok.as("n_tokens")), "doc_id")
+    val w = Window.partitionBy("canonical_doc_id")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val drop = clusters
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .orderBy("doc_id")
+  }
 
   /** Floor below which the EXACT histogram refuses to run without an
     * explicit opt-in: at lo ≪ MinExactLo the AllPairs prefix filter

@@ -291,6 +291,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(toks(0) > toks(1) && toks(1) > toks(2))
   }
 
+  test("split_groupsafe: no group straddles splits; naive per-doc policy provably leaks") {
+    val out = CorpusOps.qGroupSafeSplit(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // planted verbatim clones make real multi-member groups: docs > groups
+    assert(out.map(_._3).sum > out.map(_._2).sum)
+    // the audit column is non-vacuous — the per-doc policy would have
+    // scattered at least one clone away from its group's split
+    assert(out.map(_._5).sum > 0,
+      "expected the naive per-doc split to leak at least one planted clone")
+    // group-keyed assignment itself never straddles: every doc of a group
+    // carries the group's split, so summing docs per split equals the
+    // corpus (planting included) with no double count
+    val d = Tables.documents(spark, sf0001)
+    val planted = d.count() + d.filter(col("doc_id") % 25 === 0).count()
+    assert(out.map(_._3).sum === planted)
+  }
+
   test("sourceOverlap: self-join fanout is bounded by the source catalog") {
     val docs = Tables.documents(spark, sf0001)
     val out = CorpusOps.sourceOverlap(docs)

@@ -616,4 +616,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pos(0) === pos(2) && pos(1) === pos(3))
     assert(dis === pos.distinct)        // first-occurrence order
   }
+
+  test("dedup_survivors: each near-dup cluster keeps its LONGEST member, not min id") {
+    // a 3-member near-dup cluster where the longest doc has the LARGEST
+    // id — min-id survivorship and keep-longest must disagree here
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (Seq(
+      (10L, base),                       // 30 tokens
+      (11L, base + " tail"),             // 31 tokens
+      (12L, base + " tail longer"),      // 32 tokens ← must survive
+      (50L, (100 to 140).map(i => s"z$i").mkString(" "))) // unclustered
+    ).toDF("doc_id", "text")
+      .withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Dedup.qDedupSurvivors(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 50L),
+      s"keep-longest must keep doc 12 (the longest variant), got $kept")
+  }
 }

@@ -503,6 +503,7 @@ object SparkEntry {
     // --- corpus management ---
     "split_assign"        -> (CorpusOps.qSplitAssign _),
     "split_groupsafe"     -> (CorpusOps.qGroupSafeSplit _),
+    "split_neardup_safe"  -> (Dedup.qNearDupSafeSplit _),
     "corpus_drift"        -> (CorpusOps.qCorpusDrift _),
     "quantile_filter"     -> (CorpusOps.qQuantileFilter _),
     "lang_token_stats"    -> (CorpusOps.qLangTokenStats _),
@@ -1164,6 +1165,43 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)
          |ORDER BY d.doc_id""".stripMargin,
+    // split_neardup_safe: the leakage-safe split keyed on near-dup CC
+    // clusters (docs in no cluster are their own group) — the CC oracle
+    // with the group-split arithmetic replayed in SQL. naive_strays is
+    // non-vacuous on the fixtures' natural near-dup clusters.
+    "split_neardup_safe" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT node, least(node, min(r)) AS c
+         |         FROM reach GROUP BY node),
+         |a AS (SELECT d.doc_id,
+         |    len(list_filter(string_split(coalesce(d.text, ''), ' '),
+         |      x -> x <> ''))::BIGINT AS n_tokens,
+         |    coalesce(comp.c, d.doc_id) AS gid
+         |  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id),
+         |b AS (SELECT doc_id, n_tokens, gid,
+         |    CASE WHEN substring(md5(gid::VARCHAR), 1, 1)
+         |           IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+         |         THEN 'train'
+         |         WHEN substring(md5(gid::VARCHAR), 1, 1) IN ('c','d')
+         |         THEN 'val' ELSE 'test' END AS split,
+         |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+         |           IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+         |         THEN 'train'
+         |         WHEN substring(md5(doc_id::VARCHAR), 1, 1) IN ('c','d')
+         |         THEN 'val' ELSE 'test' END AS naive_split
+         |  FROM a)
+         |SELECT split, count(DISTINCT gid)::BIGINT AS n_groups,
+         |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)::BIGINT
+         |    AS naive_strays
+         |FROM b GROUP BY split ORDER BY split""".stripMargin,
     // dedup_survivors: dedup_filtered's CC oracle with the RefinedWeb
     // keep policy replayed in SQL — each component keeps its LONGEST
     // member (max token count, ties to min doc_id) instead of min id.

@@ -1511,6 +1511,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** NEAR-DUP-aware leakage-safe split — [[CorpusOps.qGroupSafeSplit]]
+    * widened from exact-dup groups to near-dup CLUSTERS: the group key
+    * is the connected-component canonical id of the LSH→verify→CC
+    * pipeline (docs in no cluster are their own group), so restatements
+    * and truncated mirrors — which an md5-of-text group can never join —
+    * land on the same side of the train/val/test boundary. Near-dup
+    * leakage is the contamination an exact-group split still ships:
+    * val/test "held-out" docs that are 0.8-Jaccard rewrites of training
+    * docs. `naive_strays` counts the docs the per-doc policy would have
+    * scattered away from their cluster's split — non-vacuous on the sf
+    * fixtures' natural near-dup clusters, no planting needed.
+    *
+    * Registered query (`split_neardup_safe`): per-split
+    * (n_groups, n_docs, n_tokens, naive_strays). Shares the
+    * exhaustive-Jaccard recursive-CTE CC oracle with the group-split
+    * arithmetic replayed in SQL — fully hash-checked. Scale shape: the
+    * cluster table is duplicate-bounded, the corpus joins it by id, the
+    * rollup is 3 rows. */
+  def qNearDupSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = connectedComponents(minhashLshCore(docs))
+    docs.select(col("doc_id"), Packing.nTokensUdf(col("text")).as("n_tokens"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("canonical_doc_id"), col("doc_id")).as("gid"))
+      .select(col("doc_id"), col("n_tokens"), col("gid"),
+        CorpusOps.splitColumnOf(col("gid")).as("split"),
+        CorpusOps.splitColumnOf(col("doc_id")).as("naive_split"))
+      .groupBy("split")
+      .agg(countDistinct("gid").as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
+          .as("naive_strays"))
+      .orderBy("split")
+  }
+
   /** Floor below which the EXACT histogram refuses to run without an
     * explicit opt-in: at lo ≪ MinExactLo the AllPairs prefix filter
     * keeps nearly every shingle as a candidate ((1−lo)·n+1 of n), so the

@@ -636,4 +636,34 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(kept === Set(12L, 50L),
       s"keep-longest must keep doc 12 (the longest variant), got $kept")
   }
+
+  test("split_neardup_safe: near-dup cluster members never straddle splits") {
+    val out = Dedup.qNearDupSafeSplit(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    val docs = Tables.documents(spark, sf0001)
+    // partition property: splits cover the corpus exactly once
+    assert(out.map(_._3).sum === docs.count())
+    // the fixtures' natural near-dup clusters make the audit
+    // non-vacuous: multi-member groups exist and the naive per-doc
+    // policy would scatter at least one member
+    assert(out.map(_._3).sum > out.map(_._2).sum,
+      "expected multi-member near-dup groups in the fixture")
+    assert(out.map(_._4).sum > 0,
+      "expected the naive per-doc split to leak at least one near-dup")
+    // straddle-freedom: every cluster member carries its cluster's
+    // split — recompute directly against the cluster table
+    import org.apache.spark.sql.functions.countDistinct
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs).select(
+        col("doc_a"), col("doc_b")))
+    val straddling = clusters
+      .select(col("doc_id"), col("canonical_doc_id"),
+        graft.operators.CorpusOps.splitColumnOf(col("canonical_doc_id"))
+          .as("split"))
+      .groupBy("canonical_doc_id")
+      .agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling === 0L)
+  }
 }

@@ -226,7 +226,11 @@ object ScaleSmoke {
       // (when a scale makes the two geometries coincide, the shared
       // build lands under dedup_embedding — alphabetically first in
       // prebuild — and this line reads probe-only)
-      "emb_cross_decon")
+      "emb_cross_decon",
+      // r17: the planted media corpus (PNG/WAV encode) is a write-once
+      // artifact now — first call pays the codec build, probes pay
+      // fingerprint + banding (VERDICT r16 ask #4)
+      "mm_neardup")
 
   /** Queries that SHARE a cacheBacked query's MaterializedCache artifact
     * without being the one prebuild() times (sim_quantized_batch reads
@@ -238,7 +242,9 @@ object ScaleSmoke {
     * build — exactly the build/probe conflation prebuild() exists to
     * prevent, reintroduced through the side door. */
   private val sharesArtifact =
-    Set("sim_quantized_batch", "dedup_semantic_gate")
+    Set("sim_quantized_batch", "dedup_semantic_gate",
+      // reads the planted-media blob table mm_neardup is timed on
+      "mm_neardup_gate")
 
   /** First call = artifact build + one probe; second call = cache-hit
     * probe only. Reporting BOTH splits the write-once build cost from
@@ -321,6 +327,10 @@ object ScaleSmoke {
     val warmDir = work.resolve("warm").toString
     Tables.embeddings(spark, oneDir).filter(col("vec_id") < 256)
       .write.mode("overwrite").parquet(s"$warmDir/embeddings.parquet")
+    // documents slice for the planted-media build warm-up (mm_neardup's
+    // PNG/WAV encode + raster-hash kernels)
+    Tables.documents(spark, oneDir).filter(col("doc_id") < 256)
+      .write.mode("overwrite").parquet(s"$warmDir/documents.parquet")
     family.foreach { case (name, fn) =>
       if (cacheBacked(name) || sharesArtifact(name)) {
         fn(spark, warmDir).count(): Unit

@@ -35,12 +35,7 @@ object CorpusOps {
     * across splits whenever partitioning changes — silent train/test
     * contamination). Digits 0-b → train (12/16), c-d → val (2/16),
     * e-f → test (2/16). Pure per-row expression: no shuffle, no state. */
-  def splitColumn(keyCol: String): Column = {
-    val d = substring(md5(col(keyCol).cast("string")), 1, 1)
-    when(d.isin("0123456789ab".map(_.toString): _*), "train")
-      .when(d.isin("c", "d"), "val")
-      .otherwise("test")
-  }
+  def splitColumn(keyCol: String): Column = splitColumnOf(col(keyCol))
 
   /** Registered query (`split_assign`): per (split, lang) doc and token
     * counts over `documents` — the audit table a pipeline publishes so

@@ -1641,9 +1641,18 @@ object Dedup {
       .orderBy("band10")
   }
 
+  /** Registered query (`dedup_hist_exact`) — the EXPLICIT OPT-IN exact
+    * form (r16 VERDICT ask #5): inherently all-pairs above the prefix
+    * filter, gated at the lo=0.3 floor, verification-scale tuning only.
+    * The name a user copies for threshold tuning is
+    * `dedup_threshold_hist`, which runs the sampled estimator below. */
   def qJaccardHistogram(s: SparkSession, dir: String): DataFrame =
     jaccardHistogram(Tables.documents(s, dir))
 
+  /** Registered query (`dedup_threshold_hist`) — the HEADLINE
+    * threshold-tuning name, on the constant-budget sampled estimator:
+    * the at-scale answer to "which Jaccard threshold should this corpus
+    * dedup at", flat in corpus size (0.97× at the 10× smoke). */
   def qJaccardHistogramSampled(s: SparkSession, dir: String): DataFrame =
     jaccardHistogramSampled(Tables.documents(s, dir))
 }

@@ -166,7 +166,15 @@ object Embeddings {
     * batch shape ([[graft.operators.Similarity.batchTopK]]'s plan on
     * the quantized representation): query codes ride a broadcast, the
     * per-query top-k is the bounded TopKByScore aggregate (map-side
-    * partials ≤ k per query, never a Window sort over the corpus). */
+    * partials ≤ k per query, never a Window sort over the corpus).
+    *
+    * LAZY VALIDATION CONTRACT (r16 ADVICE): the zero-norm query guard
+    * is an in-plan `assert_true` on the |queryIds|-row build side — it
+    * fires when the returned frame is EXECUTED, not at call time.
+    * Callers that build but never run the frame skip the check; every
+    * registered path executes (Verify/Bench collect or write). In-plan
+    * beats eager here because the eager form ran an extra driver job
+    * per call on the hot serving path (r15 ADVICE #4). */
   def quantizedBatchTopK(codes: DataFrame, queryIds: Seq[Long],
       k: Int = 3): DataFrame = {
     // Same guard as [[topKOverCodes]] (r14 ADVICE): an all-zero query's

@@ -54,7 +54,8 @@ private[graft] object MaterializedCache {
     * (IVF index, int8 codes, LSH band/sketch tables, semantic
     * centroids). */
   private[graft] val Roots = Seq("graft_ivf_index", "graft_int8_codes",
-    "graft_lsh_bands", "graft_sem_centroids")
+    "graft_lsh_bands", "graft_sem_centroids", "graft_planted_media",
+    "graft_sem_prune")
 
   /** Drop every cache entry (across all [[Roots]]) whose key embeds
     * `token`. Scale harnesses call this on exit with their unique work
@@ -62,8 +63,14 @@ private[graft] object MaterializedCache {
     * not accumulate in tmpdir forever (measured 631 MB of stale
     * graft_ivf_index entries across past capture runs — each run's
     * random scaled-dir path is a fresh stem the sibling prune can never
-    * match). */
-  private[graft] def dropEntriesContaining(token: String): Unit =
+    * match). Requires a token of ≥ 8 chars (r16 ADVICE): callers pass
+    * unique random temp-dir names today, but a short or generic token
+    * from a future caller would silently reclaim live artifacts for
+    * other corpora — fail loudly instead. */
+  private[graft] def dropEntriesContaining(token: String): Unit = {
+    require(token.length >= 8,
+      s"dropEntriesContaining token '$token' too short (< 8 chars) — " +
+        "a generic token would reclaim live cache entries for other corpora")
     Roots.foreach { rootName =>
       val root = Paths.get(sys.props("java.io.tmpdir"), rootName)
       if (Files.isDirectory(root)) {
@@ -75,6 +82,7 @@ private[graft] object MaterializedCache {
         finally ls.close()
       }
     }
+  }
 
   private def deleteTree(p: Path): Unit = {
     val walk = Files.walk(p)

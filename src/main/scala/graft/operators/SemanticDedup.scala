@@ -109,6 +109,13 @@ object SemanticDedup {
       Similarity.fitCentroids(fitRows, k), iters = 1)
   }
 
+  /** The production bounded fit at the default envelope — exposed for
+    * the [[graft.SemanticStress]] capture, which times fit and probe
+    * separately past the kCeiling bind point (VERDICT r16 ask #2). */
+  private[graft] def fitCentroidsBounded(e: DataFrame, n: Long)
+      : Array[Array[Double]] =
+    boundedFit(e, n, fitK(n), DefaultMaxFitRows)
+
   /** (vec_id, canonical_vec_id) for every vector in a multi-member
     * semantic-duplicate group — canonical = group minimum. Keep policy
     * for a pipeline: drop rows where vec_id != canonical_vec_id. */
@@ -187,22 +194,60 @@ object SemanticDedup {
       .collect().map(_.getSeq[Double](1).toArray)
   }
 
+  /** Bumped whenever the materialized prune-table semantics change —
+    * rides in the cache key (the int8-codes discipline). */
+  private val PruneVersion = 1
+
+  /** Write-once materialized semantic dup-groups table for `dir`'s
+    * planted corpus (VERDICT r16 ask #6): SemDeDup prunes at INGEST —
+    * the (vec_id, canonical_vec_id) groups table is built once per
+    * corpus and SERVED many times, the same write-once/probe-many split
+    * as the IVF index and int8 codes. Both `dedup_semantic` and
+    * `dedup_semantic_gate` read this one artifact instead of each
+    * re-running the full assign→candidates→verify→CC pass per sweep
+    * (the r16 family priced the prune three times, ~8.6 s clean).
+    *
+    * Built UNCAPPED (cap=Int.MaxValue — the pure cluster-bounded plan):
+    * the gate's completeness contract requires it (the hot-cluster star
+    * guard deliberately thins pair sets), and sharing the gate's plan
+    * with the main query is sound because the registered corpora sit
+    * far under the cap (cluster populations ≤ n/16 ≪ DefaultClusterCap
+    * at every sf fixture), where capped and uncapped emit identical
+    * groups. The LIVE capped production plan stays exercised and
+    * measured elsewhere: dedup_semantic_recall runs [[semanticPrune]]
+    * with production defaults per call, SemanticDedupSpec pins the
+    * star-guard degradation, and the SemanticStress capture measures
+    * the capped probe past the kCeiling bind point. */
+  private def materializedPrune(s: SparkSession, dir: String): DataFrame = {
+    val (bytes, mtime) = MaterializedCache.fingerprint(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    val stem = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_semprune"
+    val key = s"${stem}_v${PruneVersion}_${bytes}_$mtime"
+    val idx = MaterializedCache.getOrBuild("graft_sem_prune", stem, key,
+        "_SUCCESS") { tmp =>
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val n = base.count()
+      val out =
+        if (n == 0) emptyResult(base)
+        else pruneWithCentroids(plantedCorpus(s, dir)._1,
+          materializedCentroids(s, dir, n, fitK(n)), threshold = 0.95,
+          cap = Int.MaxValue)
+      out.write.mode("overwrite").parquet(tmp.toString)
+    }
+    s.read.parquet(idx.toString)
+  }
+
   /** Registered query (`dedup_semantic`): the embeddings corpus with
-    * planted exact copies — every 10th vector re-keyed under +1000000 —
-    * pruned against the write-once materialized centroid fit
-    * ([[materializedCentroids]]; clones assign identically to their
+    * planted exact copies — every 10th vector re-keyed under a derived
+    * offset — pruned against the write-once materialized centroid fit,
+    * served from the write-once materialized groups table
+    * ([[materializedPrune]]; clones assign identically to their
     * sources whatever the fit, so planting does not perturb it).
     * No-oracle (cluster membership for natural near-restatements
     * depends on the fitted centroids); [[qSemanticGate]] is the
     * oracle-checked companion. */
-  def qSemanticPrune(s: SparkSession, dir: String,
-      cap: Int = DefaultClusterCap): DataFrame = {
-    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val n = base.count()
-    if (n == 0) return emptyResult(base)
-    pruneWithCentroids(plantedCorpus(s, dir)._1,
-      materializedCentroids(s, dir, n, fitK(n)), threshold = 0.95, cap = cap)
-  }
+  def qSemanticPrune(s: SparkSession, dir: String): DataFrame =
+    materializedPrune(s, dir).orderBy("vec_id")
 
   /** Planted corpus + the clone-id offset it used. The offset is DERIVED
     * (next 1M multiple above max(vec_id), via [[Dedup.plantOffset]]) —
@@ -225,14 +270,16 @@ object SemanticDedup {
     * constant flags, so a clustering/verify/grouping regression flips a
     * flag and hash-mismatches. */
   def qSemanticGate(s: SparkSession, dir: String): DataFrame = {
-    // UNCAPPED plan (cap=Int.MaxValue — the mm_neardup_gate discipline,
-    // r15 ADVICE #2): the hot-cluster star guard deliberately thins pair
-    // sets (star edges rep–clone can fail the 0.95 verify when a hot
-    // cluster holds several distinct duplicate groups), so the
-    // completeness contract is checked on the pure cluster-bounded plan;
-    // the guard's own degradation contract is spec-pinned separately
+    // UNCAPPED plan (the mm_neardup_gate discipline, r15 ADVICE #2): the
+    // hot-cluster star guard deliberately thins pair sets (star edges
+    // rep–clone can fail the 0.95 verify when a hot cluster holds
+    // several distinct duplicate groups), so the completeness contract
+    // is checked on the pure cluster-bounded plan — which is exactly
+    // what [[materializedPrune]] stores, so the gate SERVES the shared
+    // artifact instead of re-running the prune (r16 ask #6); the
+    // guard's own degradation contract is spec-pinned separately
     // (SemanticDedupSpec).
-    val out = qSemanticPrune(s, dir, cap = Int.MaxValue).localCheckpoint()
+    val out = materializedPrune(s, dir).localCheckpoint()
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val off = Dedup.plantOffset(e, "vec_id")
     val planted = e
@@ -314,8 +361,14 @@ object SemanticDedup {
     import s.implicits._
     val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = base.count()
+    // Empty corpus: recall over zero truth pairs is vacuously 1.0, so
+    // recall_ok=true and pass=false only via n_true_pairs=0 — the same
+    // flags the n>0 branch would emit for an empty truth set, and the
+    // shape the conditional oracle expects (r16 ADVICE: the old
+    // false/false row would hash-mismatch an empty fixture as a fake
+    // regression).
     if (n == 0)
-      return Seq((threshold, 0L, RecallFloor, false, false))
+      return Seq((threshold, 0L, RecallFloor, true, false))
         .toDF("threshold", "n_true_pairs", "floor", "recall_ok", "pass")
     require(n <= MaxRecallCorpus,
       s"dedup_semantic_recall: exhaustive truth is verification-scale " +

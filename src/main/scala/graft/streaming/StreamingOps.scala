@@ -690,8 +690,10 @@ object StreamingOps {
       .withColumn("n_versions", lit(nv))
       .orderBy("user_id")
       .localCheckpoint()
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+    val walk = Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
     out
   }
 

@@ -37,7 +37,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkFixture {
     else spark.read.parquet(s"$sf0001/$t.parquet")
 
   private lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val dir = TestDirs.scratch("graft_empty")
     tables.foreach { t =>
       loadTable(t).limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")

@@ -231,6 +231,64 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       perceptualHash(blob) ^ perceptualHash(other)) > 10)
   }
 
+  test("raster hash is re-encode-invariant: PNG and its BMP transcode fingerprint identically; container-byte hash misses") {
+    import graft.operators.Multimodal._
+    val png = pngEncode(33, 21, seed = 5L)
+    val bmp = reencodeImage(png)
+    // a genuine transcode: a different container entirely (BMP magic),
+    // so sha256 can never group the pair
+    assert(!png.sameElements(bmp))
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    // raster seam: bit-identical fingerprints (both codecs lossless)
+    assert(rasterPerceptualHash(png).isDefined)
+    assert(rasterPerceptualHash(png) === rasterPerceptualHash(bmp))
+    // the container-byte hash MISSES the transcode (every byte changed)
+    // — the raster path is load-bearing, not decorative
+    assert(java.lang.Long.bitCount(
+      perceptualHash(png) ^ perceptualHash(bmp)) > 2,
+      "container-byte hash should not survive a re-encode")
+    // determinism across calls (the plant contract)
+    assert(reencodeImage(png).sameElements(bmp))
+  }
+
+  test("byte-seam fallback for undecodable payloads; decodable images take the raster seam") {
+    import graft.operators.Multimodal._
+    // WAV: a real container, but not an image — byte seam
+    val wav = wavEncode(8000, 1, 16, 50, payloadSeed = Some(3L))
+    assert(rasterPerceptualHash(wav) === None)
+    assert(mediaPerceptualHash(wav) === perceptualHash(wav))
+    // arbitrary bytes — byte seam
+    val junk = Array.tabulate(512)(i => mixByte(11L, i))
+    assert(rasterPerceptualHash(junk) === None)
+    assert(mediaPerceptualHash(junk) === perceptualHash(junk))
+    // a corrupted PNG (signature byte flipped) loses decodability and
+    // falls to the byte seam — the documented routing consequence
+    val png = pngEncode(24, 16, seed = 7L)
+    val broken = png.clone(); broken(0) = 'X'.toByte
+    assert(rasterPerceptualHash(broken) === None)
+    assert(mediaPerceptualHash(broken) === perceptualHash(broken))
+    // while the intact image routes to the raster seam
+    assert(mediaPerceptualHash(png) === rasterPerceptualHash(png).get)
+    // null/empty: byte seam's zero fingerprint
+    assert(mediaPerceptualHash(null) === 0L)
+    assert(mediaPerceptualHash(Array.emptyByteArray) === 0L)
+  }
+
+  test("perceptual near-dup catches a re-encoded image end to end (banding included); sha256 blind to it") {
+    import graft.operators.Multimodal._
+    val png = pngEncode(40, 25, seed = 21L)
+    val media = (Seq((1L, png), (2L, reencodeImage(png))) ++
+      (10 until 25).map(i => (i.toLong, pngEncode(30 + i % 7, 20, i.toLong))))
+      .toDF("id", "bytes")
+    val pairs = perceptualNearDup(media, "id", "bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)) === Some(0L),
+      "re-encoded raster must pair at hamming 0")
+    val sha = graft.operators.Multimodal.blobDedup(media, "id", "bytes")
+      .filter($"id".isin(1L, 2L)).collect().map(_.getLong(1)).distinct
+    assert(sha.length === 2, "sha256 must NOT group the re-encoded copy")
+  }
+
   test("perceptual near-dup: exact copy at hamming 0, corrupted copy within 2; sha256 blind to it") {
     val rng = new scala.util.Random(13)
     def blob() = Array.fill(2048)(rng.nextInt(256).toByte)
@@ -278,15 +336,17 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .toDF("doc_id", "text", "source")
       .withColumn("n_chars", org.apache.spark.sql.functions
         .length($"text").cast("long"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_mmnd").toString
+    val dir = TestDirs.scratch("graft_mmnd")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val row = graft.operators.Multimodal.qMediaNearDupGate(spark, dir).head()
     assert(row.getLong(0) === 2L)
-    assert(row.getLong(1) === 4L) // 0,30,60,90
-    assert(row.getLong(2) === 6L) // 0,20,40,60,80,100
-    assert(row.getBoolean(3), "exact copies must all be caught")
-    assert(row.getBoolean(4), "corrupted copies must all be caught")
-    assert(row.getBoolean(5))
+    assert(row.getLong(1) === 4L) // exact: 0,30,60,90
+    assert(row.getLong(2) === 6L) // re-encode: 0,20,40,60,80,100
+    assert(row.getLong(3) === 6L) // wav swap: 5,25,45,65,85,105
+    assert(row.getBoolean(4), "exact copies must all be caught")
+    assert(row.getBoolean(5), "re-encoded rasters must all be caught")
+    assert(row.getBoolean(6), "corrupted wav copies must all be caught")
+    assert(row.getBoolean(7))
   }
 
   test("pngEncode emits a genuine PNG: imageDecode reads the true dimensions back") {
@@ -318,12 +378,15 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .toDF("doc_id", "text", "source")
       .withColumn("n_chars", org.apache.spark.sql.functions
         .length($"text").cast("long"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_mmnd_off").toString
+    val dir = TestDirs.scratch("graft_mmnd_off")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val row = graft.operators.Multimodal.qMediaNearDupGate(spark, dir).head()
     // ids are i·10⁶: 10⁶ ≡ 10 (mod 30) → %30 hits every 3rd i; 10⁶ ≡ 0
-    // (mod 20) → %20 hits all 60
-    assert(row.getLong(1) === 20L && row.getLong(2) === 60L)
-    assert(row.getBoolean(3) && row.getBoolean(4) && row.getBoolean(5))
+    // (mod 20) → %20==0 hits all 60 and %20==5 hits none (all even —
+    // the wav-swap family is vacuously caught here)
+    assert(row.getLong(1) === 20L && row.getLong(2) === 60L &&
+      row.getLong(3) === 0L)
+    assert(row.getBoolean(4) && row.getBoolean(5) && row.getBoolean(6) &&
+      row.getBoolean(7))
   }
 }

@@ -23,7 +23,8 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     "neg_samples",
     // broadcast 1-row corpus-count scalar (sample modulus) crossed onto
     // the corpus scan and the band counts — constant-budget estimator
-    "dedup_hist_sampled",
+    // (the headline threshold-histogram name runs the sampled form)
+    "dedup_threshold_hist",
     // broadcast 1-row grand-total scalar crossed onto the top-k slice
     "key_skew_audit",
     // lexical leg embeds text_bm25's broadcast 1-row corpus-stats scalar

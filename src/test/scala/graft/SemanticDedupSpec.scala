@@ -79,7 +79,7 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
   test("gate query passes end to end on a parquet corpus") {
     val e = ((0 until 50).map(i => (i.toLong, vec())))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    val dir = TestDirs.scratch("graft_semdedup")
     e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val row = SemanticDedup.qSemanticGate(spark, dir).head()
     assert(row.getDouble(0) === 0.95)
@@ -94,7 +94,7 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     // which requires the derived offset to clear the real id range
     val e = ((0 until 50).map(i => (i.toLong * 1000000L, vec())))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_off").toString
+    val dir = TestDirs.scratch("graft_semdedup_off")
     e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val row = SemanticDedup.qSemanticGate(spark, dir).head()
     assert(row.getLong(1) === 50L) // every id is % 10 == 0 here
@@ -104,7 +104,7 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
   test("recall gate: exhaustive truth finds exactly the planted restatements; cluster-bounded recall clears the floor") {
     val e = ((0 until 60).map(i => (i.toLong, vec())))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft_semrecall").toString
+    val dir = TestDirs.scratch("graft_semrecall")
     e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val row = SemanticDedup.qSemanticRecall(spark, dir).head()
     assert(row.getDouble(0) === 0.95)
@@ -119,7 +119,7 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
 
   test("recall gate refuses a corpus past the exhaustive-truth bound") {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft_semrecall_big").toString
+    val dir = TestDirs.scratch("graft_semrecall_big")
     spark.range(SemanticDedup.MaxRecallCorpus + 1)
       .select(col("id").as("vec_id"),
         array(Seq.fill(4)(rand(7).cast("float")): _*).as("embedding"))

@@ -78,7 +78,14 @@ object SemanticStress {
       .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4× the thread count, NOT the Bench default (= cpus): past the
+      // bind point the within-cluster candidate join peaks at ~256M
+      // id-pairs (the 128× point), and at 32 partitions each task's
+      // build side overruns a 32-thread share of the default heap —
+      // measured OOM on the first capture attempt. More, smaller
+      // partitions is the standard spill-pressure answer; the harness
+      // also runs with SPARK_DRIVER_MEM=24g in the capture script.
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

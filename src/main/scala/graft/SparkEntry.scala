@@ -418,6 +418,7 @@ object SparkEntry {
     "q21_array_scalars"   -> (Relational.q21ArrayScalars _),
     "q22_map_scalars"     -> (Relational.q22MapScalars _),
     "q23_pivot"           -> (Relational.q23Pivot _),
+    "q28_unpivot"         -> (Relational.q28Unpivot _),
     "q24_scalar_subquery" -> (Relational.q24ScalarSubquery _),
     "q25_correlated_exists" -> (Relational.q25CorrelatedExists _),
     "q26_hash_sample"     -> (Sampling.q26HashSample _),
@@ -443,6 +444,10 @@ object SparkEntry {
     "sim_quantized_topk"  -> (Embeddings.qQuantizedTopK _),
     "sim_quantized_probe" -> ((s, d) => Embeddings.qQuantizedProbe(s, d)),
     "sim_quantized_batch" -> (Embeddings.qQuantizedBatch _),
+    "sim_binary_topk"     -> (BinaryQuant.qBinaryTopK _),
+    "sim_binary_recall"   -> ((s: SparkSession, d: String) => BinaryQuant.qBinaryRecall(s, d)),
+    "emb_project"         -> (Embeddings.qProject _),
+    "emb_project_distortion" -> (Embeddings.qProjectDistortion _),
     // --- dedup family ---
     "dedup_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.qMinhashLsh _),
@@ -527,6 +532,7 @@ object SparkEntry {
     "mm_neardup_gate"     -> (Multimodal.qMediaNearDupGate _),
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
+    "stream_topk"         -> (StreamingOps.qStreamTopK _),
     "stream_dedup"        -> (StreamingOps.qStreamDedup _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
     "stream_sessions_append" -> (StreamingOps.qStreamSessions _),
@@ -1120,6 +1126,20 @@ object SparkEntry {
         |  count(*) FILTER (c_mktsegment = 'MACHINERY') AS machinery
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q28_unpivot: money sums integerized to cents before any double
+    // division (exact longs both engines), then melted wide → long.
+    "q28_unpivot" ->
+      """WITH wide AS (SELECT o_orderpriority,
+        |    (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0)
+        |      AS total_price,
+        |    count(*)::DOUBLE AS n_orders,
+        |    round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+        |      / count(*), 4) AS avg_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN
+        |  (total_price, n_orders, avg_price))
+        |ORDER BY o_orderpriority, metric""".stripMargin,
     // --- dedup family: minhash-LSH verifies candidates with EXACT
     // jaccard and the banding miss-probability at j≥0.8 is ~5e-8, so it
     // shares the exhaustive-equivalent shared-shingle oracle ---
@@ -1924,6 +1944,95 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rnk::BIGINT AS rnk, vec_id, round(cos, 4) AS cos_sim
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // sim_binary_topk: unlike the IVF probe (whose k-means fit is not
+    // SQL-expressible), the ENTIRE binary path is deterministic — sign
+    // packing, bit_count(xor) Hamming, the (hamming, vec_id) pool cut at
+    // 128, the exact-cosine re-rank — so the approximate query itself is
+    // fully hash-checked, not just recall-gated. 32-bit words: 2^j stays
+    // exact on every path both engines use (BinaryQuant.WordBits).
+    "sim_binary_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |    list_transform(range((len(v)+31)//32), w ->
+        |      coalesce(list_sum(list_transform(list_slice(v, w*32+1, w*32+32),
+        |        (x,j) -> CASE WHEN x > 0 THEN (1::BIGINT << (j-1))
+        |                 ELSE 0 END)), 0)) AS bits
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bits AS qbits
+        |  FROM b WHERE vec_id <= 7),
+        |h AS (SELECT q.query_id, b.vec_id, b.v,
+        |    list_sum(list_transform(b.bits, (x,i) ->
+        |      bit_count(CAST(xor(x, q.qbits[i]) AS BIGINT))))::BIGINT AS hamming
+        |  FROM b, q WHERE b.vec_id <> q.query_id),
+        |pool AS (SELECT query_id, vec_id, v, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY hamming, vec_id) AS hr
+        |  FROM h),
+        |r AS (SELECT p.query_id, p.vec_id, p.hamming,
+        |    list_cosine_similarity(p.v, q.qv) AS cos,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.v, q.qv) DESC, p.vec_id) AS rnk
+        |  FROM pool p JOIN q USING (query_id) WHERE p.hr <= 128)
+        |SELECT query_id, rnk::BIGINT AS rnk, vec_id, hamming,
+        |  round(cos, 4) AS cos_sim
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // sim_binary_recall: the sim_recall discipline — recall itself is
+    // engine-internal (vs the exact batch top-k), but the contract row is
+    // oracle-checked, so a packing/pool regression flips pass and
+    // hash-mismatches every round.
+    "sim_binary_recall" ->
+      """SELECT 3::BIGINT AS k, 8::BIGINT AS n_queries,
+        |  CAST(0.6 AS DOUBLE) AS bound, true AS pass""".stripMargin,
+    // emb_project: the ±1 random projection on integerized vectors is
+    // exact integer math end to end — the projected vectors themselves
+    // hash-check, no float crosses the engine boundary.
+    "emb_project" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
+        |  FROM embeddings),
+        |s AS (SELECT vec_id,
+        |    list_transform(range(16), j ->
+        |      list_transform(vi, (x, i) -> struct_pack(x := x,
+        |        h := ((i-1)::BIGINT * 7919 + j::BIGINT * 104729 + 12345)
+        |               % 2097152))) AS cells
+        |  FROM e)
+        |SELECT vec_id,
+        |  CAST(list_transform(cells, cj ->
+        |    list_sum(list_transform(cj, c ->
+        |      c.x * (1 - 2 * xor(((c.h * c.h) >> 8) & 1,
+        |                         ((c.h * c.h) >> 27) & 1)))))
+        |    AS BIGINT[]) AS proj
+        |FROM s ORDER BY vec_id""".stripMargin,
+    // emb_project_distortion: squared distances are exact longs; the JL
+    // ratio is the single-scalar sqrt/divide/round-4dp shape the cosine
+    // oracles pin.
+    "emb_project_distortion" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
+        |  FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT vec_id, vi,
+        |    list_transform(range(16), j ->
+        |      list_sum(list_transform(vi, (x, i) ->
+        |        x * (1 - 2 * xor(
+        |          (((((i-1)::BIGINT * 7919 + j::BIGINT * 104729 + 12345)
+        |             % 2097152) * ((((i-1)::BIGINT * 7919
+        |             + j::BIGINT * 104729 + 12345)) % 2097152)) >> 8) & 1,
+        |          (((((i-1)::BIGINT * 7919 + j::BIGINT * 104729 + 12345)
+        |             % 2097152) * ((((i-1)::BIGINT * 7919
+        |             + j::BIGINT * 104729 + 12345)) % 2097152)) >> 27) & 1)))))
+        |      AS pr
+        |  FROM e),
+        |d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(a.vi,
+        |      (x,i) -> (x - b.vi[i]) * (x - b.vi[i]))) AS d2o,
+        |    list_sum(list_transform(a.pr,
+        |      (x,i) -> (x - b.pr[i]) * (x - b.pr[i]))) AS d2p
+        |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, d2o::BIGINT AS d2_orig, d2p::BIGINT AS d2_proj,
+        |  round(sqrt(d2p::DOUBLE / 16.0) / sqrt(d2o::DOUBLE), 4) AS ratio
+        |FROM d ORDER BY vec_a, vec_b""".stripMargin,
     // emb_source_centroids: mean-pooled per-source centroid + cohesion.
     // Vectors integerized (round(x·10⁶)) so every cross-row SUM is
     // integer-exact; cosine is scale-invariant so rows compare against
@@ -2373,6 +2482,15 @@ object SparkEntry {
     // --- streaming (tumbling replays the stream; sessions run the same
     // operator in batch; both reconstruct in SQL) ---
     "stream_tumbling" -> q11Sql,
+    // stream_topk: the Misra–Gries heavy-hitters sketch runs in its
+    // documented EXACT regime (5 distinct terms < capacity 8 — every
+    // partial holds every term, merges lossless), so the streaming
+    // sketch counts equal the batch GROUP BY and hash-check; the
+    // capacity-exceeded approximation regime is spec-pinned instead.
+    "stream_topk" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket,
+        |  event_type AS term, count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // stream_dedup: which duplicate survives the streaming dedup is
     // parallelism-dependent, but the surviving KEY SET is not — the
     // rollup (distinct users per day × type) is the deterministic,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding-storage operators for the training pipeline: symmetric
@@ -278,6 +278,99 @@ object Embeddings {
       .orderBy("source")
   }
 
+  // --- random projection (Johnson–Lindenstrauss) ------------------------
+
+  /** Output dimensionality of the registered projection queries. */
+  val DefaultProjDims = 16
+
+  /** Deterministic ±1 sign for projection cell (i, j), via the
+    * middle-square method on a linear seed: `h = (i·7919 + j·104729 +
+    * 12345) mod 2²¹`, sign bit = bit 8 of h² xor bit 27 of h². The
+    * mod bounds h² under 2⁶³ on BOTH engines (DuckDB BIGINT raises on
+    * overflow rather than wrapping); the SQUARING is the load-bearing
+    * nonlinearity — a single bit of `(i·p₁) xor (j·p₂)` is
+    * GF(2)-linear in its inputs, which makes every projection column
+    * identical up to global sign (rank-1 matrix, measured offdiag
+    * column correlation 1.0 — the bug this replaced). Measured matrix
+    * quality at (64×16) and (512×16): max |column mean| and max
+    * off-diagonal column correlation both at the ~1/√d random-matrix
+    * level. Pure integer arithmetic both engines reproduce exactly —
+    * no engine-specific hash crosses the oracle boundary. */
+  private def projSign(i: Column, j: Column): Column = {
+    val h = (i.cast("long") * lit(7919L) + j.cast("long") * lit(104729L) +
+      lit(12345L)) % lit(2097152L)
+    val g = h * h
+    lit(1L) - lit(2L) * shiftright(g, 8).bitwiseAND(lit(1L))
+      .bitwiseXOR(shiftright(g, 27).bitwiseAND(lit(1L)))
+  }
+
+  /** `p`-dim dense ±1 random projection of an INTEGERIZED vector
+    * (`round(x·10⁶)` longs — the [[sourceCentroids]] discipline):
+    * `y_j = Σ_i vi[i] · sign(i, j)`, exact integer math end to end, so
+    * the projected vectors are hash-checkable with no float rounding
+    * anywhere. */
+  private def projExpr(vi: Column, pDims: Int): Column =
+    transform(sequence(lit(0), lit(pDims - 1)), j =>
+      aggregate(
+        zip_with(vi, sequence(lit(0), size(vi) - 1),
+          (x, i) => x * projSign(i, j)),
+        lit(0L), (acc, x) => acc + x))
+
+  /** Integerized copy of the embedding column (exact: float→double
+    * widening is lossless and round() ties are engine-stable at the
+    * 10⁶ scale the fixtures use). */
+  private def integerized: Column =
+    transform(col("embedding").cast("array<double>"),
+      x => round(x * 1000000.0).cast("long"))
+
+  /** Dimensionality reduction via random projection — the standard
+    * pre-clustering / pre-ANN shrink at 100 TB (project 512-d floats
+    * to 16 integer dims BEFORE the expensive pairwise stage; the JL
+    * lemma bounds the pairwise-distance distortion). One shuffle-free
+    * corpus scan, all codegen-friendly HOFs over built-ins, no UDF and
+    * no driver-side matrix: the projection matrix is the [[projSign]]
+    * hash, materialized nowhere.
+    *
+    * Registered query (`emb_project`) — fully hash-checked: the
+    * integer projection is bit-reproducible in DuckDB. */
+  def projectVectors(emb: DataFrame, pDims: Int = DefaultProjDims): DataFrame =
+    emb.select(col("vec_id"),
+        projExpr(integerized, pDims).as("proj"))
+      .orderBy("vec_id")
+
+  /** Pairwise distance-distortion audit of [[projectVectors]] over the
+    * 8 query vectors (28 pairs): original and projected squared L2
+    * distances (exact longs) and the JL ratio
+    * `sqrt(d²_proj / p) / sqrt(d²_orig)` (≈1 when the projection
+    * preserves geometry; spread ~sqrt(2/p) at p=16 — the documented
+    * small-p trade). Registered query (`emb_project_distortion`) —
+    * fully hash-checked: integer distances are exact in both engines
+    * and the final ratio is the single-scalar sqrt/divide/round-4dp
+    * shape every cosine oracle already pins. */
+  def projectionDistortion(emb: DataFrame, pDims: Int = DefaultProjDims,
+      nQueries: Int = 8): DataFrame = {
+    val base = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), integerized.as("vi"))
+      .select(col("vec_id"), col("vi"), projExpr(col("vi"), pDims).as("p"))
+    val a = base.select(col("vec_id").as("vec_a"), col("vi").as("via"),
+      col("p").as("pa"))
+    val b = base.select(col("vec_id").as("vec_b"), col("vi").as("vib"),
+      col("p").as("pb"))
+    val d2 = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (u, v) => (u - v) * (u - v)),
+        lit(0L), (acc, s) => acc + s)
+    // 8-row × 8-row broadcast pair join (BNLJ by design — bounded by
+    // nQueries², never corpus-sized; PlanInvariantSpec allowlists it).
+    a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        d2(col("via"), col("vib")).as("d2_orig"),
+        d2(col("pa"), col("pb")).as("d2_proj"))
+      .select(col("vec_a"), col("vec_b"), col("d2_orig"), col("d2_proj"),
+        round(sqrt(col("d2_proj") / lit(pDims.toDouble)) /
+          sqrt(col("d2_orig")), 4).as("ratio"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   // --- SparkEntry-facing wrappers ---------------------------------------
 
   def qQuantize(s: SparkSession, dir: String): DataFrame =
@@ -289,4 +382,12 @@ object Embeddings {
 
   def qQuantizedTopK(s: SparkSession, dir: String): DataFrame =
     quantizedTopK(Tables.embeddings(s, dir))
+
+  /** Registered query (`emb_project`). */
+  def qProject(s: SparkSession, dir: String): DataFrame =
+    projectVectors(Tables.embeddings(s, dir))
+
+  /** Registered query (`emb_project_distortion`). */
+  def qProjectDistortion(s: SparkSession, dir: String): DataFrame =
+    projectionDistortion(Tables.embeddings(s, dir))
 }

@@ -506,6 +506,29 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** Q28 — unpivot (wide → long), the inverse of q23's pivot: per-
+    * priority order metrics melted to (o_orderpriority, metric, value)
+    * rows with `Dataset.unpivot` — the built-in that expands each input
+    * row to #metrics rows with NO shuffle (pure per-row Expand; the
+    * GROUP BY upstream is the only exchange). Cross-engine exactness:
+    * the money sums are integerized to cents (exact longs) before any
+    * double division, so the melted `value` doubles are identical in
+    * both engines at 4dp — the sourceCentroids discipline. */
+  def q28Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val cents = sum(round(col("o_totalprice") * 100.0).cast("long"))
+    val wide = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(cents.as("c"), count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        (col("c") / 100.0).as("total_price"),
+        col("n").cast("double").as("n_orders"),
+        round(col("c") / 100.0 / col("n"), 4).as("avg_price"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("total_price"), col("n_orders"), col("avg_price")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+  }
+
   /** Q19 — AS-OF join: each purchase event matched to the user's most
     * recent view event at or before it.
     *

@@ -511,6 +511,22 @@ object StreamingOps {
       .filter(col("event_type") =!= "__sentinel__")
       .orderBy("bucket", "event_type")
 
+  /** Registered query (`stream_topk`): [[trendingTerms]] driven end to
+    * end through the engine — bounded-state streaming heavy hitters,
+    * previously spec-only. With the stream's term cardinality (5 event
+    * types) under the Misra–Gries capacity (8), every partial summary
+    * holds every term exactly and summary merges are lossless, so the
+    * per-window sketch counts EQUAL the batch GROUP BY — the documented
+    * exactness regime, which is what makes a streaming sketch
+    * oracle-checkable at all (the capacity-exceeded regime is
+    * spec-pinned in HeavyHittersSpec/StreamingSpec instead). The state
+    * store carries one ≤8-counter summary per open window, never one
+    * row per distinct term. */
+  def qStreamTopK(s: SparkSession, dir: String): DataFrame =
+    replayEventsAppend(s, dir, "topk")(trendingTerms(_, "event_type"))
+      .filter(col("term") =!= "__sentinel__")
+      .orderBy("bucket", "term")
+
   /** Registered query (`stream_dedup`): [[streamingDedup]] driven end to
     * end through the engine — the dedupe-at-ingest front of a
     * training-data pipeline, previously spec-only.

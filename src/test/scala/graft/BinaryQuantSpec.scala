@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BinaryQuant, Similarity}
+
+/** Binary (1-bit sign) quantization ANN ([[graft.operators.BinaryQuant]]):
+  * packing semantics, the Hamming kernel, the pool-covers-corpus exactness
+  * property, and the registered recall gate. */
+class BinaryQuantSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  test("signBits packs sign bits into 32-bit words, little-endian per word") {
+    // 34 dims: bit 0 (v[0] > 0), bit 2 (v[2] > 0) in word 0; dims 32..33
+    // land in word 1 bits 0..1. Zeros and negatives contribute no bit.
+    val v = Array.fill(34)(-1.0f)
+    v(0) = 0.5f; v(2) = 2.0f; v(33) = 1.0f
+    val row = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+      .select(BinaryQuant.signBits(col("embedding")).as("bits"))
+      .head()
+    assert(row.getSeq[Long](0) === Seq((1L << 0) + (1L << 2), 1L << 1))
+  }
+
+  test("signBits: exact zero packs as 0-bit; tail beyond d contributes nothing") {
+    val v = Array.fill(32)(0.0f); v(31) = 0.1f
+    val bits = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+      .select(BinaryQuant.signBits(col("embedding")).as("bits"))
+      .head().getSeq[Long](0)
+    assert(bits === Seq(1L << 31)) // bit 31 via pow(2,31): no sign trap
+  }
+
+  test("hammingDist: zero on identical, counts flipped bits across words") {
+    val df = Seq((Seq(5L, 7L), Seq(5L, 7L), Seq(4L, 0L)))
+      .toDF("a", "b", "c")
+      .select(
+        BinaryQuant.hammingDist(col("a"), col("b")).as("same"),
+        BinaryQuant.hammingDist(col("a"), col("c")).as("diff"))
+      .head()
+    assert(df.getLong(0) === 0L)
+    // 5^4 = 1 (1 bit), 7^0 = 7 (3 bits)
+    assert(df.getLong(1) === 4L)
+  }
+
+  test("pool covering the corpus makes the binary path EXACT (recall 1.0)") {
+    // With pool ≥ corpus size the Hamming prefilter prunes nothing, so the
+    // re-rank IS the exact brute-force ranking — the property that pins
+    // prefilter+re-rank as a pure candidate-selection optimization.
+    val full = BinaryQuant.binaryTopK(spark, sf0001, 0L to 3L, k = 3,
+        pool = 10000)
+      .select("query_id", "rnk", "vec_id", "cos_sim").collect()
+    val exact = Similarity.batchTopK(spark, sf0001, 0L to 3L, 3)
+      .select("query_id", "rnk", "vec_id", "cos_sim").collect()
+    assert(full.toSeq === exact.toSeq)
+  }
+
+  test("registered gate passes at the spec fixture (recall ≥ bound)") {
+    val r = BinaryQuant.qBinaryRecall(spark, sf0001).head()
+    assert(r === Row(3L, 8L, 0.6, true))
+  }
+
+  test("default pool output carries the Hamming distance of each survivor") {
+    val rows = BinaryQuant.binaryTopK(spark, sf0001).collect()
+    assert(rows.length === 24) // 8 queries × k=3
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("hamming"); h >= 0L && h <= 64L
+    })
+  }
+}

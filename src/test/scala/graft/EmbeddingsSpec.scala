@@ -161,4 +161,38 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
     val c = Embeddings.qQuantizedProbe(spark, sf0001).collect().toSeq
     assert(c === a)
   }
+
+  test("random projection: zero vector projects to the zero vector") {
+    import spark.implicits._
+    val p = Seq((1L, Seq.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+      .transform(Embeddings.projectVectors(_))
+      .head().getSeq[Long](1)
+    assert(p === Seq.fill(Embeddings.DefaultProjDims)(0L))
+  }
+
+  test("random projection is linear on integerized inputs (proj(2x) = 2·proj(x))") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => (i - 32) / 64.0f)
+    def proj(scale: Float) =
+      Seq((1L, v.map(_ * scale))).toDF("vec_id", "embedding")
+        .transform(Embeddings.projectVectors(_))
+        .head().getSeq[Long](1)
+    assert(proj(2.0f) === proj(1.0f).map(_ * 2L))
+  }
+
+  test("projection distortion: 28 pairs, positive distances, JL ratio sane") {
+    val rows = Embeddings
+      .projectionDistortion(Tables.embeddings(spark, sf0001))
+      .collect()
+    assert(rows.length === 28)
+    assert(rows.forall(r => r.getAs[Long]("d2_orig") > 0L))
+    // p=16 gives spread ~sqrt(2/p) ≈ 0.35 around 1; the fixture is
+    // deterministic, so this band pins regression, not luck.
+    val ratios = rows.map(_.getAs[Double]("ratio"))
+    assert(ratios.forall(r => r > 0.3 && r < 2.0),
+      s"JL ratio out of band: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.75 && mean < 1.25, s"mean JL ratio drifted: $mean")
+  }
 }

@@ -10,7 +10,7 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
 
   /** Queries whose wrapper eagerly runs a stream rather than returning a
     * lazy frame; their operators are covered by StreamingSpec. */
-  private val skip = Set("stream_tumbling")
+  private val skip = Set("stream_tumbling", "stream_topk")
 
   /** BroadcastNestedLoopJoin is legitimate exactly where one side is
     * guaranteed tiny: the literal band table (a theta join by design), the
@@ -34,7 +34,13 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     "lm_logprob",
     // broadcast 8-query-row frame crossed onto the codes scan — the
     // sim_batch_topk batch-serving shape on the quantized table
-    "sim_quantized_batch")
+    "sim_quantized_batch",
+    // broadcast 8-query-bits frame crossed onto the packed-bits scan
+    // (the Hamming prefilter), same batch-serving shape
+    "sim_binary_topk",
+    // 8-row × 8-row broadcast pair join — bounded by nQueries², never
+    // corpus-sized (Embeddings.projectionDistortion)
+    "emb_project_distortion")
 
   /** Queries that intentionally plan an unpartitioned (global) Window —
     * the canonical 100 TB plan killer when it sits over corpus-sized data.

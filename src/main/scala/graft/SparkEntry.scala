@@ -140,6 +140,43 @@ object SparkEntry {
       .orderBy("version")
   }
 
+  /** Additive schema evolution E2E THROUGH STORAGE (`cow_evolve` —
+    * upgrades the last spec-only storage row to oracle-checked):
+    * documents commit as version 0 (5 columns), then an update batch
+    * carrying a NEW `rev` column upserts version 1 — new/rewritten
+    * files take the widened schema, carried-over files keep theirs,
+    * and the sticky mergeSchema read null-fills history. Output = the
+    * final per-row state (`rev` = 2 exactly on the updated keys, null
+    * everywhere else — including the updated keys' untouched NEIGHBORS
+    * inside rewritten files, which the rewrite must null-cast, and the
+    * rows in never-touched files, which only the mergeSchema read
+    * null-fills; the oracle's CASE reproduces both) plus the
+    * schema-visibility flags of both versions (`v0_has_rev` must stay
+    * false: time travel keeps each version's OWN schema). */
+  private def qCowEvolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tbl = TmpDirs.scratch("graft_evolve").resolve("tbl").toString
+    sources.VersionedTable.init(s, tbl,
+      docs.repartitionByRange(8, col("doc_id")))
+    sources.VersionedTable.upsert(s, tbl,
+      docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("text", concat(lit("E1 "), col("text")))
+        .withColumn("rev", lit(2L)),
+      "doc_id")
+    val v0 = sources.VersionedTable.read(s, tbl, Some(0L))
+    val latest = sources.VersionedTable.read(s, tbl)
+    // Empty-input edge: an empty update batch rewrites no file, so the
+    // latest snapshot never sees the widened schema — surface rev as
+    // all-null instead of an unresolved-column analysis error.
+    val withRev = if (latest.columns.contains("rev")) latest
+      else latest.withColumn("rev", lit(null).cast("long"))
+    withRev.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("rev"),
+        lit(v0.columns.contains("rev")).as("v0_has_rev"),
+        lit(latest.columns.contains("rev")).as("v1_has_rev"))
+      .orderBy("doc_id")
+  }
+
   /** Version-diff CDC read E2E THROUGH STORAGE: documents become
     * manifest version 0, one mixed update+insert batch commits version
     * 1, and [[graft.sources.VersionedTable.diff]] reads the change feed
@@ -410,6 +447,7 @@ object SparkEntry {
     "cow_upsert"          -> (qCowUpsert _),
     "cow_time_travel"     -> (qCowTimeTravel _),
     "cow_diff"            -> (qCowDiff _),
+    "cow_evolve"          -> (qCowEvolve _),
     "cow_optimize"        -> (qCowOptimize _),
     "q18_range_join"      -> (Relational.q18RangeJoin _),
     "q18b_theta_band"     -> (Relational.q18bThetaBand _),
@@ -824,6 +862,18 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM u)
         |SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM m ORDER BY doc_id""".stripMargin,
+    // cow_evolve: additive schema evolution — rev is 2 exactly on the
+    // updated keys and NULL on every other row (null-cast inside
+    // rewritten files, mergeSchema null-fill for untouched files — the
+    // CASE reproduces both); the version-schema flags pin that time
+    // travel keeps v0's own (unwidened) schema.
+    "cow_evolve" ->
+      """SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 13 = 0 THEN 'E1 ' || text ELSE text END)
+        |    AS text_md5,
+        |  (CASE WHEN doc_id % 13 = 0 THEN 2 ELSE NULL END)::BIGINT AS rev,
+        |  false AS v0_has_rev, true AS v1_has_rev
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // cow_time_travel: each snapshot's expected state recomputed from the
     // raw table — v0 = documents; v1 = %7 rows get n_chars+3; v2 = %11
     // rows get n_chars+10 ON TOP of v1 (an %11 update overwrites an

@@ -170,7 +170,13 @@ object BinaryQuant {
     * drift) flips `pass` and hash-mismatches every round. Bound 0.6
     * vs measured 0.96 at the sf0.01 gate fixture (0.71 at the 4×
     * sf0.1 corpus — the fixed-bit-budget degradation documented in
-    * the object scaladoc). */
+    * the object scaladoc).
+    *
+    * Scale envelope: the gate's cost is the EXACT brute-force side it
+    * compares against (that is what a recall oracle is — the
+    * dedup_semantic_recall precedent); measured 9.9 s at the 512-d
+    * 100× stress corpus vs 1.5 s for the binary path alone. A
+    * verification tool, not a serving path. */
   def qBinaryRecall(s: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 3, bound: Double = 0.6): DataFrame = {
     val qids = 0L until nQueries.toLong

@@ -230,7 +230,10 @@ object ScaleSmoke {
       // r17: the planted media corpus (PNG/WAV encode) is a write-once
       // artifact now — first call pays the codec build, probes pay
       // fingerprint + banding (VERDICT r16 ask #4)
-      "mm_neardup")
+      "mm_neardup",
+      // r17: the packed sign-bits table is a write-once artifact — first
+      // call pays the packing scan, probes pay Hamming + pool re-rank
+      "sim_binary_topk")
 
   /** Queries that SHARE a cacheBacked query's MaterializedCache artifact
     * without being the one prebuild() times (sim_quantized_batch reads
@@ -244,7 +247,9 @@ object ScaleSmoke {
   private val sharesArtifact =
     Set("sim_quantized_batch", "dedup_semantic_gate",
       // reads the planted-media blob table mm_neardup is timed on
-      "mm_neardup_gate")
+      "mm_neardup_gate",
+      // reads the packed-bits table sim_binary_topk is timed on
+      "sim_binary_recall")
 
   /** First call = artifact build + one probe; second call = cache-hit
     * probe only. Reporting BOTH splits the write-once build cost from

@@ -571,6 +571,7 @@ object SparkEntry {
     // --- streaming ---
     "stream_tumbling"     -> (StreamingOps.qStreamTumbling _),
     "stream_topk"         -> (StreamingOps.qStreamTopK _),
+    "stream_sliding"      -> (StreamingOps.qStreamSliding _),
     "stream_dedup"        -> (StreamingOps.qStreamDedup _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
     "stream_sessions_append" -> (StreamingOps.qStreamSessions _),
@@ -2532,6 +2533,15 @@ object SparkEntry {
     // --- streaming (tumbling replays the stream; sessions run the same
     // operator in batch; both reconstruct in SQL) ---
     "stream_tumbling" -> q11Sql,
+    // stream_sliding: shares q11b_sliding's contract — the streaming
+    // append output on window close equals the batch sliding GROUP BY.
+    "stream_sliding" ->
+      """SELECT bucket, event_type, count(*) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS bucket,
+        |         event_type
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // stream_topk: the Misra–Gries heavy-hitters sketch runs in its
     // documented EXACT regime (5 distinct terms < capacity 8 — every
     // partial holds every term, merges lossless), so the streaming

@@ -511,6 +511,18 @@ object StreamingOps {
       .filter(col("event_type") =!= "__sentinel__")
       .orderBy("bucket", "event_type")
 
+  /** Registered query (`stream_sliding`): [[slidingCounts]] driven end
+    * to end through the engine — the overlapping-window counterpart of
+    * stream_tumbling (each event lands in window/slide = 2 open
+    * windows, so the state store carries two rows per (bucket, type)
+    * until the watermark closes them). Shares q11b_sliding's oracle:
+    * the streaming append output on window close must equal the batch
+    * sliding-window GROUP BY. */
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame =
+    replayEventsAppend(s, dir, "sliding")(slidingCounts(_))
+      .filter(col("event_type") =!= "__sentinel__")
+      .orderBy("bucket", "event_type")
+
   /** Registered query (`stream_topk`): [[trendingTerms]] driven end to
     * end through the engine — bounded-state streaming heavy hitters,
     * previously spec-only. With the stream's term cardinality (5 event

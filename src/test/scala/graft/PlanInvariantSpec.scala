@@ -10,7 +10,7 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
 
   /** Queries whose wrapper eagerly runs a stream rather than returning a
     * lazy frame; their operators are covered by StreamingSpec. */
-  private val skip = Set("stream_tumbling", "stream_topk")
+  private val skip = Set("stream_tumbling", "stream_topk", "stream_sliding")
 
   /** BroadcastNestedLoopJoin is legitimate exactly where one side is
     * guaranteed tiny: the literal band table (a theta join by design), the

@@ -66,7 +66,9 @@ object StreamScaleSmoke {
   private def family: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
     val names = Seq("stream_tumbling", "stream_sessions_append",
       "stream_stream_join", "stream_enrich", "stream_anomaly",
-      "stream_upsert", "stream_dedup")
+      "stream_upsert", "stream_dedup",
+      // r17: the sliding-window and bounded-state heavy-hitter surfaces
+      "stream_sliding", "stream_topk")
     names.map(n => n -> SparkEntry.queries(n))
   }
 

@@ -47,10 +47,32 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            # The REAL driver gate canonicalizes in pandas, which crashes
+            # on nested-typed columns (r17 emb_project: TypeError on the
+            # array column). This replica used to stringify-and-pass them
+            # — a dev-gate/real-gate divergence that shipped an
+            # unverifiable output. REJECT the shape instead, both sides.
+            nested = [(c, str(t)) for c, t in
+                      zip(got_rel.columns, got_rel.types)
+                      if any(k in str(t) for k in ("[]", "STRUCT", "MAP"))]
+            if nested:
+                print(f"FAIL {name}: nested-typed output column(s) {nested}"
+                      " — the driver gate cannot canonicalize these;"
+                      " explode or stringify before registering")
+                failures += 1
+                continue
             got_cols = sorted(got_rel.columns)
             got = canon([tuple(r[got_rel.columns.index(c)] for c in got_cols)
                          for r in got_rel.fetchall()])
             exp_rel = con.sql(sql)
+            nested_exp = [(c, str(t)) for c, t in
+                          zip(exp_rel.columns, exp_rel.types)
+                          if any(k in str(t) for k in ("[]", "STRUCT", "MAP"))]
+            if nested_exp:
+                print(f"FAIL {name}: nested-typed ORACLE column(s)"
+                      f" {nested_exp} — same pandas-canonicalization trap")
+                failures += 1
+                continue
             exp_cols = sorted(exp_rel.columns)
             exp = canon([tuple(r[exp_rel.columns.index(c)] for c in exp_cols)
                          for r in exp_rel.fetchall()])

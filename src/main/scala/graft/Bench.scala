@@ -78,6 +78,33 @@ object Bench {
       else "/root/repo/BASELINE.md"
     }
 
+  /** Fixed host-speed calibration probe (VERDICT r17 ask #2): two
+    * consecutive rounds attributed uniform per-query inflation on
+    * untouched code to "host variance" by inference; this measures it.
+    * A deterministic ~1 s CPU + shuffle microbenchmark — 8M xxhash64
+    * rows through a 1024-key hash aggregate over 32 partitions, no I/O,
+    * no library code — run at sweep START and END and recorded in the
+    * bench artifact as `"calib":[startSec,endSec]`. Cross-round: same
+    * probe, so `calib_r{N} / calib_r{M}` IS the host-speed ratio to
+    * normalize totals by. Median of 3 runs inside one fresh session
+    * (first run absorbs its own codegen warm-up; the median discards
+    * it). */
+  def calibrate(cpus: String): Double = {
+    val spark = makeSession(cpus)
+    try {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 8000000L, 1L, 32)
+          .selectExpr("xxhash64(id) % 1024 AS k", "xxhash64(id + 1) AS v")
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("v"))
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(1)
+    } finally spark.stop()
+  }
+
   /** 1-minute load average — the contention guard (VERDICT r11 item 2):
     * BENCH_r11 ran under ~2× ambient machine load and its absolute
     * numbers were judged against baselines measured on an idle box.
@@ -227,6 +254,7 @@ object Bench {
       case (name, _) => only.isEmpty || only.exists(name.contains)
     }
     val loadStart = loadAvg()
+    val calibStart = calibrate(cpus)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     if (warmup) {
       // warm-up gets its own session too: JIT/codegen warm-up is
@@ -289,6 +317,7 @@ object Bench {
       }
       spark.stop()
     }
+    val calibEnd = calibrate(cpus)
     val loadEnd = loadAvg()
     samples.foreach { case (name, xs) =>
       val s = xs.sorted
@@ -325,7 +354,8 @@ object Bench {
     val onlyJson = only.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
     val total = timings.values.sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val loadJson = s""","load":[${cs(loadStart)},${cs(loadEnd)}]"""
+    val loadJson = s""","load":[${cs(loadStart)},${cs(loadEnd)}]""" +
+      s""","calib":[${cs(calibStart)},${cs(calibEnd)}]"""
     val compact = renderCompact(timings.toSeq, failed.toSeq, baselined, sfName,
       extraJson = loadJson, ratios = ratios)
     val ratiosFull = ratios.sortBy(_._1)

@@ -575,6 +575,7 @@ object SparkEntry {
     "stream_dedup"        -> (StreamingOps.qStreamDedup _),
     "stream_sessions"     -> (StreamingOps.qSessionWindows _),
     "stream_sessions_append" -> (StreamingOps.qStreamSessions _),
+    "stream_sessions_fmgws" -> (StreamingOps.qStreamSessionsFmgws _),
     "stream_stream_join"  -> (StreamingOps.qStreamStreamJoin _),
     "stream_enrich"       -> (StreamingOps.qStreamEnrich _),
     "stream_anomaly"      -> (StreamingOps.qStreamAnomaly _),
@@ -2035,26 +2036,29 @@ object SparkEntry {
       """SELECT 3::BIGINT AS k, 8::BIGINT AS n_queries,
         |  CAST(0.6 AS DOUBLE) AS bound, true AS pass""".stripMargin,
     // emb_project: the ±1 random projection on integerized vectors is
-    // exact integer math end to end — the projected vectors themselves
-    // hash-check, no float crosses the engine boundary.
+    // exact integer math end to end — the projected CELLS themselves
+    // hash-check, no float crosses the engine boundary. Output is the
+    // exploded (vec_id, dim, value) long form: the driver's gate
+    // canonicalizes in pandas, which cannot sort a nested array column
+    // (round 17's one red row — OracleShapeSpec bans nested outputs
+    // registry-wide now).
     "emb_project" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding::DOUBLE[],
         |      x -> CAST(round(x * 1000000) AS BIGINT)) AS vi
         |  FROM embeddings),
-        |s AS (SELECT vec_id,
-        |    list_transform(range(16), j ->
-        |      list_transform(vi, (x, i) -> struct_pack(x := x,
-        |        h := ((i-1)::BIGINT * 7919 + j::BIGINT * 104729 + 12345)
-        |               % 2097152))) AS cells
-        |  FROM e)
-        |SELECT vec_id,
-        |  CAST(list_transform(cells, cj ->
-        |    list_sum(list_transform(cj, c ->
-        |      c.x * (1 - 2 * xor(((c.h * c.h) >> 8) & 1,
-        |                         ((c.h * c.h) >> 27) & 1)))))
-        |    AS BIGINT[]) AS proj
-        |FROM s ORDER BY vec_id""".stripMargin,
+        |dims AS (SELECT unnest(range(16)) AS j)
+        |SELECT e.vec_id, d.j::BIGINT AS dim,
+        |  CAST(list_sum(list_transform(e.vi, (x, i) ->
+        |    x * (1 - 2 * xor(
+        |      (((((i-1)::BIGINT * 7919 + d.j::BIGINT * 104729 + 12345)
+        |         % 2097152) * (((i-1)::BIGINT * 7919
+        |         + d.j::BIGINT * 104729 + 12345) % 2097152)) >> 8) & 1,
+        |      (((((i-1)::BIGINT * 7919 + d.j::BIGINT * 104729 + 12345)
+        |         % 2097152) * (((i-1)::BIGINT * 7919
+        |         + d.j::BIGINT * 104729 + 12345) % 2097152)) >> 27) & 1))))
+        |    AS BIGINT) AS value
+        |FROM e, dims d ORDER BY vec_id, dim""".stripMargin,
     // emb_project_distortion: squared distances are exact longs; the JL
     // ratio is the single-scalar sqrt/divide/round-4dp shape the cosine
     // oracles pin.
@@ -2576,6 +2580,10 @@ object SparkEntry {
     // which (with the sentinel past every watermark) is the full batch
     // result — same oracle
     "stream_sessions_append" -> sessionsSql,
+    // the arbitrary-stateful (flatMapGroupsWithState) sessionizer merges
+    // on the same strict-< gap boundary as session_window, so it shares
+    // the gaps-and-islands oracle verbatim
+    "stream_sessions_fmgws" -> sessionsSql,
     // the streaming detector against the batch-computed profile equals
     // the batch z-score query row for row — same oracle
     "stream_anomaly" -> anomalySql,

@@ -70,18 +70,24 @@ object BinaryQuant {
     * the vector length per row (the 512-d stress corpus packs to 16
     * words with the same expression). Null elements and the tail of a
     * non-multiple-of-32 vector contribute 0 bits; a null vector packs
-    * to null (skipped downstream by the NaN/null conventions). */
+    * to null (skipped downstream by the NaN/null conventions); an
+    * EMPTY (non-null) vector packs to the empty array — guarded
+    * explicitly (r17 ADVICE) because `sequence(0, words−1)` with
+    * words = 0 is the DESCENDING sequence `[0, −1]`, two bogus zero
+    * words. The guard tests `size === 0` (not `> 0`) so a null array
+    * still falls through to the null-propagating transform branch. */
   def signBits(v: Column): Column = {
     val vd = v.cast("array<double>")
     val words = floor((size(vd) + lit(WordBits - 1)) / lit(WordBits)).cast("int")
-    transform(sequence(lit(0), words - 1), w =>
-      aggregate(
-        zip_with(
-          slice(vd, w * WordBits + 1, lit(WordBits)),
-          sequence(lit(0), lit(WordBits - 1)),
-          (x, j) => when(x > 0.0, pow(lit(2.0), j).cast("long"))
-            .otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc + b))
+    when(size(vd) === 0, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), words - 1), w =>
+        aggregate(
+          zip_with(
+            slice(vd, w * WordBits + 1, lit(WordBits)),
+            sequence(lit(0), lit(WordBits - 1)),
+            (x, j) => when(x > 0.0, pow(lit(2.0), j).cast("long"))
+              .otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc + b)))
   }
 
   /** Hamming distance between two packed-bits arrays:
@@ -90,9 +96,16 @@ object BinaryQuant {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, h) => acc + h)
 
-  /** Write the packed corpus: (vec_id, bits array<long>). */
+  /** Write the packed corpus: (vec_id, bits array<long>). The packing
+    * scan runs the fused [[graft.functions.SignBitPack]] kernel — the
+    * interpreted HOF form ([[signBits]], kept as the spec-pinned
+    * reference) cost ~200 µs/row at 512-d, which at the 100× stress made
+    * the write-once build the binary family's single visible cost
+    * (0.72 → 9.76 s; VERDICT r17 ask #4). */
   def writeBinaryCodes(emb: DataFrame, path: String): Unit =
-    emb.select(col("vec_id"), signBits(col("embedding")).as("bits"))
+    emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.signBitsPacked(col("embedding"))
+          .as("bits"))
       .write.mode("overwrite").parquet(path)
 
   /** The materialized bits table for `dir`, building it on first use

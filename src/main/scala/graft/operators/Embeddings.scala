@@ -308,13 +308,18 @@ object Embeddings {
     * (`round(x·10⁶)` longs — the [[sourceCentroids]] discipline):
     * `y_j = Σ_i vi[i] · sign(i, j)`, exact integer math end to end, so
     * the projected vectors are hash-checkable with no float rounding
-    * anywhere. */
+    * anywhere. Empty-input guard (r17 ADVICE): `sequence(0, size−1)`
+    * with size = 0 is the DESCENDING sequence `[0, −1]`, which
+    * zip_with null-pads into null sums — an empty vector projects to
+    * the zero vector instead (the empty sum). */
   private def projExpr(vi: Column, pDims: Int): Column =
     transform(sequence(lit(0), lit(pDims - 1)), j =>
-      aggregate(
-        zip_with(vi, sequence(lit(0), size(vi) - 1),
-          (x, i) => x * projSign(i, j)),
-        lit(0L), (acc, x) => acc + x))
+      when(size(vi) > 0,
+        aggregate(
+          zip_with(vi, sequence(lit(0), size(vi) - 1),
+            (x, i) => x * projSign(i, j)),
+          lit(0L), (acc, x) => acc + x))
+        .otherwise(lit(0L)))
 
   /** Integerized copy of the embedding column (exact: float→double
     * widening is lossless and round() ties are engine-stable at the
@@ -331,8 +336,12 @@ object Embeddings {
     * no driver-side matrix: the projection matrix is the [[projSign]]
     * hash, materialized nowhere.
     *
-    * Registered query (`emb_project`) — fully hash-checked: the
-    * integer projection is bit-reproducible in DuckDB. */
+    * This array form is the library API; the REGISTERED query
+    * ([[qProject]]) explodes it to atomic `(vec_id, dim, value)` rows —
+    * the driver's oracle gate canonicalizes result frames in pandas,
+    * which cannot sort/hash a nested array column (round 17's one red
+    * row), so registered outputs carry atomic columns only
+    * (OracleShapeSpec pins that registry-wide). */
   def projectVectors(emb: DataFrame, pDims: Int = DefaultProjDims): DataFrame =
     emb.select(col("vec_id"),
         projExpr(integerized, pDims).as("proj"))
@@ -383,9 +392,18 @@ object Embeddings {
   def qQuantizedTopK(s: SparkSession, dir: String): DataFrame =
     quantizedTopK(Tables.embeddings(s, dir))
 
-  /** Registered query (`emb_project`). */
+  /** Registered query (`emb_project`): [[projectVectors]] exploded to
+    * the driver-hashable long form — one `(vec_id, dim, value)` row per
+    * projection cell, every column an atomic long (see the
+    * [[projectVectors]] scaladoc for why the array form cannot be the
+    * registered output). posexplode is a per-row Generate — no shuffle
+    * added to the projection's single corpus scan. */
   def qProject(s: SparkSession, dir: String): DataFrame =
     projectVectors(Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+      .orderBy("vec_id", "dim")
 
   /** Registered query (`emb_project_distortion`). */
   def qProjectDistortion(s: SparkSession, dir: String): DataFrame =

@@ -32,6 +32,46 @@ class BinaryQuantSpec extends AnyFunSuite with SparkFixture {
     assert(bits === Seq(1L << 31)) // bit 31 via pow(2,31): no sign trap
   }
 
+  test("signBits: empty vector packs to the empty array, null stays null") {
+    // r17 ADVICE: unguarded, sequence(0, words−1) with words = 0 was the
+    // DESCENDING sequence [0, −1] — two bogus zero words.
+    val rows = Seq((1L, Some(Seq.empty[Float])), (2L, None))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), BinaryQuant.signBits(col("embedding")).as("bits"))
+      .orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Long](1) === Seq.empty)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("fused SignBitPack kernel is bit-identical to the HOF signBits form") {
+    // The Int8QuantizeCodes discipline: the native ingest kernel must
+    // agree with the interpreted reference on every edge the HOF
+    // handles — negatives/zeros (no bit), exact ±, null elements
+    // (0 bits), non-multiple-of-32 tails, empty arrays, null arrays,
+    // float and wide inputs.
+    val rng = new scala.util.Random(42)
+    val vecs: Seq[(Long, Option[Seq[java.lang.Float]])] =
+      (0L until 50L).map { i =>
+        val d = Seq(1, 3, 31, 32, 33, 64, 100, 512)(rng.nextInt(8))
+        i -> Some(Seq.tabulate(d) { j =>
+          if (rng.nextInt(20) == 0) null.asInstanceOf[java.lang.Float]
+          else java.lang.Float.valueOf((rng.nextFloat() - 0.5f) match {
+            case x if math.abs(x) < 0.02f => 0.0f // exact-zero boundary
+            case x => x
+          })
+        })
+      } :+ (50L -> Some(Seq.empty[java.lang.Float])) :+
+        (51L -> Option.empty[Seq[java.lang.Float]])
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        BinaryQuant.signBits(col("embedding")).as("hof"),
+        graft.functions.VectorFunctions.signBitsPacked(col("embedding"))
+          .as("fused"))
+    val mismatch = df.filter(
+      !(col("hof") <=> col("fused"))).count()
+    assert(mismatch === 0L)
+  }
+
   test("hammingDist: zero on identical, counts flipped bits across words") {
     val df = Seq((Seq(5L, 7L), Seq(5L, 7L), Seq(4L, 0L)))
       .toDF("a", "b", "c")

@@ -171,6 +171,32 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
     assert(p === Seq.fill(Embeddings.DefaultProjDims)(0L))
   }
 
+  test("random projection: EMPTY vector projects to the zero vector (no null sums)") {
+    // r17 ADVICE: unguarded, sequence(0, size−1) with size = 0 was the
+    // descending [0, −1], which zip_with null-padded into null sums.
+    import spark.implicits._
+    val p = Seq((1L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+      .transform(Embeddings.projectVectors(_))
+      .head().getSeq[Long](1)
+    assert(p === Seq.fill(Embeddings.DefaultProjDims)(0L))
+  }
+
+  test("registered emb_project form: exploded (vec_id, dim, value) longs match the array form") {
+    // The registered query explodes the array API to atomic rows (the
+    // driver gate cannot canonicalize nested columns — r17's red row).
+    val arr = Embeddings.projectVectors(Tables.embeddings(spark, sf0001))
+      .collect().flatMap { r =>
+        r.getSeq[Long](1).zipWithIndex.map { case (v, d) =>
+          (r.getLong(0), d.toLong, v) }
+      }.toSeq
+    val exploded = Embeddings.qProject(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exploded === arr)
+    assert(exploded.length ===
+      arr.map(_._1).distinct.length * Embeddings.DefaultProjDims)
+  }
+
   test("random projection is linear on integerized inputs (proj(2x) = 2·proj(x))") {
     import spark.implicits._
     val v = (0 until 64).map(i => (i - 32) / 64.0f)

@@ -47,7 +47,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkFixture {
 
   /** Replay-harness queries (documented non-empty requirement above). */
   private val streamingReplay = Set("stream_tumbling", "stream_topk",
-    "stream_sliding", "stream_sessions_append",
+    "stream_sliding", "stream_sessions_append", "stream_sessions_fmgws",
     "stream_stream_join", "stream_enrich", "stream_anomaly", "stream_dedup")
 
   test("every registered query returns a frame or fails a documented require on empty tables") {

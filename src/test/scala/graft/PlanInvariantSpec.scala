@@ -78,8 +78,32 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
   // eager storage work on CONSTRUCTION (cow_time_travel builds a
   // three-version table, zorder_scan writes a clustered copy), so each
   // additional sweep would redo all of it just to look at plans.
-  test("registry sweep: no cartesian/unintended-BNLJ; global Window only over bounded relations") {
+  /** The driver's DuckDB gate canonicalizes each result frame in pandas
+    * (sort_values over every column) — a nested-typed column
+    * (array/map/struct) crashes that sort (`TypeError: unhashable type:
+    * 'numpy.ndarray'` — round 17's one red row, emb_project), so an
+    * oracle-registered query with a nested output ships UNVERIFIABLE no
+    * matter how right its values are. Ban the shape registry-wide;
+    * nested results explode/stringify before registration (the
+    * emb_project long-form precedent). */
+  private def assertAtomicOutput(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val nested = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.sql}"
+    }
+    assert(nested.isEmpty,
+      s"$name registers an oracle but emits nested-typed column(s) " +
+        s"${nested.mkString(", ")} — the driver's pandas canonicalization " +
+        "cannot sort/hash these (r17 emb_project); explode or stringify " +
+        "before registering")
+  }
+
+  test("registry sweep: no cartesian/unintended-BNLJ; global Window only over bounded relations; oracle outputs atomic") {
     import org.apache.spark.sql.execution.window.WindowExec
+    val oracleNames = SparkEntry.oracleSql.keySet
     val globalWindowOffenders = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
@@ -89,7 +113,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
         // those. Plain collect (not collectWithSubqueries):
         // pre-execution subquery expressions still hold LOGICAL plans,
         // and our subqueries are scalar aggregates.
-        val plan = fn(spark, sf0001).queryExecution.sparkPlan
+        val df = fn(spark, sf0001)
+        if (oracleNames(name)) assertAtomicOutput(name, df.schema)
+        val plan = df.queryExecution.sparkPlan
         val planStr = plan.toString
         assert(!planStr.contains("CartesianProduct"),
           s"$name plans a cartesian product:\n$planStr")
@@ -106,5 +132,17 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
       s"global Window over a possibly-unbounded relation in: $unexpected")
     assert(stale.isEmpty,
       s"allowlist rot — these no longer plan a global Window: $stale")
+  }
+
+  // The eager streaming wrappers are excluded from the plan sweep (their
+  // operators are covered by StreamingSpec), but their OUTPUT SHAPE still
+  // crosses the driver's oracle gate — run each once on sf0.001 just for
+  // the atomic-schema assertion.
+  test("eager streaming wrappers emit atomic oracle outputs too") {
+    val oracleNames = SparkEntry.oracleSql.keySet
+    skip.toSeq.sorted.foreach { name =>
+      if (oracleNames(name))
+        assertAtomicOutput(name, SparkEntry.queries(name)(spark, sf0001).schema)
+    }
   }
 }

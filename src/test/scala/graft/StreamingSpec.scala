@@ -140,6 +140,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .toSet === Set((1L, 0L, 2L, 3.0)))
   }
 
+  test("stateful sessionizer: event exactly AT the gap starts a NEW session (session_window boundary)") {
+    // session_window's span is [start, lastTs + gap) — an event landing
+    // exactly on lastTs + gap belongs to a new session. The fMGWS form
+    // merges on strict < for the same boundary, which is what lets
+    // stream_sessions_fmgws share the gaps-and-islands oracle verbatim.
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      Event(1L, ts(0), 1L, "click", 1.0),
+      Event(2L, ts(10), 1L, "click", 2.0)).toDS() // exactly gap = 10 m later
+    val got = StreamingOps.statefulSessionize(events).collect()
+    assert(got.map(u => (u.user_id, u.session_start, u.n_events)).toSet ===
+      Set((1L, 0L, 1L)))
+  }
+
   test("trending terms: bounded heavy-hitter state per window equals batch counts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -77,6 +77,17 @@ object VectorFunctions {
     GraftColumnBridge.column(SignBitPack(GraftColumnBridge.expression(v)))
   }
 
+  /** Hamming distance over packed-bits arrays as the fused
+    * [[HammingDistance]] kernel — the binary-ANN prefilter metric,
+    * evaluated |queries| × corpus times per batch (a SERVING-path
+    * kernel, unlike the build-only pack). Bit-identical to
+    * [[graft.operators.BinaryQuant.hammingDist]] (spec-pinned). */
+  def hammingPacked(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(HammingDistance(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Sound cosine upper bound from two compact int8 verify sketches
     * (struct<binary,double,double>), as the fused codegen'd
     * [[SketchCosUpperBound]] — the embedding verify-prefilter kernel. */

@@ -31,11 +31,26 @@ import org.apache.spark.sql.functions._
   *
   * The trade is recall at a FIXED bit budget: 1 bit/dim Hamming is a
   * coarse angle proxy, so recall@k at constant pool degrades as the
-  * corpus grows (measured on the near-uniform synthetic vectors —
-  * worst case for any quantizer — at pool=128, k=3: 1.0 at 500 rows,
-  * 0.96 at 500 rows/sf0.01 fixtures, 0.71 at 2000 rows). Production
-  * corpora with real cluster structure sit far above this floor; the
-  * knobs are `pool` (linear re-rank cost) and bits/dim (re-pack).
+  * corpus grows. Measured surface (graft.BinaryRecallStress, 512-d
+  * distinct-mode replicas — near-uniform, the worst case for any
+  * quantizer — k=3, 8 queries):
+  *
+  *   pool \ N     500     5,000   50,000
+  *   128          0.958   0.750   0.708
+  *   512          1.000   1.000   0.875
+  *   2048         1.000   1.000   0.875
+  *
+  * THE KNOB RULE: the pool is a SAMPLE-FRACTION knob, not an absolute
+  * one — hold `pool/N` roughly constant (≥ ~1–4% on unstructured
+  * corpora) to hold recall; a fixed absolute pool silently decays as
+  * the corpus grows. Scaling the pool is nearly free at probe time —
+  * the probe wall is dominated by the packed-bits SCAN, not the pool
+  * (measured 1.29 s at pool 128 vs 1.45 s at pool 2048 on the 50k
+  * corpus), and shuffle volume stays O(partitions·|q|·pool). The 0.875
+  * plateau at 50k (pool 512 = 2048) is the 1-bit metric itself
+  * saturating on uniform vectors — past it the knobs are bits/dim
+  * (re-pack) or int8/IVF; production corpora with real cluster
+  * structure sit far above this synthetic floor.
   * `sim_binary_recall` gates the floor every round.
   *
   * Determinism contract (what makes the MAIN query fully
@@ -91,7 +106,11 @@ object BinaryQuant {
   }
 
   /** Hamming distance between two packed-bits arrays:
-    * Σ `bit_count(a[w] xor b[w])` — the entire prefilter kernel. */
+    * Σ `bit_count(a[w] xor b[w])` — the entire prefilter kernel. The
+    * interpreted HOF reference form; the serving path runs the fused
+    * [[graft.functions.HammingDistance]] kernel (spec-pinned
+    * bit-identical, incl. the length-mismatch / null-element → null
+    * edges). */
   def hammingDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, h) => acc + h)
@@ -143,7 +162,8 @@ object BinaryQuant {
     val pooled = codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        hammingDist(col("bits"), col("qbits")).as("hamming"))
+        graft.functions.VectorFunctions
+          .hammingPacked(col("bits"), col("qbits")).as("hamming"))
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore(
         -col("hamming").cast("double"), col("vec_id"), pool).as("top"))

@@ -84,6 +84,36 @@ class BinaryQuantSpec extends AnyFunSuite with SparkFixture {
     assert(df.getLong(1) === 4L)
   }
 
+  test("fused HammingDistance kernel is bit-identical to the HOF hammingDist form") {
+    // The serving-path kernel (prefilter: |queries| × corpus evals) must
+    // agree with the interpreted reference on every edge: random words,
+    // identical arrays, EMPTY arrays (distance 0), length mismatch
+    // (HOF: null-padded zip_with → null total), null elements (null),
+    // and null arrays (null).
+    val rng = new scala.util.Random(7)
+    val rows: Seq[(Option[Seq[java.lang.Long]], Option[Seq[java.lang.Long]])] =
+      (0 until 40).map { _ =>
+        val w = 1 + rng.nextInt(16)
+        val a = Seq.fill(w)(java.lang.Long.valueOf(rng.nextLong() & 0xFFFFFFFFL))
+        val b = Seq.fill(w)(java.lang.Long.valueOf(rng.nextLong() & 0xFFFFFFFFL))
+        (Some(a), Some(b))
+      } ++ Seq(
+        (Some(Seq.empty[java.lang.Long]), Some(Seq.empty[java.lang.Long])),
+        (Some(Seq(java.lang.Long.valueOf(5L))),
+          Some(Seq(java.lang.Long.valueOf(5L), java.lang.Long.valueOf(7L)))),
+        (Some(Seq(java.lang.Long.valueOf(5L),
+          null.asInstanceOf[java.lang.Long])),
+          Some(Seq(java.lang.Long.valueOf(5L), java.lang.Long.valueOf(7L)))),
+        (None, Some(Seq(java.lang.Long.valueOf(1L)))),
+        (Some(Seq(java.lang.Long.valueOf(1L))), None))
+    val df = rows.toDF("a", "b")
+      .select(
+        BinaryQuant.hammingDist(col("a"), col("b")).as("hof"),
+        graft.functions.VectorFunctions.hammingPacked(col("a"), col("b"))
+          .as("fused"))
+    assert(df.filter(!(col("hof") <=> col("fused"))).count() === 0L)
+  }
+
   test("pool covering the corpus makes the binary path EXACT (recall 1.0)") {
     // With pool ≥ corpus size the Hamming prefilter prunes nothing, so the
     // re-rank IS the exact brute-force ranking — the property that pins

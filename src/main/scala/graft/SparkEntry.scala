@@ -2040,7 +2040,7 @@ object SparkEntry {
     // hash-check, no float crosses the engine boundary. Output is the
     // exploded (vec_id, dim, value) long form: the driver's gate
     // canonicalizes in pandas, which cannot sort a nested array column
-    // (round 17's one red row — OracleShapeSpec bans nested outputs
+    // (round 17's one red row — PlanInvariantSpec bans nested outputs
     // registry-wide now).
     "emb_project" ->
       """WITH e AS (SELECT vec_id,

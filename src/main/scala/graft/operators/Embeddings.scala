@@ -341,7 +341,7 @@ object Embeddings {
     * the driver's oracle gate canonicalizes result frames in pandas,
     * which cannot sort/hash a nested array column (round 17's one red
     * row), so registered outputs carry atomic columns only
-    * (OracleShapeSpec pins that registry-wide). */
+    * (PlanInvariantSpec pins that registry-wide). */
   def projectVectors(emb: DataFrame, pDims: Int = DefaultProjDims): DataFrame =
     emb.select(col("vec_id"),
         projExpr(integerized, pDims).as("proj"))

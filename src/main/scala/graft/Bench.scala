@@ -86,13 +86,17 @@ object Bench {
     * no library code — run at sweep START and END and recorded in the
     * bench artifact as `"calib":[startSec,endSec]`. Cross-round: same
     * probe, so `calib_r{N} / calib_r{M}` IS the host-speed ratio to
-    * normalize totals by. Median of 3 runs inside one fresh session
-    * (first run absorbs its own codegen warm-up; the median discards
-    * it). */
+    * normalize totals by. MIN of 5 runs inside one fresh session: the
+    * first capture used median-of-3 and the START marker read 1.05 s
+    * vs 0.19 at the END — that delta was the probe's own first-in-JVM
+    * codegen compilation (JVM-static, so the END probe inherits it),
+    * not host speed. The min reaches steady state at both markers, so
+    * start ≈ end on a quiet host and BOTH elevate under throttle —
+    * which is the signal. */
   def calibrate(cpus: String): Double = {
     val spark = makeSession(cpus)
     try {
-      val runs = (1 to 3).map { _ =>
+      (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         spark.range(0L, 8000000L, 1L, 32)
           .selectExpr("xxhash64(id) % 1024 AS k", "xxhash64(id + 1) AS v")
@@ -100,8 +104,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum("v"))
           .count()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      runs(1)
+      }.min
     } finally spark.stop()
   }
 

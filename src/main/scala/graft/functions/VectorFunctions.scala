@@ -77,6 +77,14 @@ object VectorFunctions {
     GraftColumnBridge.column(SignBitPack(GraftColumnBridge.expression(v)))
   }
 
+  /** JL ±1 random projection (integerize `round(x·10⁶)` → exact integer
+    * cell sums) as the fused [[JlProject]] kernel — the pre-ANN shrink
+    * scan. Bit-identical to `Embeddings.projectHof` (spec-pinned). */
+  def jlProject(v: Column, pDims: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(JlProject(GraftColumnBridge.expression(v), pDims))
+  }
+
   /** Hamming distance over packed-bits arrays as the fused
     * [[HammingDistance]] kernel — the binary-ANN prefilter metric,
     * evaluated |queries| × corpus times per batch (a SERVING-path

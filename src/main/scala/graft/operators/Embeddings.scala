@@ -308,18 +308,36 @@ object Embeddings {
     * (`round(x·10⁶)` longs — the [[sourceCentroids]] discipline):
     * `y_j = Σ_i vi[i] · sign(i, j)`, exact integer math end to end, so
     * the projected vectors are hash-checkable with no float rounding
-    * anywhere. Empty-input guard (r17 ADVICE): `sequence(0, size−1)`
-    * with size = 0 is the DESCENDING sequence `[0, −1]`, which
-    * zip_with null-pads into null sums — an empty vector projects to
-    * the zero vector instead (the empty sum). */
-  private def projExpr(vi: Column, pDims: Int): Column =
-    transform(sequence(lit(0), lit(pDims - 1)), j =>
-      when(size(vi) > 0,
+    * anywhere.
+    *
+    * HOF REFERENCE FORM — the serving path runs the fused
+    * [[graft.functions.JlProject]] kernel (spec-pinned bit-identical):
+    * interpreted per-cell `aggregate(zip_with)` with the integerizing
+    * transform inlined by CollapseProject made this the dominant cost
+    * of any plan that evaluates it more than once per row.
+    *
+    * Guards (r17 ADVICE, hoisted to ROW level — a per-cell guard put a
+    * full copy of the integerized transform inside every j-lambda):
+    * null vector → null; EMPTY vector → the zero vector (unguarded,
+    * `sequence(0, size−1)` with size = 0 is the DESCENDING [0, −1],
+    * which zip_with null-pads into null sums); a null ELEMENT nulls
+    * every cell (each cell sums all elements). */
+  private[graft] def projExprHof(vi: Column, pDims: Int): Column =
+    when(vi.isNull, lit(null).cast("array<bigint>"))
+      .when(size(vi) === 0,
+        transform(sequence(lit(0), lit(pDims - 1)), _ => lit(0L)))
+      .otherwise(transform(sequence(lit(0), lit(pDims - 1)), j =>
         aggregate(
           zip_with(vi, sequence(lit(0), size(vi) - 1),
             (x, i) => x * projSign(i, j)),
-          lit(0L), (acc, x) => acc + x))
-        .otherwise(lit(0L)))
+          lit(0L), (acc, x) => acc + x)))
+
+  /** The HOF reference pipeline over a RAW embedding column
+    * (integerize → project), the exact composition the fused kernel
+    * replaces — spec-pinned equal. */
+  private[graft] def projectHof(emb: Column, pDims: Int): Column =
+    projExprHof(transform(emb.cast("array<double>"),
+      x => round(x * 1000000.0).cast("long")), pDims)
 
   /** Integerized copy of the embedding column (exact: float→double
     * widening is lossless and round() ties are engine-stable at the
@@ -332,8 +350,10 @@ object Embeddings {
     * pre-clustering / pre-ANN shrink at 100 TB (project 512-d floats
     * to 16 integer dims BEFORE the expensive pairwise stage; the JL
     * lemma bounds the pairwise-distance distortion). One shuffle-free
-    * corpus scan, all codegen-friendly HOFs over built-ins, no UDF and
-    * no driver-side matrix: the projection matrix is the [[projSign]]
+    * corpus scan through the fused [[graft.functions.JlProject]] kernel
+    * (round 18 — the HOF reference form above is interpreted and
+    * dominated any plan that evaluated it twice), no UDF and no
+    * driver-side matrix: the projection matrix is the [[projSign]]
     * hash, materialized nowhere.
     *
     * This array form is the library API; the REGISTERED query
@@ -344,7 +364,8 @@ object Embeddings {
     * (PlanInvariantSpec pins that registry-wide). */
   def projectVectors(emb: DataFrame, pDims: Int = DefaultProjDims): DataFrame =
     emb.select(col("vec_id"),
-        projExpr(integerized, pDims).as("proj"))
+        graft.functions.VectorFunctions.jlProject(col("embedding"), pDims)
+          .as("proj"))
       .orderBy("vec_id")
 
   /** Pairwise distance-distortion audit of [[projectVectors]] over the
@@ -359,8 +380,9 @@ object Embeddings {
   def projectionDistortion(emb: DataFrame, pDims: Int = DefaultProjDims,
       nQueries: Int = 8): DataFrame = {
     val base = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), integerized.as("vi"))
-      .select(col("vec_id"), col("vi"), projExpr(col("vi"), pDims).as("p"))
+      .select(col("vec_id"), integerized.as("vi"),
+        graft.functions.VectorFunctions.jlProject(col("embedding"), pDims)
+          .as("p"))
     val a = base.select(col("vec_id").as("vec_a"), col("vi").as("via"),
       col("p").as("pa"))
     val b = base.select(col("vec_id").as("vec_b"), col("vi").as("vib"),
@@ -392,15 +414,30 @@ object Embeddings {
   def qQuantizedTopK(s: SparkSession, dir: String): DataFrame =
     quantizedTopK(Tables.embeddings(s, dir))
 
-  /** Registered query (`emb_project`): [[projectVectors]] exploded to
-    * the driver-hashable long form — one `(vec_id, dim, value)` row per
+  /** Registered query (`emb_project`): the projection exploded to the
+    * driver-hashable long form — one `(vec_id, dim, value)` row per
     * projection cell, every column an atomic long (see the
     * [[projectVectors]] scaladoc for why the array form cannot be the
-    * registered output). posexplode is a per-row Generate — no shuffle
-    * added to the projection's single corpus scan. */
+    * registered output).
+    *
+    * Plan-shape traps this works around (the first cut cost 100× —
+    * caught by the r18 bench before it shipped):
+    *  - posexplode_OUTER, not posexplode: a non-outer Generate triggers
+    *    `InferFiltersFromGenerate`, which duplicates the ENTIRE
+    *    interpreted 16-cell projection expression into a
+    *    `size(proj) > 0` Filter below the sorts — the projection then
+    *    evaluates 2× per pass and once more per range-sort sampling
+    *    pass. projExpr always yields exactly pDims cells, so outer
+    *    changes no rows.
+    *  - ONE sort, at the end: composing over [[projectVectors]] stacked
+    *    its internal orderBy under this one — two range exchanges, two
+    *    sampling passes over the projection subtree. */
   def qProject(s: SparkSession, dir: String): DataFrame =
-    projectVectors(Tables.embeddings(s, dir))
-      .select(col("vec_id"), posexplode(col("proj")))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .jlProject(col("embedding"), DefaultProjDims).as("proj"))
+      .select(col("vec_id"), posexplode_outer(col("proj")))
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
         col("col").as("value"))
       .orderBy("vec_id", "dim")

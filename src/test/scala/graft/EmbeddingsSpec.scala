@@ -171,6 +171,35 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
     assert(p === Seq.fill(Embeddings.DefaultProjDims)(0L))
   }
 
+  test("fused JlProject kernel is bit-identical to the HOF projection form") {
+    // The Int8QuantizeCodes discipline for the pre-ANN shrink kernel:
+    // random float vectors across widths, exact-zero and .5-rounding
+    // boundaries, null elements (null ALL cells), empty (zero vector),
+    // and null (null) — HOF reference = integerize-transform + per-cell
+    // aggregate(zip_with), exactly what the kernel replaced.
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val vecs: Seq[(Long, Option[Seq[java.lang.Float]])] =
+      (0L until 40L).map { i =>
+        val d = Seq(1, 7, 63, 64, 65, 128)(rng.nextInt(6))
+        i -> Some(Seq.tabulate(d) { _ =>
+          if (rng.nextInt(25) == 0) null.asInstanceOf[java.lang.Float]
+          else java.lang.Float.valueOf(
+            (rng.nextInt(4000001) - 2000000) / 1000000.0f)
+        })
+      } :+ (40L -> Some(Seq.empty[java.lang.Float])) :+
+        (41L -> Option.empty[Seq[java.lang.Float]]) :+
+        // exact .5 integerization boundary: 0.0000005·10⁶ = 0.5
+        (42L -> Some(Seq(java.lang.Float.valueOf(0.0000005f),
+          java.lang.Float.valueOf(-0.0000005f))))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(
+        graft.operators.Embeddings.projectHof(col("embedding"), 16).as("hof"),
+        graft.functions.VectorFunctions.jlProject(col("embedding"), 16)
+          .as("fused"))
+    assert(df.filter(!(col("hof") <=> col("fused"))).count() === 0L)
+  }
+
   test("random projection: EMPTY vector projects to the zero vector (no null sums)") {
     // r17 ADVICE: unguarded, sequence(0, size−1) with size = 0 was the
     // descending [0, −1], which zip_with null-padded into null sums.

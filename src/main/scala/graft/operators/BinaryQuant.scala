@@ -71,8 +71,22 @@ object BinaryQuant {
   val WordBits = 32
 
   /** Fixed re-rank pool per query — the constant that makes re-rank
-    * cost independent of corpus size (see recall trade above). */
+    * cost independent of corpus size (see recall trade above). The
+    * REGISTERED query keeps this pinned (its oracle hashes the exact
+    * 128-pool cut); corpus-sized callers should size the pool with
+    * [[recommendedPool]]. */
   val DefaultPool = 128
+
+  /** The knob rule as an API: `max(DefaultPool, n/50)` — pool/N = 2%,
+    * inside the measured ≥ ~1–4% band that held recall 0.875–1.0 on
+    * the near-uniform worst case (the scaladoc table /
+    * SCALE_STRESS_r18 binary_recall_scale). Re-rank cost is linear in
+    * the pool and the probe wall is scan-dominated, so this grows the
+    * pool with the corpus at near-zero probe cost; shuffle stays
+    * O(partitions·|q|·pool). */
+  def recommendedPool(corpusRows: Long): Int =
+    math.min(math.max(DefaultPool.toLong, corpusRows / 50L),
+      Int.MaxValue.toLong).toInt
 
   /** Bumped whenever packing semantics change — rides in the cache key
     * so a stale bits table can never be served for the same data. */

@@ -114,6 +114,16 @@ class BinaryQuantSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(!(col("hof") <=> col("fused"))).count() === 0L)
   }
 
+  test("recommendedPool: 2% of corpus, floored at DefaultPool, int-capped") {
+    assert(BinaryQuant.recommendedPool(0L) === BinaryQuant.DefaultPool)
+    assert(BinaryQuant.recommendedPool(500L) === BinaryQuant.DefaultPool)
+    // 6400 is the break-even: 6400/50 = 128 = DefaultPool
+    assert(BinaryQuant.recommendedPool(6400L) === BinaryQuant.DefaultPool)
+    assert(BinaryQuant.recommendedPool(50000L) === 1000)
+    assert(BinaryQuant.recommendedPool(1000000000L) === 20000000)
+    assert(BinaryQuant.recommendedPool(Long.MaxValue) === Int.MaxValue)
+  }
+
   test("pool covering the corpus makes the binary path EXACT (recall 1.0)") {
     // With pool ≥ corpus size the Hamming prefilter prunes nothing, so the
     // re-rank IS the exact brute-force ranking — the property that pins

@@ -68,7 +68,11 @@ object StreamScaleSmoke {
       "stream_stream_join", "stream_enrich", "stream_anomaly",
       "stream_upsert", "stream_dedup",
       // r17: the sliding-window and bounded-state heavy-hitter surfaces
-      "stream_sliding", "stream_topk")
+      "stream_sliding", "stream_topk",
+      // r18: the arbitrary-stateful (fMGWS) sessionizer — state is one
+      // fixed-size row per live user, so its 10× curve proves the
+      // bounded-state claim, not just the oracle equality
+      "stream_sessions_fmgws")
     names.map(n => n -> SparkEntry.queries(n))
   }
 

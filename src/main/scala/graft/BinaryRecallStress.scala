@@ -65,7 +65,12 @@ object BinaryRecallStress {
       // untimed first probe pays the write-once bits build (the
       // prebuild discipline); each pool point then times probe-only
       operators.BinaryQuant.binaryTopK(spark, dir, qids, k, pools.head).count()
-      pools.map { pool =>
+      // the knob rule's own point rides along (recommendedPool =
+      // max(128, n/50), the sample-fraction rule), deduped when the
+      // ladder already carries it
+      val ladder =
+        (pools :+ operators.BinaryQuant.recommendedPool(n)).distinct
+      ladder.map { pool =>
         val t0 = System.nanoTime()
         val approx = operators.BinaryQuant.binaryTopK(spark, dir, qids, k, pool)
           .select("query_id", "vec_id").collect()

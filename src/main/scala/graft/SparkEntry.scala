@@ -483,6 +483,8 @@ object SparkEntry {
     "sim_quantized_probe" -> ((s, d) => Embeddings.qQuantizedProbe(s, d)),
     "sim_quantized_batch" -> (Embeddings.qQuantizedBatch _),
     "sim_binary_topk"     -> (BinaryQuant.qBinaryTopK _),
+    "sim_binary_topk_scaled" -> ((s: SparkSession, d: String) =>
+      BinaryQuant.qBinaryTopKScaled(s, d)),
     "sim_binary_recall"   -> ((s: SparkSession, d: String) => BinaryQuant.qBinaryRecall(s, d)),
     "emb_project"         -> (Embeddings.qProject _),
     "emb_project_distortion" -> (Embeddings.qProjectDistortion _),
@@ -2028,6 +2030,41 @@ object SparkEntry {
         |SELECT query_id, rnk::BIGINT AS rnk, vec_id, hamming,
         |  round(cos, 4) AS cos_sim
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // sim_binary_topk_scaled: the pool KNOB RULE hashed end to end —
+    // the corpus is replicated 16× with shifted ids (identical vectors,
+    // SQL-reproducible) so recommendedPool's n/50 branch engages
+    // (8,000 rows → pool 160 at sf0.01), the oracle recomputes
+    // greatest(128, n//50) from its own count(*), and the FULL pool is
+    // emitted so a pool regression fails rows_match outright. Ordering
+    // and the cut are (hamming, vec_id) — exact integers; cosine rides
+    // as 4dp payload only.
+    "sim_binary_topk_scaled" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |r AS (SELECT unnest(range(16)) AS rep),
+        |e AS (SELECT e0.vec_id + r.rep * 100000 AS vec_id, e0.v
+        |  FROM e0, r),
+        |np AS (SELECT greatest(128, count(*) // 50) AS pool FROM e),
+        |b AS (SELECT vec_id, v,
+        |    list_transform(range((len(v)+31)//32), w ->
+        |      coalesce(list_sum(list_transform(list_slice(v, w*32+1, w*32+32),
+        |        (x,j) -> CASE WHEN x > 0 THEN (1::BIGINT << (j-1))
+        |                 ELSE 0 END)), 0)) AS bits
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bits AS qbits
+        |  FROM b WHERE vec_id <= 7),
+        |h AS (SELECT q.query_id, b.vec_id, b.v, q.qv,
+        |    list_sum(list_transform(b.bits, (x,i) ->
+        |      bit_count(CAST(xor(x, q.qbits[i]) AS BIGINT))))::BIGINT AS hamming
+        |  FROM b, q WHERE b.vec_id <> q.query_id),
+        |pc AS (SELECT query_id, vec_id, v, qv, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY hamming, vec_id) AS hr
+        |  FROM h)
+        |SELECT query_id, vec_id, hamming, np.pool::BIGINT AS pool,
+        |  round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |FROM pc, np WHERE hr <= np.pool
+        |ORDER BY query_id, hamming, vec_id""".stripMargin,
     // sim_binary_recall: the sim_recall discipline — recall itself is
     // engine-internal (vs the exact batch top-k), but the contract row is
     // oracle-checked, so a packing/pool regression flips pass and
@@ -2581,9 +2618,12 @@ object SparkEntry {
     // result — same oracle
     "stream_sessions_append" -> sessionsSql,
     // the arbitrary-stateful (flatMapGroupsWithState) sessionizer merges
-    // on the same strict-< gap boundary as session_window, so it shares
-    // the gaps-and-islands oracle verbatim
-    "stream_sessions_fmgws" -> sessionsSql,
+    // on the same strict-< gap boundary as session_window — same
+    // gaps-and-islands reconstruction, but its money sum is integerized
+    // to cents BEFORE accumulation (exact longs both engines, divided
+    // once at the end — the q28 discipline; the r18 red row was the
+    // double-fold-vs-SQL-SUM 4dp boundary this removes)
+    "stream_sessions_fmgws" -> fmgwsSessionsSql,
     // the streaming detector against the batch-computed profile equals
     // the batch z-score query row for row — same oracle
     "stream_anomaly" -> anomalySql,
@@ -2621,5 +2661,22 @@ object SparkEntry {
       |  FROM x)
       |SELECT user_id, min(ts) AS session_start,
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM y GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
+
+  /** [[sessionsSql]] with the money sum integerized to cents before
+    * accumulation (q28 discipline) — the oracle for the
+    * flatMapGroupsWithState sessionizer, whose state fold carries exact
+    * cent longs. */
+  private lazy val fmgwsSessionsSql: String =
+    """WITH x AS (SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk
+      |  FROM events),
+      |y AS (SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM x)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM y GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
 }

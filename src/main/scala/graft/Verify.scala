@@ -1,16 +1,77 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Dev-loop extras (the driver always passes exactly 2 args):
+  *   - 3rd arg `name1,name2` — run only the named queries
+  *   - 3rd arg `--perturb` (or `--perturb=name1,name2`) — the
+  *     accumulation-order perturbation gate (VERDICT r18 ask #4): every
+  *     float-outputting registered query is run TWICE, in two sessions
+  *     with jittered `spark.sql.shuffle.partitions` / input-split
+  *     configs, and the two results are compared bit-exactly. A
+  *     registered query ends in `round(x, 4)`, so its rounded output is
+  *     bit-stable under re-association EXCEPT when a sum lands within
+  *     5e-5 of a rounding boundary — exactly the class that hash-red
+  *     `stream_sessions_fmgws` at the r18 driver gate after the builder's
+  *     own verify read green. Unstable rows exit nonzero so the class is
+  *     caught in-repo before the driver sees it.
+  */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    // optional 3rd arg (dev loop only; the driver passes 2): run just
-    // the named comma-separated queries instead of the whole registry
-    val (sfDir, outDir, only) = args match {
-      case Array(a, b)    => (a, b, None)
-      case Array(a, b, c) => (a, b, Some(c.split(',').toSet))
+
+  /** Canonical full-precision form of a query result: rows stringified
+    * (Row.toString is bit-faithful for doubles — distinct doubles have
+    * distinct shortest decimal reprs) and sorted. Column order is fixed
+    * by the query itself, identical across the two perturbed runs. */
+  private[graft] def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Runs `build` twice — once in a session with the dev default
+    * configs, once with jittered shuffle-partition count and input-split
+    * sizing (different partial-aggregation grouping and merge order) —
+    * and reports whether the results are bit-identical. Order-sensitive
+    * float accumulation (a double fold whose 4dp rounding straddles a
+    * boundary between the two orders) shows up as `false`. */
+  private[graft] def perturbStable(
+      build: (SparkSession, String) => DataFrame,
+      base: SparkSession, dir: String): Boolean = {
+    def runWith(conf: Seq[(String, String)]): Seq[String] = {
+      val s = base.newSession()
+      conf.foreach { case (k, v) => s.conf.set(k, v) }
+      canon(build(s, dir))
     }
+    val a = runWith(Seq("spark.sql.shuffle.partitions" -> "4"))
+    val b = runWith(Seq(
+      "spark.sql.shuffle.partitions" -> "7",
+      // smaller splits + zero open cost → more, differently-grouped scan
+      // partitions where the parquet row-group layout allows it
+      "spark.sql.files.maxPartitionBytes" -> "262144",
+      "spark.sql.files.openCostInBytes" -> "0"))
+    a == b
+  }
+
+  /** True when the query's output schema carries a float column — the
+    * perturbation gate's scope (integer/string outputs are exact and
+    * order-independent by construction). */
+  private[graft] def hasFloatColumn(df: DataFrame): Boolean =
+    df.schema.exists(f => f.dataType == DoubleType || f.dataType == FloatType)
+
+  def main(args: Array[String]): Unit = {
+    // optional 3rd arg (dev loop only; the driver passes 2): a
+    // comma-separated subset of query names, or --perturb[=names]
+    val (sfDir, outDir, third) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, c) => (a, b, Some(c))
+    }
+    val perturb = third.exists(_.startsWith("--perturb"))
+    val only: Option[Set[String]] = third.map {
+      case p if p.startsWith("--perturb=") =>
+        Some(p.stripPrefix("--perturb=").split(',').toSet)
+      case p if p == "--perturb" => None
+      case names => Some(names.split(',').toSet)
+    }.getOrElse(None)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,6 +80,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (perturb) { sys.exit(runPerturb(spark, sfDir, only)) }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -45,5 +107,36 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  private def runPerturb(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]]): Int = {
+    var unstable = List.empty[String]
+    var checked = 0
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        val floaty =
+          try hasFloatColumn(fn(spark.newSession(), sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[perturb] $name probe failed: ${e.getMessage}")
+            false
+          }
+        if (floaty) {
+          checked += 1
+          val ok = try perturbStable(fn, spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[perturb] $name failed: ${e.getMessage}")
+              false
+            }
+          println(s"[perturb] ${if (ok) "STABLE  " else "UNSTABLE"} $name")
+          if (!ok) unstable ::= name
+        }
+      }
+    println(s"[perturb] $checked float-outputting queries checked; " +
+      s"${unstable.size} unstable${
+        if (unstable.nonEmpty) ": " + unstable.sorted.mkString(", ") else ""}")
+    spark.stop()
+    if (unstable.nonEmpty) 1 else 0
   }
 }

@@ -210,6 +210,74 @@ object BinaryQuant {
   def qBinaryTopK(s: SparkSession, dir: String): DataFrame =
     binaryTopK(s, dir)
 
+  /** Registered query (`sim_binary_topk_scaled`) — the pool KNOB RULE
+    * driver-gated end to end (VERDICT r18 ask #2: `sim_binary_topk`
+    * pins pool=128, so nothing hash-checked ever ran a scaled pool; a
+    * user copying the registered query inherits a constant that decays
+    * to 0.708 recall at 50k rows). This query:
+    *
+    *  1. replicates the embeddings corpus `reps`× with shifted ids
+    *     (`vec_id + rep·100000` — identical vectors, so every step
+    *     stays a pure function of the data and DuckDB reproduces it),
+    *     pushing N past the `DefaultPool·50` knee so
+    *     [[recommendedPool]]'s n/50 branch is the one exercised
+    *     (sf0.01: 500·16 = 8,000 rows → pool 160, not 128);
+    *  2. sizes the pool with [[recommendedPool]](N) — the oracle
+    *     recomputes `greatest(128, n//50)` from its own count(*), so
+    *     the RULE itself is hashed, not a frozen constant;
+    *  3. emits the ENTIRE pool per query (not a top-k cut): a pool-rule
+    *     regression changes the row count, failing rows_match before
+    *     hashes are even compared.
+    *
+    * Determinism: rows are ordered/cut on (hamming asc, vec_id asc) —
+    * exact integers end to end; the exact cosine re-rank score rides
+    * along rounded to 4dp as payload, never as an ordering key (a
+    * full-pool emit is ~50× more rows than top-3, so float-ordered
+    * ranks would multiply near-tie exposure; integer ordering keeps
+    * the determinism contract of the main query).
+    *
+    * Scale shape: same as [[binaryTopK]] — packed-bits scan × broadcast
+    * query bits, bounded TopKByScore pool (shuffle
+    * O(partitions·|q|·pool)), pool-id equi-join back for the re-rank.
+    * The replication is a broadcast range cross join (no generator, no
+    * InferFiltersFromGenerate exposure). */
+  def qBinaryTopKScaled(s: SparkSession, dir: String, reps: Int = 16,
+      queryIds: Seq[Long] = 0L to 7L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val repsDf = broadcast(s.range(0, reps.toLong).select(col("id").as("rep")))
+    val scaled = emb.crossJoin(repsDf)
+      .select((col("vec_id") + col("rep") * lit(100000L)).as("vec_id"),
+        col("embedding"))
+    // parquet-metadata count × constant — no scan of the scaled frame
+    val n = Tables.embeddings(s, dir).count() * reps
+    val pool = recommendedPool(n)
+    val codes = scaled.select(col("vec_id"),
+      VectorFunctions.signBitsPacked(col("embedding")).as("bits"))
+    val q = codes.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("bits").as("qbits"))
+    val pooled = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.hammingPacked(col("bits"), col("qbits"))
+          .as("hamming"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(
+        -col("hamming").cast("double"), col("vec_id"), pool).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"),
+        (-col("t.score")).cast("long").as("hamming"))
+    val qv = scaled.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    pooled.join(scaled, "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        lit(pool.toLong).as("pool"),
+        round(VectorFunctions.cosine(col("embedding"), col("qemb")), 4)
+          .as("cos_sim"))
+      .orderBy("query_id", "hamming", "vec_id")
+  }
+
   /** Registered gate (`sim_binary_recall`): recall@k of the binary
     * path vs the exact top-k, emitted as the oracle-checkable
     * constant row + `pass = (recall ≥ bound)` — the sim_recall

@@ -124,6 +124,27 @@ class BinaryQuantSpec extends AnyFunSuite with SparkFixture {
     assert(BinaryQuant.recommendedPool(Long.MaxValue) === Int.MaxValue)
   }
 
+  test("scaled-pool query runs recommendedPool end to end (n/50 branch)") {
+    // 500 base rows × 16 replicas = 8,000 → recommendedPool = 160 > the
+    // 128 default: the registered query must emit exactly pool rows per
+    // query (full-pool emit — a pool-rule regression fails rows_match
+    // before any hash) with the computed pool in every row.
+    val df = BinaryQuant.qBinaryTopKScaled(spark, sf0001).cache()
+    try {
+      val pool = BinaryQuant.recommendedPool(8000L)
+      assert(pool === 160)
+      assert(df.select("pool").distinct().collect().map(_.getLong(0)).toSeq
+        === Seq(pool.toLong))
+      val perQuery = df.groupBy("query_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perQuery.keySet === (0L to 7L).toSet)
+      assert(perQuery.values.forall(_ === pool.toLong))
+      // replicas of the query vector itself sit at hamming 0 / cos 1.0
+      assert(df.filter(col("hamming") === 0L && col("cos_sim") === 1.0)
+        .count() >= 8L * 15L)
+    } finally df.unpersist()
+  }
+
   test("pool covering the corpus makes the binary path EXACT (recall 1.0)") {
     // With pool ≥ corpus size the Hamming prefilter prunes nothing, so the
     // re-rank IS the exact brute-force ranking — the property that pins

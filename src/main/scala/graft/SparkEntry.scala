@@ -2032,9 +2032,9 @@ object SparkEntry {
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // sim_binary_topk_scaled: the pool KNOB RULE hashed end to end —
     // the corpus is replicated 16× with shifted ids (identical vectors,
-    // SQL-reproducible) so recommendedPool's n/50 branch engages
-    // (8,000 rows → pool 160 at sf0.01), the oracle recomputes
-    // greatest(128, n//50) from its own count(*), and the FULL pool is
+    // SQL-reproducible) so recommendedPool's n/16 branch engages
+    // (8,000 rows → pool 500 at sf0.01), the oracle recomputes
+    // greatest(128, n//16) from its own count(*), and the FULL pool is
     // emitted so a pool regression fails rows_match outright. Ordering
     // and the cut are (hamming, vec_id) — exact integers; cosine rides
     // as 4dp payload only.
@@ -2044,7 +2044,7 @@ object SparkEntry {
         |r AS (SELECT unnest(range(16)) AS rep),
         |e AS (SELECT e0.vec_id + r.rep * 100000 AS vec_id, e0.v
         |  FROM e0, r),
-        |np AS (SELECT greatest(128, count(*) // 50) AS pool FROM e),
+        |np AS (SELECT greatest(128, count(*) // 16) AS pool FROM e),
         |b AS (SELECT vec_id, v,
         |    list_transform(range((len(v)+31)//32), w ->
         |      coalesce(list_sum(list_transform(list_slice(v, w*32+1, w*32+32),
@@ -2079,6 +2079,13 @@ object SparkEntry {
     // canonicalizes in pandas, which cannot sort a nested array column
     // (round 17's one red row — PlanInvariantSpec bans nested outputs
     // registry-wide now).
+    // Null/empty-embedding edges mirror the Spark plan exactly (r18
+    // ADVICE: latent divergence — current fixtures have neither): a
+    // NULL vector posexplode_outer's to ONE (null, null) row, and an
+    // EMPTY vector projects to 16 zero cells (sum over no elements),
+    // where a plain dims cross join would emit 16 NULL-value rows for
+    // both. The UNION ALL branch + len()=0 CASE reproduce that, so a
+    // fixture regeneration with degenerate vectors cannot red this row.
     "emb_project" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding::DOUBLE[],
@@ -2086,7 +2093,8 @@ object SparkEntry {
         |  FROM embeddings),
         |dims AS (SELECT unnest(range(16)) AS j)
         |SELECT e.vec_id, d.j::BIGINT AS dim,
-        |  CAST(list_sum(list_transform(e.vi, (x, i) ->
+        |  CASE WHEN len(e.vi) = 0 THEN 0
+        |  ELSE CAST(list_sum(list_transform(e.vi, (x, i) ->
         |    x * (1 - 2 * xor(
         |      (((((i-1)::BIGINT * 7919 + d.j::BIGINT * 104729 + 12345)
         |         % 2097152) * (((i-1)::BIGINT * 7919
@@ -2094,8 +2102,12 @@ object SparkEntry {
         |      (((((i-1)::BIGINT * 7919 + d.j::BIGINT * 104729 + 12345)
         |         % 2097152) * (((i-1)::BIGINT * 7919
         |         + d.j::BIGINT * 104729 + 12345) % 2097152)) >> 27) & 1))))
-        |    AS BIGINT) AS value
-        |FROM e, dims d ORDER BY vec_id, dim""".stripMargin,
+        |    AS BIGINT) END AS value
+        |FROM e, dims d WHERE e.vi IS NOT NULL
+        |UNION ALL
+        |SELECT vec_id, NULL::BIGINT AS dim, NULL::BIGINT AS value
+        |FROM e WHERE e.vi IS NULL
+        |ORDER BY vec_id, dim""".stripMargin,
     // emb_project_distortion: squared distances are exact longs; the JL
     // ratio is the single-scalar sqrt/divide/round-4dp shape the cosine
     // oracles pin.

@@ -33,25 +33,34 @@ import org.apache.spark.sql.functions._
   * coarse angle proxy, so recall@k at constant pool degrades as the
   * corpus grows. Measured surface (graft.BinaryRecallStress, 512-d
   * distinct-mode replicas — near-uniform, the worst case for any
-  * quantizer — k=3, 8 queries):
+  * quantizer — k=3, 8 queries; SCALE_STRESS_r18 plus the r19 pool
+  * ladder at n=5,000):
   *
   *   pool \ N     500     5,000   50,000
   *   128          0.958   0.750   0.708
+  *   200          —       0.792   —
+  *   256          —       0.875   —
+  *   320          —       0.917   —
   *   512          1.000   1.000   0.875
   *   2048         1.000   1.000   0.875
   *
   * THE KNOB RULE: the pool is a SAMPLE-FRACTION knob, not an absolute
-  * one — hold `pool/N` roughly constant (≥ ~1–4% on unstructured
-  * corpora) to hold recall; a fixed absolute pool silently decays as
-  * the corpus grows. Scaling the pool is nearly free at probe time —
+  * one — a fixed absolute pool silently decays as the corpus grows,
+  * and the fraction needed to stay on the saturation plateau is
+  * NOISY at small corpora (the truth set is 24 items): 1% suffices at
+  * n=50k (pool 512 → 0.875) but n=5,000 needs ~5% (pool 256 → 0.875;
+  * 2.56% measured only 0.750 and 4% only 0.792). [[recommendedPool]]
+  * therefore holds pool/N at 6.25% (n/16) — clearing the worst
+  * measured knee with margin, not tracking the asymptote. Scaling the pool is nearly free at probe time —
   * the probe wall is dominated by the packed-bits SCAN, not the pool
-  * (measured 1.29 s at pool 128 vs 1.45 s at pool 2048 on the 50k
-  * corpus), and shuffle volume stays O(partitions·|q|·pool). The 0.875
-  * plateau at 50k (pool 512 = 2048) is the 1-bit metric itself
-  * saturating on uniform vectors — past it the knobs are bits/dim
-  * (re-pack) or int8/IVF; production corpora with real cluster
-  * structure sit far above this synthetic floor.
-  * `sim_binary_recall` gates the floor every round.
+  * (SCALE_STRESS_r18: 1.212 s at pool 128 vs 1.247 s at pool 2048 on
+  * the 50k corpus), and shuffle volume stays O(partitions·|q|·pool).
+  * The 0.875 plateau at 50k (pool 512 = 2048) is the 1-bit metric
+  * itself saturating on uniform vectors — past it the knobs are
+  * bits/dim (re-pack) or int8/IVF; production corpora with real
+  * cluster structure sit far above this synthetic floor.
+  * `sim_binary_recall` gates the floor every round; the plateau knee
+  * (1000 at 50k → 0.875) rides in the recall stress.
   *
   * Determinism contract (what makes the MAIN query fully
   * oracle-checkable where IVF's fit is not): packing, Hamming, the
@@ -77,15 +86,20 @@ object BinaryQuant {
     * [[recommendedPool]]. */
   val DefaultPool = 128
 
-  /** The knob rule as an API: `max(DefaultPool, n/50)` — pool/N = 2%,
-    * inside the measured ≥ ~1–4% band that held recall 0.875–1.0 on
-    * the near-uniform worst case (the scaladoc table /
-    * SCALE_STRESS_r18 binary_recall_scale). Re-rank cost is linear in
-    * the pool and the probe wall is scan-dominated, so this grows the
-    * pool with the corpus at near-zero probe cost; shuffle stays
-    * O(partitions·|q|·pool). */
+  /** The knob rule as an API: `max(DefaultPool, n/16)` — pool/N =
+    * 6.25%, sized to clear the WORST measured point of the recall
+    * surface with margin (r19 pool ladder: n=5,000 first reaches the
+    * 0.875 saturation plateau at pool 256 ≈ 5%; this rule gives 312
+    * there, between the measured 256 → 0.875 and 320 → 0.917 points —
+    * never ON a knee. The former 2% rule landed on that corpus at
+    * pool 128 → recall 0.750, its own sub-floor counterexample, and
+    * even 4% measured only 0.792). Large corpora need less (1% held
+    * 0.875 at n=50k), so 6.25% is conservative where it is cheap:
+    * re-rank cost is linear in the pool and the probe wall is
+    * scan-dominated, so growing the pool with the corpus is near-zero
+    * probe cost and shuffle stays O(partitions·|q|·pool). */
   def recommendedPool(corpusRows: Long): Int =
-    math.min(math.max(DefaultPool.toLong, corpusRows / 50L),
+    math.min(math.max(DefaultPool.toLong, corpusRows / 16L),
       Int.MaxValue.toLong).toInt
 
   /** Bumped whenever packing semantics change — rides in the cache key
@@ -219,11 +233,11 @@ object BinaryQuant {
     *  1. replicates the embeddings corpus `reps`× with shifted ids
     *     (`vec_id + rep·100000` — identical vectors, so every step
     *     stays a pure function of the data and DuckDB reproduces it),
-    *     pushing N past the `DefaultPool·50` knee so
-    *     [[recommendedPool]]'s n/50 branch is the one exercised
-    *     (sf0.01: 500·16 = 8,000 rows → pool 160, not 128);
+    *     pushing N past the `DefaultPool·16` knee so
+    *     [[recommendedPool]]'s n/16 branch is the one exercised
+    *     (sf0.01: 500·16 = 8,000 rows → pool 500, not 128);
     *  2. sizes the pool with [[recommendedPool]](N) — the oracle
-    *     recomputes `greatest(128, n//50)` from its own count(*), so
+    *     recomputes `greatest(128, n//16)` from its own count(*), so
     *     the RULE itself is hashed, not a frozen constant;
     *  3. emits the ENTIRE pool per query (not a top-k cut): a pool-rule
     *     regression changes the row count, failing rows_match before

@@ -114,25 +114,31 @@ class BinaryQuantSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(!(col("hof") <=> col("fused"))).count() === 0L)
   }
 
-  test("recommendedPool: 2% of corpus, floored at DefaultPool, int-capped") {
+  test("recommendedPool: n/16 (6.25%), floored at DefaultPool, int-capped") {
     assert(BinaryQuant.recommendedPool(0L) === BinaryQuant.DefaultPool)
     assert(BinaryQuant.recommendedPool(500L) === BinaryQuant.DefaultPool)
-    // 6400 is the break-even: 6400/50 = 128 = DefaultPool
-    assert(BinaryQuant.recommendedPool(6400L) === BinaryQuant.DefaultPool)
-    assert(BinaryQuant.recommendedPool(50000L) === 1000)
-    assert(BinaryQuant.recommendedPool(1000000000L) === 20000000)
+    // 2048 is the break-even: 2048/16 = 128 = DefaultPool
+    assert(BinaryQuant.recommendedPool(2048L) === BinaryQuant.DefaultPool)
+    // the r19 fraction fix: at n=5000 the rule must clear the measured
+    // plateau knee (pool 256 → recall 0.875) WITH margin — never land
+    // on or under a measured sub-floor point the way the old 2% rule
+    // did (pool 128 at 2.56% → 0.750, its own counterexample)
+    assert(BinaryQuant.recommendedPool(5000L) === 312)
+    assert(BinaryQuant.recommendedPool(5000L) > 256)
+    assert(BinaryQuant.recommendedPool(50000L) === 3125)
+    assert(BinaryQuant.recommendedPool(1000000000L) === 62500000)
     assert(BinaryQuant.recommendedPool(Long.MaxValue) === Int.MaxValue)
   }
 
-  test("scaled-pool query runs recommendedPool end to end (n/50 branch)") {
-    // 500 base rows × 16 replicas = 8,000 → recommendedPool = 160 > the
+  test("scaled-pool query runs recommendedPool end to end (n/16 branch)") {
+    // 500 base rows × 16 replicas = 8,000 → recommendedPool = 500 > the
     // 128 default: the registered query must emit exactly pool rows per
     // query (full-pool emit — a pool-rule regression fails rows_match
     // before any hash) with the computed pool in every row.
     val df = BinaryQuant.qBinaryTopKScaled(spark, sf0001).cache()
     try {
       val pool = BinaryQuant.recommendedPool(8000L)
-      assert(pool === 160)
+      assert(pool === 500)
       assert(df.select("pool").distinct().collect().map(_.getLong(0)).toSeq
         === Seq(pool.toLong))
       val perQuery = df.groupBy("query_id").count().collect()

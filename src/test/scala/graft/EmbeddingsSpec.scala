@@ -226,6 +226,34 @@ class EmbeddingsSpec extends AnyFunSuite with SparkFixture {
       arr.map(_._1).distinct.length * Embeddings.DefaultProjDims)
   }
 
+  test("exploded projection edges: null vector → one (null,null) row; empty → 16 zeros") {
+    // Pins the EXACT edge rows the registered emb_project oracle now
+    // mirrors (r18 ADVICE: latent null/empty divergence): JlProject of a
+    // null vector is null, which posexplode_outer emits as a single
+    // (null dim, null value) row; an empty vector projects to 16 zero
+    // cells. A kernel or plan change that alters either edge must flip
+    // this spec — and the oracle's UNION ALL / len()=0 branches with it.
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq((1L, Some(Seq.empty[Float])), (2L, None),
+        (3L, Some(Seq(1.0f))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        VectorFunctions.jlProject(col("embedding"),
+          Embeddings.DefaultProjDims).as("proj"))
+      .select(col("vec_id"), posexplode_outer(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+    val empty = df.filter(col("vec_id") === 1L).collect()
+    assert(empty.length === Embeddings.DefaultProjDims)
+    assert(empty.forall(_.getLong(2) === 0L))
+    val nul = df.filter(col("vec_id") === 2L).collect()
+    assert(nul.length === 1)
+    assert(nul.head.isNullAt(1) && nul.head.isNullAt(2))
+    assert(df.filter(col("vec_id") === 3L).count() ===
+      Embeddings.DefaultProjDims.toLong)
+  }
+
   test("random projection is linear on integerized inputs (proj(2x) = 2·proj(x))") {
     import spark.implicits._
     val v = (0 until 64).map(i => (i - 32) / 64.0f)

@@ -169,6 +169,52 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkFixture {
     assert(res.passed, res.status.toString)
   }
 
+  test("AQE-coalesced exchange + one hot group ≫ k: heap pair survives re-planning") {
+    // VERDICT r18 ask #7 (stretch): the custom physical pair must hold
+    // its contract when AQE rewrites the exchange underneath it — the
+    // final phase's ClusteredDistribution is only safe under coalescing
+    // because AQE merges ADJACENT reducer partitions (a hash group never
+    // splits); a Spark upgrade that re-planned the final phase onto a
+    // split partition would break per-group completeness, which is
+    // exactly what the hot group detects (its top-3 can come from any of
+    // the 16 input partitions' partial survivors).
+    val s = spark.newSession()
+    GraftPlans.install(s)
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // 64 reducer partitions of a few KB each vs a 64 MB advisory target
+    // → AQE must coalesce aggressively (we assert it actually did)
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    import s.implicits._
+    // hot group: 50k rows in "h" (the skew), 200 cold groups of 5 —
+    // spread round-robin over 16 input partitions so every partition
+    // holds a slice of the hot group and the partial phase's
+    // per-partition heaps all contribute candidates
+    val rows = (0 until 50000).map(i => ("h", i.toLong, (i % 997).toDouble)) ++
+      (0 until 1000).map(i => (s"g${i % 200}", 100000L + i, (i % 7).toDouble))
+    val df = rows.toDF("g", "id", "score").repartition(16)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+      .toSet
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n$plan")
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"AQE coalescing did not engage — the spec lost its target:\n$plan")
+    // independent driver-side oracle over the same rows
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy { case (_, id, sc) => (-sc, id) }.take(3).zipWithIndex
+        .map { case ((_, id, _), i) => (g, id, i + 1) }
+    }.toSet
+    assert(got === expected)
+    // the hot group's top-3 specifically: score 996 at the three
+    // smallest qualifying ids (i % 997 == 996 → i = 996, 1993, 2990)
+    assert(got.filter(_._1 == "h") ===
+      Set(("h", 996L, 1), ("h", 1993L, 2), ("h", 2990L, 3)))
+  }
+
   test("q8d wrapper matches the window formulation on sf0.001") {
     val got = GraftPlans.qRankLimit(ext, sf0001).collect().map(_.toSeq)
     val w = Window.partitionBy("o_custkey")

@@ -66,7 +66,7 @@ object BinaryRecallStress {
       // prebuild discipline); each pool point then times probe-only
       operators.BinaryQuant.binaryTopK(spark, dir, qids, k, pools.head).count()
       // the knob rule's own point rides along (recommendedPool =
-      // max(128, n/50), the sample-fraction rule), deduped when the
+      // max(128, n/16), the sample-fraction rule), deduped when the
       // ladder already carries it
       val ladder =
         (pools :+ operators.BinaryQuant.recommendedPool(n)).distinct

@@ -38,6 +38,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkFixture {
     // broadcast 8-query-bits frame crossed onto the packed-bits scan
     // (the Hamming prefilter), same batch-serving shape
     "sim_binary_topk",
+    // sim_binary_topk's shape PLUS the broadcast 16-row replication
+    // range crossed onto the corpus scan (the SQL-reproducible 16×
+    // blow-up that pushes N past recommendedPool's n/16 knee)
+    "sim_binary_topk_scaled",
     // 8-row × 8-row broadcast pair join — bounded by nQueries², never
     // corpus-sized (Embeddings.projectionDistortion)
     "emb_project_distortion")

@@ -28,29 +28,41 @@ object Verify {
   private[graft] def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  /** Runs `build` twice — once in a session with the dev default
-    * configs, once with jittered shuffle-partition count and input-split
-    * sizing (different partial-aggregation grouping and merge order) —
-    * and reports whether the results are bit-identical. Order-sensitive
-    * float accumulation (a double fold whose 4dp rounding straddles a
-    * boundary between the two orders) shows up as `false`. */
+  /** The two jittered config sets the gate compares under. The
+    * `graft.replay.shufflePartitions` key carries the jitter into the
+    * streaming replay harnesses' CHILD sessions, which pin their own
+    * `spark.sql.shuffle.partitions` (StreamingOps.replayShufflePartitions)
+    * — without it the gate is a no-op for exactly the streaming class
+    * whose r18 red row motivated it (r19 review finding). */
+  private[graft] val perturbConfA: Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> "4",
+    "graft.replay.shufflePartitions" -> "4")
+  private[graft] val perturbConfB: Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> "7",
+    // smaller splits + zero open cost → more, differently-grouped scan
+    // partitions where the parquet row-group layout allows it
+    "spark.sql.files.maxPartitionBytes" -> "262144",
+    "spark.sql.files.openCostInBytes" -> "0",
+    "graft.replay.shufflePartitions" -> "7")
+
+  private def buildWith(build: (SparkSession, String) => DataFrame,
+      base: SparkSession, dir: String,
+      conf: Seq[(String, String)]): DataFrame = {
+    val s = base.newSession()
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    build(s, dir)
+  }
+
+  /** Runs `build` twice — once per jittered config set (different
+    * partial-aggregation grouping and merge order) — and reports whether
+    * the results are bit-identical. Order-sensitive float accumulation
+    * (a double fold whose 4dp rounding straddles a boundary between the
+    * two orders) shows up as `false`. */
   private[graft] def perturbStable(
       build: (SparkSession, String) => DataFrame,
-      base: SparkSession, dir: String): Boolean = {
-    def runWith(conf: Seq[(String, String)]): Seq[String] = {
-      val s = base.newSession()
-      conf.foreach { case (k, v) => s.conf.set(k, v) }
-      canon(build(s, dir))
-    }
-    val a = runWith(Seq("spark.sql.shuffle.partitions" -> "4"))
-    val b = runWith(Seq(
-      "spark.sql.shuffle.partitions" -> "7",
-      // smaller splits + zero open cost → more, differently-grouped scan
-      // partitions where the parquet row-group layout allows it
-      "spark.sql.files.maxPartitionBytes" -> "262144",
-      "spark.sql.files.openCostInBytes" -> "0"))
-    a == b
-  }
+      base: SparkSession, dir: String): Boolean =
+    canon(buildWith(build, base, dir, perturbConfA)) ==
+      canon(buildWith(build, base, dir, perturbConfB))
 
   /** True when the query's output schema carries a float column — the
     * perturbation gate's scope (integer/string outputs are exact and
@@ -109,34 +121,42 @@ object Verify {
     spark.stop()
   }
 
+  /** The gate proper. FAIL-CLOSED: a query that throws anywhere in the
+    * probe/compare path is reported and trips the nonzero exit — a gate
+    * that silently drops an erroring query reads "all stable" while a
+    * gate-eligible row went untested (the check_oracle.py allowlist
+    * posture, applied here; r19 review finding). The first jittered run
+    * doubles as the float-scope probe, so a non-float query executes
+    * once and a float query twice — never three times. */
   private def runPerturb(spark: SparkSession, sfDir: String,
       only: Option[Set[String]]): Int = {
     var unstable = List.empty[String]
+    var failed = List.empty[String]
     var checked = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        val floaty =
-          try hasFloatColumn(fn(spark.newSession(), sfDir))
-          catch { case e: Throwable =>
-            System.err.println(s"[perturb] $name probe failed: ${e.getMessage}")
-            false
+        try {
+          val a = buildWith(fn, spark, sfDir, perturbConfA)
+          if (hasFloatColumn(a)) {
+            checked += 1
+            val ok = canon(a) ==
+              canon(buildWith(fn, spark, sfDir, perturbConfB))
+            println(s"[perturb] ${if (ok) "STABLE  " else "UNSTABLE"} $name")
+            if (!ok) unstable ::= name
           }
-        if (floaty) {
-          checked += 1
-          val ok = try perturbStable(fn, spark, sfDir)
-            catch { case e: Throwable =>
-              System.err.println(s"[perturb] $name failed: ${e.getMessage}")
-              false
-            }
-          println(s"[perturb] ${if (ok) "STABLE  " else "UNSTABLE"} $name")
-          if (!ok) unstable ::= name
+        } catch { case e: Throwable =>
+          System.err.println(s"[perturb] FAILED   $name: ${e.getMessage}")
+          failed ::= name
         }
       }
     println(s"[perturb] $checked float-outputting queries checked; " +
       s"${unstable.size} unstable${
-        if (unstable.nonEmpty) ": " + unstable.sorted.mkString(", ") else ""}")
+        if (unstable.nonEmpty) ": " + unstable.sorted.mkString(", ") else ""}${
+        if (failed.nonEmpty)
+          s"; ${failed.size} FAILED to run: " + failed.sorted.mkString(", ")
+        else ""}")
     spark.stop()
-    if (unstable.nonEmpty) 1 else 0
+    if (unstable.nonEmpty || failed.nonEmpty) 1 else 0
   }
 }

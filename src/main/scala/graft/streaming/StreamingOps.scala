@@ -55,6 +55,19 @@ object StreamingOps {
     else
       (eventsFileSchemaMicros, col("ts").cast("timestamp"))
 
+  /** Stateful-operator partition width for a replay child session: the
+    * per-query pinned default (8 — at the replay's state size the
+    * per-store setup/commit dominates, measured ~3× faster than 32; see
+    * [[qStreamStreamJoin]]) unless the caller set
+    * `graft.replay.shufflePartitions` on the PARENT session. The
+    * override exists for exactly one caller: `Verify --perturb`, whose
+    * jittered `spark.sql.shuffle.partitions` would otherwise never
+    * reach these child sessions — leaving the perturbation gate a no-op
+    * for the streaming replay class whose r18 red row motivated it
+    * (r19 review finding). Production callers leave it unset. */
+  private[graft] def replayShufflePartitions(parent: SparkSession): String =
+    parent.conf.getOption("graft.replay.shufflePartitions").getOrElse("8")
+
   /** Open the events table as a stream. `maxFilesPerTrigger=1` keeps
     * micro-batches bounded when replaying a directory. Reading the
     * TIMESTAMP(NANOS) file needs the `nanosAsLong` legacy flag; if the
@@ -217,7 +230,7 @@ object StreamingOps {
   def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val child = s.newSession()
     child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s))
     val joined = streamStreamIntervalJoin(readEventsStream(child, dir))
     val name = s"ssjoin_${System.nanoTime()}"
     val q = joined.writeStream.format("memory").queryName(name)
@@ -250,7 +263,7 @@ object StreamingOps {
   def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
     val child = s.newSession()
     child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s))
     val dim = graft.Tables.customer(child, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = enrichStream(
@@ -457,7 +470,7 @@ object StreamingOps {
     // isolated child session, as in qStreamStreamJoin.
     val child = s.newSession()
     child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s))
     val tmp = Files.createTempDirectory("graft_stream_replay")
     val evCopy = tmp.resolve("00_events.parquet")
     Files.copy(Paths.get(dir, "events.parquet"), evCopy,
@@ -673,7 +686,7 @@ object StreamingOps {
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s0))
     val tmp = Files.createTempDirectory("graft_stream_upsert")
     val landing = tmp.resolve("landing")
     Files.createDirectories(landing)

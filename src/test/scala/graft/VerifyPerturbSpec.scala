@@ -49,4 +49,24 @@ class VerifyPerturbSpec extends AnyFunSuite with SparkFixture {
     assert(Verify.hasFloatColumn(Seq((1L, 2.0)).toDF("a", "b")))
     assert(!Verify.hasFloatColumn(Seq((1L, "x")).toDF("a", "b")))
   }
+
+  test("the jitter reaches streaming replay child sessions") {
+    // The replay harnesses pin spark.sql.shuffle.partitions in an
+    // isolated CHILD session, so the gate's jittered session conf would
+    // never reach them (leaving the gate a no-op for exactly the
+    // streaming class whose r18 red row motivated it — r19 review
+    // finding). The graft.replay.shufflePartitions parent-session key is
+    // the carrier: both perturb config sets must set it, and the
+    // harness-side resolver must honor it over the pinned default.
+    assert(Verify.perturbConfA.toMap.get("graft.replay.shufflePartitions")
+      .contains("4"))
+    assert(Verify.perturbConfB.toMap.get("graft.replay.shufflePartitions")
+      .contains("7"))
+    val parent = spark.newSession()
+    assert(StreamingOps.replayShufflePartitions(parent) == "8",
+      "unset: the measured per-query replay default")
+    parent.conf.set("graft.replay.shufflePartitions", "5")
+    assert(StreamingOps.replayShufflePartitions(parent) == "5",
+      "set: the perturb jitter must win over the pinned default")
+  }
 }

@@ -31,8 +31,12 @@ object Bucketing {
     * sides). */
   def bucketedJoin(s: SparkSession, leftTable: String, rightTable: String,
       leftKey: String, rightKey: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    s.table(leftTable).join(s.table(rightTable).hint("merge"),
-      col(leftKey) === col(rightKey))
+    // Dataframe-qualified key columns, NOT bare col(...): when both
+    // tables bucket by the SAME column name (the common case — one key,
+    // many facts), an unresolved col("user_id") === col("user_id")
+    // matches both join children and throws AMBIGUOUS_REFERENCE.
+    val l = s.table(leftTable)
+    val r = s.table(rightTable).hint("merge")
+    l.join(r, l(leftKey) === r(rightKey))
   }
 }

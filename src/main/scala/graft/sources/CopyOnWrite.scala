@@ -39,6 +39,18 @@ object CopyOnWrite {
   def upsert(spark: SparkSession, tablePath: String, updates: DataFrame,
       keyCol: String): Int = {
     val table = spark.read.parquet(tablePath)
+    // Key-unique, non-null batch contract, enforced (see
+    // VersionedTable.upsert — same rationale: a duplicate key survives
+    // the anti-join and commits duplicated keys silently; a null key
+    // matches nothing and accumulates as a ghost insert).
+    val badKey = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1 || col(keyCol).isNull)
+      .limit(1).collect()
+    require(badKey.isEmpty,
+      s"upsert batch violates the unique-key contract on '$keyCol': " +
+        s"${if (badKey.head.isNullAt(0)) "null key present"
+          else s"key ${badKey.head.get(0)} appears ${badKey.head.getLong(1)}×"}" +
+        " — dedup the batch first")
     val keys = updates.select(keyCol).distinct()
     val touched = table
       .select(input_file_name().as("_f"), col(keyCol))
@@ -68,8 +80,11 @@ object CopyOnWrite {
     val staged = fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-"))
     staged.zipWithIndex.foreach { case (p, i) =>
+      // full UUID — an 8-hex truncation birthday-collides at ~9×10⁴
+      // commits and a local-FS rename over an existing target silently
+      // replaces a live data file (see VersionedTable.adoptStaged)
       val dst = new Path(dir,
-        s"part-cow-${java.util.UUID.randomUUID.toString.take(8)}-$i.parquet")
+        s"part-cow-${java.util.UUID.randomUUID}-$i.parquet")
       require(fs.rename(p, dst), s"COW commit: rename $p -> $dst failed")
     }
     // A silently-failed delete would leave BOTH copies of the rewritten

@@ -58,9 +58,11 @@ object OutSource {
   private val FileName = """(.+)-(\d+)\.out""".r
 
   /** reducer id parsed from a `<job>-<id>.out` file name (None for
-    * non-layout files, which are ignored by the scan). */
+    * non-layout files, which are ignored by the scan — including a
+    * digit run past Int range, which toIntOption rejects instead of
+    * throwing mid-planning). */
   def reducerIdOf(name: String): Option[Int] = name match {
-    case FileName(_, id) => Some(id.toInt)
+    case FileName(_, id) => id.toIntOption
     case _ => None
   }
 
@@ -146,18 +148,42 @@ private[sources] class OutScan(path: String, requiredSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OutReaderFactory(requiredSchema)
+    new OutReaderFactory(requiredSchema, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()))
 }
 
 private[sources] case class OutInputPartition(path: String, reducerId: Int)
   extends InputPartition
 
-private[sources] class OutReaderFactory(requiredSchema: StructType)
-    extends PartitionReaderFactory {
+/** Java-serializable Hadoop `Configuration` carrier: the reader factory
+  * is built on the driver and shipped to executors, and a bare
+  * `new Configuration()` there would drop every `spark.hadoop.*` session
+  * setting (s3a credentials, hdfs nameservices) that
+  * `planInputPartitions` saw on the driver — the scan would plan fine
+  * and then fail (or mis-auth) at read time on any non-default
+  * FileSystem. `Configuration` itself is `Writable`, not
+  * `Serializable`, hence the write/readFields bridge. */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] class OutReaderFactory(requiredSchema: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OutInputPartition]
-    new OutPartitionReader(p.path, p.reducerId, requiredSchema)
+    new OutPartitionReader(p.path, p.reducerId, requiredSchema, conf.value)
   }
 }
 
@@ -167,9 +193,10 @@ private[sources] class OutReaderFactory(requiredSchema: StructType)
   * split. Malformed lines fail loudly — the layout is this library's
   * own sink format, so a bad line is corruption, not dirty data. */
 private[sources] class OutPartitionReader(path: String, reducerId: Int,
-    requiredSchema: StructType) extends PartitionReader[InternalRow] {
-  private val fs = new Path(path).getFileSystem(
-    new org.apache.hadoop.conf.Configuration())
+    requiredSchema: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends PartitionReader[InternalRow] {
+  private val fs = new Path(path).getFileSystem(conf)
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(new Path(path)),
       java.nio.charset.StandardCharsets.UTF_8))

@@ -109,11 +109,15 @@ object Sinks {
     * for unordered parquet shards). Returns the target file count. */
   def compact(s: SparkSession, srcPath: String, destPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    require(new org.apache.hadoop.fs.Path(srcPath).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(destPath).toUri.getPath,
-      "compact: destPath must differ from srcPath (no in-place rewrite)")
     val hadoopPath = new org.apache.hadoop.fs.Path(srcPath)
     val fs = hadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // FS-qualified comparison, not raw URI paths: "warehouse/t" vs
+    // "/cwd/warehouse/t" spell the SAME directory, and letting that
+    // pair through means the overwrite write deletes the source before
+    // the lazy read ever executes.
+    require(fs.makeQualified(hadoopPath) !=
+      fs.makeQualified(new org.apache.hadoop.fs.Path(destPath)),
+      "compact: destPath must differ from srcPath (no in-place rewrite)")
     val totalBytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

@@ -106,31 +106,33 @@ object VersionedTable {
         .maxOption)
   }
 
-  private def readManifest(spark: SparkSession, table: Path,
-      v: Long): Seq[String] = {
+  /** One manifest, parsed once. `merge` = whether the version's file
+    * set carries more than one schema (sticky once an evolving upsert
+    * lands, until every old file is rewritten out). Readers only pay
+    * parquet's footer-merging `mergeSchema` scan when it is set — on a
+    * 10⁵-file table that option is a real planning cost, and a
+    * never-evolved table should not pay it. */
+  private case class Manifest(files: Seq[String], merge: Boolean)
+
+  private def readManifestData(spark: SparkSession, table: Path,
+      v: Long): Manifest = {
     val fs = fsOf(spark, table)
     val in = fs.open(manifestPath(table, v))
     val txt = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     // Manifest grammar is ours and trivial:
     // {"version":N,"merge":bool,"files":[...]} with names matching
-    // parquet part-file charsets — split, don't parse.
-    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+    // parquet part-file charsets — split, don't parse. One open/read
+    // serves both fields: read/upsert/optimize need BOTH, and on an
+    // object store the duplicate GET of the same small file was pure
+    // waste on the hottest path.
+    Manifest(
+      "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq,
+      txt.contains("\"merge\":true"))
   }
 
-  /** Whether version `v`'s file set carries more than one schema (sticky
-    * once an evolving upsert lands, until every old file is rewritten
-    * out). Readers only pay parquet's footer-merging `mergeSchema` scan
-    * when this is set — on a 10⁵-file table that option is a real
-    * planning cost, and a never-evolved table should not pay it. */
-  private def manifestMerge(spark: SparkSession, table: Path,
-      v: Long): Boolean = {
-    val fs = fsOf(spark, table)
-    val in = fs.open(manifestPath(table, v))
-    val txt = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    txt.contains("\"merge\":true")
-  }
+  private def readManifest(spark: SparkSession, table: Path,
+      v: Long): Seq[String] = readManifestData(spark, table, v).files
 
   /** Stage-then-rename manifest commit. Fails loudly if `v` was committed
     * by someone else first. The slot is claimed with
@@ -183,8 +185,12 @@ object VersionedTable {
     val staged = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
     val names = staged.zipWithIndex.map { case (p, i) =>
-      val name =
-        s"part-v-${java.util.UUID.randomUUID.toString.take(8)}-$i.parquet"
+      // FULL UUID, like the staging dirs: an 8-hex truncation has 2³²
+      // names per index — ~50% birthday-collision odds by ~9×10⁴
+      // commits (one per CDC micro-batch), and a local-FS rename over
+      // an existing target SUCCEEDS, silently replacing a data file
+      // still referenced by live manifests.
+      val name = s"part-v-${java.util.UUID.randomUUID}-$i.parquet"
       require(fs.rename(p, new Path(table, name)),
         s"commit: rename $p failed")
       name
@@ -217,11 +223,12 @@ object VersionedTable {
     val table = new Path(tablePath)
     val v = version.orElse(currentVersion(spark, tablePath)).getOrElse(
       sys.error(s"$tablePath is not a versioned table"))
-    val files = readManifest(spark, table, v)
-    require(files.nonEmpty, s"version $v of $tablePath has an empty manifest")
+    val m = readManifestData(spark, table, v)
+    require(m.files.nonEmpty,
+      s"version $v of $tablePath has an empty manifest")
     spark.read
-      .option("mergeSchema", manifestMerge(spark, table, v).toString)
-      .parquet(files.map(new Path(table, _).toString): _*)
+      .option("mergeSchema", m.merge.toString)
+      .parquet(m.files.map(new Path(table, _).toString): _*)
   }
 
   /** Copy-on-write upsert against the CURRENT snapshot; commits and
@@ -239,8 +246,9 @@ object VersionedTable {
     val table = new Path(tablePath)
     val v = currentVersion(spark, tablePath).getOrElse(
       sys.error(s"$tablePath is not a versioned table — init first"))
-    val current = readManifest(spark, table, v)
-    val priorMerge = manifestMerge(spark, table, v)
+    val manifest = readManifestData(spark, table, v)
+    val current = manifest.files
+    val priorMerge = manifest.merge
     val snapshot = spark.read
       .option("mergeSchema", priorMerge.toString).parquet(
         current.map(new Path(table, _).toString): _*)
@@ -257,6 +265,22 @@ object VersionedTable {
     }
     val added = updates.columns.filterNot(snapshot.columns.contains)
     val outCols = (snapshot.columns ++ added).toIndexedSeq
+
+    // Key-unique, non-null batch contract, ENFORCED (the Delta MERGE
+    // discipline — it fails loudly on multiple matches): a duplicate
+    // key would survive the anti-join and commit a snapshot holding two
+    // rows for one key, permanently breaking the invariant diff()'s
+    // classification and every reader depend on; a null key matches
+    // nothing and accumulates as a ghost insert on every batch. One
+    // aggregate over the (batch-sized, not table-sized) update side.
+    val badKey = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1 || col(keyCol).isNull)
+      .limit(1).collect()
+    require(badKey.isEmpty,
+      s"upsert batch violates the unique-key contract on '$keyCol': " +
+        s"${if (badKey.head.isNullAt(0)) "null key present"
+          else s"key ${badKey.head.get(0)} appears ${badKey.head.getLong(1)}×"}" +
+        " — dedup the batch (e.g. row_number over arrival order) first")
 
     val keys = updates.select(keyCol).distinct()
     val touched = snapshot
@@ -328,8 +352,9 @@ object VersionedTable {
       keyCol: String): DataFrame = {
     require(fromV < toV, s"diff needs fromV < toV, got $fromV -> $toV")
     val table = new Path(tablePath)
-    val fromFiles = readManifest(spark, table, fromV)
-    val toFiles = readManifest(spark, table, toV)
+    val fromM = readManifestData(spark, table, fromV)
+    val toM = readManifestData(spark, table, toV)
+    val (fromFiles, toFiles) = (fromM.files, toM.files)
     val added = toFiles.filterNot(fromFiles.toSet)
     val removed = fromFiles.filterNot(toFiles.toSet)
     def readSide(files: Seq[String], merge: Boolean,
@@ -340,8 +365,8 @@ object VersionedTable {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, tablePath, Some(fallbackV)).schema)
-    val post0 = readSide(added, manifestMerge(spark, table, toV), toV)
-    val pre0 = readSide(removed, manifestMerge(spark, table, fromV), fromV)
+    val post0 = readSide(added, toM.merge, toV)
+    val pre0 = readSide(removed, fromM.merge, fromV)
     val outCols = post0.columns.toIndexedSeq
     // additive evolution: pre may lack columns post has — null-cast in
     val pre = post0.schema.fields.foldLeft(pre0) { (df, f) =>
@@ -389,9 +414,16 @@ object VersionedTable {
     val fs = fsOf(spark, table)
     val v = currentVersion(spark, tablePath).getOrElse(
       sys.error(s"$tablePath is not a versioned table"))
-    val files = readManifest(spark, table, v)
-    val priorMerge = manifestMerge(spark, table, v)
-    val sized = files.map(f => f -> fs.getFileStatus(new Path(table, f)).getLen)
+    val manifest = readManifestData(spark, table, v)
+    val (files, priorMerge) = (manifest.files, manifest.merge)
+    // One LIST of the table directory, not one getFileStatus RPC per
+    // manifest entry: on a 10⁵-file object-store table the per-entry
+    // probes are 10⁵ sequential HEADs before any work starts — exactly
+    // the cost the _latest_hint machinery exists to avoid.
+    val lengths = fs.listStatus(table).iterator
+      .filter(_.isFile).map(st => st.getPath.getName -> st.getLen).toMap
+    val sized = files.map(f => f -> lengths.getOrElse(f,
+      fs.getFileStatus(new Path(table, f)).getLen))
     val (small, big) = sized.partition(_._2 < smallerThan)
     if (small.size < 2) return v
     val totalBytes = small.map(_._2).sum
@@ -430,13 +462,39 @@ object VersionedTable {
       .partition(_ < keepFrom)
     val referenced = keep.flatMap(readManifest(spark, table, _)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    val dead = fs.listStatus(table)
+    val listing = fs.listStatus(table)
+    val dead = listing
       .filter(st => st.getPath.getName.endsWith(".parquet") &&
         !referenced(st.getPath.getName) &&
         st.getModificationTime < cutoff)
       .map(_.getPath)
     dead.foreach(p => require(fs.delete(p, false) || !fs.exists(p),
       s"vacuum: delete $p failed"))
+    // Crashed-writer debris, age-gated by the same grace window (this
+    // IS the sanctioned cleanup path the commit protocol's scaladoc
+    // defers to): a writer that died between staging and adoption
+    // leaves a full `_stage_<uuid>` directory of parquet bytes — which
+    // the *.parquet filter above never touches — and one that died
+    // between claim and commit leaves a `.claim` file that LOUDLY
+    // blocks its version slot forever. Both survive every vacuum
+    // otherwise: unbounded storage from the op meant to bound it. A
+    // LIVE writer's stage/claim is seconds old; the grace window keeps
+    // it safe exactly as it keeps just-adopted data files safe.
+    listing
+      .filter(st => st.getPath.getName.startsWith("_stage_") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
+    val mDir = manifestDir(table)
+    if (fs.exists(mDir)) fs.listStatus(mDir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".claim") && st.getModificationTime < cutoff &&
+          // only a claim whose manifest never landed is a dead writer's;
+          // a committed version's claim is deleted by commitManifest
+          n.stripSuffix(".claim").drop(1).toLongOption
+            .exists(v => !fs.exists(manifestPath(table, v)))
+      }
+      .foreach(st => fs.delete(st.getPath, false))
     drop.foreach(v => fs.delete(manifestPath(table, v), false))
     dead.length
   }

@@ -27,4 +27,32 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS customer_bucketed")
     }
   }
+
+  test("identically-named bucket keys join without AMBIGUOUS_REFERENCE") {
+    // The common production shape: both tables bucket by the SAME
+    // column name. A bare col(key) === col(key) condition matches both
+    // join children and throws; bucketedJoin must qualify the keys per
+    // dataframe (r19 review finding — the distinct-name test above
+    // never exercised this path).
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+    val customer = Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    Bucketing.writeBucketed(orders, "orders_bk", "custkey", 4)
+    Bucketing.writeBucketed(customer, "customer_bk", "custkey", 4)
+    try {
+      val joined = Bucketing.bucketedJoin(spark,
+        "orders_bk", "customer_bk", "custkey", "custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"same-name bucketed join must stay co-located:\n$plan")
+      val expected = Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bk")
+      spark.sql("DROP TABLE IF EXISTS customer_bk")
+    }
+  }
 }

@@ -77,5 +77,8 @@ class OutSourceSpec extends AnyFunSuite with SparkFixture {
     assert(OutSource.reducerIdOf("job-with-dash-12.out") === Some(12))
     assert(OutSource.reducerIdOf(".word_count-7.out.3.tmp") === None)
     assert(OutSource.reducerIdOf("_SUCCESS") === None)
+    // a digit run past Int range is a non-layout file, not a planning
+    // crash (toIntOption, not toInt — r19 review finding)
+    assert(OutSource.reducerIdOf("backup-99999999999.out") === None)
   }
 }

@@ -131,5 +131,20 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       Sinks.compact(spark, src, src)
     }
+    // ... including the same directory spelled relative vs absolute —
+    // raw URI-path comparison let this pair through and the overwrite
+    // write would delete the source before the lazy read executed
+    // (r19 review finding; the guard now FS-qualifies both sides).
+    // A cwd-local dir gives both spellings of ONE directory.
+    val relDir = s"target/graft_cmp_guard_${System.nanoTime()}"
+    val absDir = new java.io.File(relDir).getAbsolutePath
+    try {
+      data.limit(1).write.parquet(relDir)
+      intercept[IllegalArgumentException] {
+        Sinks.compact(spark, relDir, absDir)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(absDir))
+    }
   }
 }

@@ -223,6 +223,61 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     assert(dataFiles(tbl) === referenced)
   }
 
+  test("upsert enforces the unique-key batch contract: duplicate and null keys fail loudly") {
+    // A duplicate key would survive the anti-join and commit a snapshot
+    // holding two rows for one key — permanently, with no error (the
+    // Delta MERGE discipline is to fail; the CDC sink dedups with
+    // row_number BEFORE calling upsert, proving the contract is real —
+    // r19 review finding: upsert itself never enforced it).
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.limit(50))
+    val base = docs.filter(col("doc_id") < 2)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val dup = base.unionByName(base.limit(1))
+    val eDup = intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, tbl, dup, "doc_id"))
+    assert(eDup.getMessage.contains("unique-key"))
+    val withNull = base.unionByName(
+      base.limit(1).withColumn("doc_id", lit(null).cast("long")))
+    val eNull = intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, tbl, withNull, "doc_id"))
+    assert(eNull.getMessage.contains("unique-key"))
+    // the table is untouched by either rejected batch
+    assert(VersionedTable.currentVersion(spark, tbl) === Some(0L))
+    assert(VersionedTable.read(spark, tbl).count() === 50L)
+  }
+
+  test("vacuum clears aged crashed-writer debris and unblocks the claimed slot") {
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl, docs.limit(50))
+    val table = new org.apache.hadoop.fs.Path(tbl)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a writer dead between staging and adoption: full _stage_ dir
+    val stage = new org.apache.hadoop.fs.Path(table, "_stage_deadbeef")
+    fs.mkdirs(stage)
+    fs.create(new org.apache.hadoop.fs.Path(stage, "part-0.parquet")).close()
+    // a writer dead between claim and commit: leaked claim blocks v1
+    val claim = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(table, "_manifests"), "v00000001.claim")
+    fs.create(claim, false).close()
+    val update = docs.filter(col("doc_id") < 2)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val blocked = intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, tbl, update, "doc_id"))
+    assert(blocked.getMessage.contains("claim"))
+    // graced vacuum keeps fresh debris (a LIVE writer looks identical)
+    VersionedTable.vacuum(spark, tbl, keepFrom = 0L)
+    assert(fs.exists(stage) && fs.exists(claim))
+    // grace-0 vacuum (offline maintenance) reclaims both — the
+    // sanctioned cleanup path for crashed-writer debris (r19 review
+    // finding: neither was EVER reclaimed before)
+    VersionedTable.vacuum(spark, tbl, keepFrom = 0L, graceMs = 0L)
+    assert(!fs.exists(stage), "aged stage dir must be reclaimed")
+    assert(!fs.exists(claim), "dead claim must be reclaimed")
+    // the slot commits normally once unblocked
+    assert(VersionedTable.upsert(spark, tbl, update, "doc_id") === 1L)
+  }
+
   test("diff: classifies insert/update, drops rewritten-file survivors, prunes to changed files") {
     val tbl = freshTable()
     VersionedTable.init(spark, tbl, docs.repartitionByRange(8, col("doc_id")))

@@ -48,18 +48,17 @@ object HeavyHitters {
   final class Buffer(val capacity: Int) {
     val counts = new java.util.HashMap[String, Long](capacity * 2)
 
-    def add(term: String, n: Long): Unit = {
+    /** One Misra–Gries observation: increment a tracked term, insert
+      * while capacity remains, otherwise decrement every counter by 1
+      * (evicting zeros). The classic n=1 rule only — the sole caller is
+      * update() with one row at a time (merge() goes through
+      * [[reduceToCapacity]], never here), and the former general-n
+      * decrement-and-recurse branch was untested dead generality. */
+    def add(term: String): Unit = {
       val cur = counts.get(term)
-      if (cur != 0L || counts.containsKey(term)) counts.put(term, cur + n)
-      else if (counts.size < capacity) counts.put(term, n)
-      else {
-        // decrement-all by the smallest of (n, min counter) repeatedly is
-        // equivalent to the classic one-at-a-time rule; for n = 1 (the
-        // update path) this is exactly Misra–Gries.
-        decrementAll(1L)
-        val remaining = n - 1L
-        if (remaining > 0) add(term, remaining)
-      }
+      if (cur != 0L || counts.containsKey(term)) counts.put(term, cur + 1L)
+      else if (counts.size < capacity) counts.put(term, 1L)
+      else decrementAll(1L)
     }
 
     private def decrementAll(by: Long): Unit = {
@@ -124,7 +123,7 @@ case class HeavyHittersAgg(child: Expression, capacity: Int,
   override def update(buf: HeavyHitters.Buffer,
       input: InternalRow): HeavyHitters.Buffer = {
     val t = child.eval(input)
-    if (t != null) buf.add(t.asInstanceOf[UTF8String].toString, 1L)
+    if (t != null) buf.add(t.asInstanceOf[UTF8String].toString)
     buf
   }
 

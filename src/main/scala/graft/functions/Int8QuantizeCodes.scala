@@ -52,13 +52,9 @@ case class Int8QuantizeCodes(child: Expression) extends UnaryExpression {
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   /** Round half away from zero — see the scaladoc for why this agrees
-    * with Spark's string-mediated HALF_UP `round` on every double. */
-  private def roundAway(x: Double): Double = {
-    val a = math.abs(x)
-    val f = math.floor(a)
-    val r = if (a - f >= 0.5) f + 1.0 else f
-    if (x < 0) -r else r
-  }
+    * with Spark's string-mediated HALF_UP `round` on every double.
+    * Shared kernel: [[GraftMath.roundAway]]. */
+  private def roundAway(x: Double): Double = GraftMath.roundAway(x)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -54,12 +54,48 @@ case class JlProject(child: Expression, pDims: Int) extends UnaryExpression {
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   /** Round half away from zero — agrees with Spark's and DuckDB's
-    * `round` on every double (see [[Int8QuantizeCodes]]). */
-  private def roundAway(x: Double): Double = {
-    val a = math.abs(x)
-    val f = math.floor(a)
-    val r = if (a - f >= 0.5) f + 1.0 else f
-    if (x < 0) -r else r
+    * `round` on every double (see [[Int8QuantizeCodes]]). Shared
+    * kernel: [[GraftMath.roundAway]]. */
+  private def roundAway(x: Double): Double = GraftMath.roundAway(x)
+
+  /** Data-independent ±1 sign table for cells (i, j), built LAZILY to
+    * the longest vector seen and published via volatile (the
+    * expression instance is shared across an executor's tasks through
+    * the codegen references array). The per-cell hash depends only on
+    * (i, j), so recomputing it per ROW on the hot pre-ANN shrink scan
+    * was ~d·pDims wasted integer ops per row (r19 review finding —
+    * [[NearestCentroid]] already uses this precompute shape); the
+    * table is d×pDims bytes (8 KB at 512×16, L1-resident) and growth
+    * races rebuild identical content, so lost updates are harmless. */
+  @transient @volatile private var signCache: Array[Byte] =
+    Array.emptyByteArray
+
+  private def signTable(n: Int): Array[Byte] = {
+    // null-safe: @transient leaves the field null after deserialization
+    // on an executor, not at its initializer value
+    var t = signCache
+    if (t == null || t.length < n * pDims) synchronized {
+      t = signCache
+      if (t == null || t.length < n * pDims) {
+        val nt = new Array[Byte](n * pDims)
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < pDims) {
+            val h = (i.toLong * 7919L + j.toLong * 104729L + 12345L) %
+              2097152L
+            val g = h * h
+            nt(i * pDims + j) =
+              (1L - 2L * (((g >> 8) & 1L) ^ ((g >> 27) & 1L))).toByte
+            j += 1
+          }
+          i += 1
+        }
+        signCache = nt
+        t = nt
+      }
+    }
+    t
   }
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -82,16 +118,14 @@ case class JlProject(child: Expression, pDims: Int) extends UnaryExpression {
       // each cell sums every element, so one null element nulls ALL cells
       new GenericArrayData(new Array[Any](pDims))
     } else {
+      val signs = signTable(n)
       val out = new Array[Long](pDims)
       var j = 0
       while (j < pDims) {
         var sum = 0L
         i = 0
         while (i < n) {
-          val h = (i.toLong * 7919L + j.toLong * 104729L + 12345L) % 2097152L
-          val g = h * h
-          val sign = 1L - 2L * (((g >> 8) & 1L) ^ ((g >> 27) & 1L))
-          sum += vi(i) * sign
+          sum += vi(i) * signs(i * pDims + j)
           i += 1
         }
         out(j) = sum

@@ -28,7 +28,11 @@ import org.apache.spark.sql.types._
   * Null / degenerate semantics (filter-equivalent to the UDF): a null
   * sketch on either side, a null code array, or a zero norm yields
   * −∞ — the exact cosine there is NaN or undefined and fails any
-  * threshold. The expression itself is never null-valued.
+  * threshold. MISMATCHED code lengths (a stale sketch table joined
+  * against a re-embedded corpus) yield +∞: a prefix dot with
+  * full-vector norms is not a sound bound, and +∞ keeps the pair for
+  * the exact downstream verify instead of silently dropping it. The
+  * expression itself is never null-valued.
   */
 case class SketchCosUpperBound(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -62,7 +66,15 @@ case class SketchCosUpperBound(left: Expression, right: Expression)
     val qa = ra.getBinary(0); val sa = ra.getDouble(1); val na = ra.getDouble(2)
     val qb = rb.getBinary(0); val sb = rb.getDouble(1); val nb = rb.getDouble(2)
     if (na == 0.0 || nb == 0.0) return Double.NegativeInfinity
-    val d = math.min(qa.length, qb.length)
+    // Mismatched code lengths (a stale sketch table joined against a
+    // re-embedded corpus) make the Cauchy–Schwarz bound UNSOUND if
+    // computed over the common prefix with full-vector norms — the
+    // "bound" can fall below the true cosine and silently drop a true
+    // pair. +∞ keeps the pair, forcing the exact downstream verify (on
+    // the real embeddings) to decide — the sound direction for an
+    // upper bound. (Null would read as filter-false = a silent drop.)
+    if (qa.length != qb.length) return Double.PositiveInfinity
+    val d = qa.length
     var dot = 0L
     var i = 0
     while (i < d) { dot += qa(i).toLong * qb(i).toLong; i += 1 }
@@ -100,17 +112,24 @@ case class SketchCosUpperBound(left: Expression, right: Expression)
             double $sb = $rb.getDouble(1);
             double $nb = $rb.getDouble(2);
             if ($na != 0.0 && $nb != 0.0) {
-              final int $d = java.lang.Math.min($qa.length, $qb.length);
-              long $dot = 0L;
-              for (int $i = 0; $i < $d; $i++) {
-                $dot += (long) $qa[$i] * (long) $qb[$i];
+              if ($qa.length != $qb.length) {
+                // stale-sketch length mismatch: +Inf keeps the pair
+                // for the exact verify (see eval) — a prefix "bound"
+                // with full norms is unsound
+                ${ev.value} = java.lang.Double.POSITIVE_INFINITY;
+              } else {
+                final int $d = $qa.length;
+                long $dot = 0L;
+                for (int $i = 0; $i < $d; $i++) {
+                  $dot += (long) $qa[$i] * (long) $qb[$i];
+                }
+                final double $sq = java.lang.Math.sqrt((double) $d);
+                final double $ea = $sa * $sq / 2.0;
+                final double $eb = $sb * $sq / 2.0;
+                ${ev.value} = ($sa * $sb * (double) $dot
+                  + ($na + $ea) * $eb + $ea * ($nb + $eb) + $ea * $eb)
+                  / ($na * $nb);
               }
-              final double $sq = java.lang.Math.sqrt((double) $d);
-              final double $ea = $sa * $sq / 2.0;
-              final double $eb = $sb * $sq / 2.0;
-              ${ev.value} = ($sa * $sb * (double) $dot
-                + ($na + $ea) * $eb + $ea * ($nb + $eb) + $ea * $eb)
-                / ($na * $nb);
             }
           }
         }

@@ -120,32 +120,40 @@ object RewriteRankLimit extends Rule[LogicalPlan] {
     }
   }
 
-  /** The conjunct that bounds `rank`: rank ≤ v / rank < v / rank = 1. */
+  /** The conjunct that bounds `rank`: rank ≤ v / rank < v / rank = 1.
+    * The strict-< forms guard v > Int.MinValue: without it `v - 1`
+    * underflows to Int.MaxValue and an always-false filter would
+    * rewrite into a keep-everything top-k. */
   private def limitOf(c: Expression, rank: Attribute): Option[Int] = c match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, _))
       if a.semanticEquals(rank) => Some(v)
     case LessThan(a: Attribute, Literal(v: Int, _))
-      if a.semanticEquals(rank) => Some(v - 1)
+      if a.semanticEquals(rank) && v > Int.MinValue => Some(v - 1)
     case EqualTo(a: Attribute, Literal(1, _))
       if a.semanticEquals(rank) => Some(1)
     case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute)
       if a.semanticEquals(rank) => Some(v)
     case GreaterThan(Literal(v: Int, _), a: Attribute)
-      if a.semanticEquals(rank) => Some(v - 1)
+      if a.semanticEquals(rank) && v > Int.MinValue => Some(v - 1)
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, RowNumberWindow(rank, part, order, child)) =>
+      // the TIGHTEST bounding conjunct sizes the heaps — with
+      // `rnk <= 1000000 AND rnk <= 3` the first-found choice would
+      // carry 1M-slot heap semantics through the whole pipeline; the
+      // implied looser conjuncts survive as (vacuously true) residuals
       val conjuncts = splitConjunctivePredicates(cond)
-      conjuncts.iterator.flatMap(c => limitOf(c, rank).map(c -> _))
-        .find(_._2 >= 1) match {
-        case Some((used, k)) =>
-          val topk = TopKPerGroupPlan(part, order, k, rank, child)
-          val rest = conjuncts.filterNot(_ eq used)
-          if (rest.isEmpty) topk
-          else Filter(rest.reduce(And), topk)
-        case None => f
+      val bounds = conjuncts.flatMap(c => limitOf(c, rank).map(c -> _))
+        .filter(_._2 >= 1)
+      if (bounds.isEmpty) f
+      else {
+        val (used, k) = bounds.minBy(_._2)
+        val topk = TopKPerGroupPlan(part, order, k, rank, child)
+        val rest = conjuncts.filterNot(_ eq used)
+        if (rest.isEmpty) topk
+        else Filter(rest.reduce(And), topk)
       }
   }
 
@@ -185,7 +193,34 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * partitions × groups × k rows cross the wire, independent of input
   * skew. The final phase re-runs the heap per (now complete) group,
   * sorts each group's ≤ k survivors (k rows, not the partition), and
-  * emits the 1-based row number the rewritten window promised. */
+  * emits the 1-based row number the rewritten window promised.
+  *
+  * MEMORY ENVELOPE (honest bounds, not spill-safe everywhere):
+  *  - The PARTIAL phase's map is bounded by a row budget
+  *    ([[TopKPerGroupExec.FlushRowBudget]], as max(1024, budget/k)
+  *    distinct groups): past it, the current survivors flush downstream
+  *    and the map restarts (the facade combiner's flush-on-overflow
+  *    discipline — MapReduceJob.scala). A flushed group can emit up to
+  *    k rows per flush instead of k per partition; the FINAL phase
+  *    merges them, so correctness is unaffected and partial memory is
+  *    O(FlushRowBudget) rows AT ANY input cardinality or skew.
+  *  - The FINAL phase cannot flush (a group's rank sequence needs every
+  *    survivor of that group), so its memory is O(groups-per-partition
+  *    × k) rows, NOT spillable — unlike the vanilla window plan's
+  *    external sort. More shuffle partitions spread groups linearly;
+  *    but for the degenerate near-unique-key shape (row_number()=1 as
+  *    dedup over ~distinct keys) this buffers ~the partition in heap —
+  *    use the exact-dedup operators (hash groupBy, spillable) for that
+  *    shape instead. The rewrite is OPT-IN per session
+  *    (GraftPlans.install / GraftExtensions), never ambient. */
+object TopKPerGroupExec {
+  /** Partial-phase buffered-row budget (~4M row slots): the map flushes
+    * and restarts past max(1024, FlushRowBudget / k) distinct groups,
+    * so partial memory is bounded whatever the input cardinality —
+    * see the class scaladoc's memory envelope. */
+  val FlushRowBudget: Int = 1 << 22
+}
+
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     orderSpec: Seq[SortOrder],
@@ -225,31 +260,54 @@ case class TopKPerGroupExec(
       }
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // initial capacity bounded: PriorityQueue EAGERLY allocates its
+      // backing array, so seeding with a defensive `rnk <= 50000000`
+      // bound would allocate a huge Object[] per 3-row group (it grows
+      // dynamically past 16 as needed)
+      val initialCap = math.min(kk, 16)
+      // group cap derived from a ROW budget (the recommendedCap/
+      // pairBudget idiom): partial memory ≤ ~FlushRowBudget buffered
+      // rows whatever k the query asked for
+      val flushGroups =
+        math.max(1024, TopKPerGroupExec.FlushRowBudget / kk)
+      def offer(row: InternalRow): Unit = {
         val key = keyProj(row)
         var q = heaps.get(key)
         if (q == null) {
-          q = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
+          q = new java.util.PriorityQueue[InternalRow](initialCap, worstFirst)
           heaps.put(key.copy(), q)
         }
         if (q.size < kk) q.add(row.copy())
         else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
       }
-      val groups = heaps.values().iterator()
       if (!emitRank) {
         // partial: survivors only, order irrelevant (the final phase
-        // re-ranks); rows stay UnsafeRow
+        // re-ranks); rows stay UnsafeRow. The map is BOUNDED: past
+        // FlushGroups distinct groups the current survivors stream
+        // downstream and the map restarts (scaladoc memory envelope) —
+        // fill and drain alternate inside one iterator.
         new Iterator[InternalRow] {
           private var cur: java.util.Iterator[InternalRow] = null
+          private def refill(): Unit = {
+            while (iter.hasNext && heaps.size() < flushGroups)
+              offer(iter.next())
+            if (!heaps.isEmpty) {
+              val snap = new java.util.ArrayList[InternalRow]()
+              heaps.values().forEach(q => snap.addAll(q))
+              heaps.clear()
+              cur = snap.iterator()
+            }
+          }
           override def hasNext: Boolean = {
-            while ((cur == null || !cur.hasNext) && groups.hasNext)
-              cur = groups.next().iterator()
+            while ((cur == null || !cur.hasNext) &&
+                (iter.hasNext || !heaps.isEmpty)) refill()
             cur != null && cur.hasNext
           }
           override def next(): InternalRow = cur.next()
         }
       } else {
+        while (iter.hasNext) offer(iter.next())
+        val groups = heaps.values().iterator()
         val toUnsafe = UnsafeProjection.create(childOutput :+ rankA,
           childOutput :+ rankA)
         val rankRow = new GenericInternalRow(1)

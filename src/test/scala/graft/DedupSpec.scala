@@ -529,6 +529,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       r.getDouble(0) != Double.NegativeInfinity))
   }
 
+  test("sketch_cos_upper on mismatched code lengths is +Inf (keeps the pair)") {
+    import org.apache.spark.sql.functions.col
+    // a stale 32-byte sketch joined against a fresh 64-byte one: a
+    // prefix dot with full-vector norms is NOT a sound upper bound —
+    // it can fall below the true cosine and silently drop a true pair
+    // (r19 review finding). +Inf keeps the pair for the exact verify.
+    val rng = new scala.util.Random(29)
+    val short = Seq((1L, Array.fill(32)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Dedup.verifySketchUdf(col("embedding")).as("sk"))
+    val long = Seq((2L, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Dedup.verifySketchUdf(col("embedding")).as("sk"))
+    val ub = short.select(col("sk").as("_ska"))
+      .crossJoin(long.select(col("sk").as("_skb")))
+      .select(graft.functions.VectorFunctions
+        .sketchCosUpper(col("_ska"), col("_skb")).as("u"))
+      .head().getDouble(0)
+    assert(ub === Double.PositiveInfinity)
+  }
+
   // --- duplicated-span removal (substring-level dedup) ------------------
 
   test("span removal: planted cross-doc run removed from BOTH docs, merged to one span") {

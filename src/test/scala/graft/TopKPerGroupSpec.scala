@@ -228,4 +228,56 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq)
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("defensive huge k neither OOMs nor over-allocates; tightest conjunct sizes the heaps") {
+    import ext.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 4L, 5.0)).toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    // a defensive `rnk <= 50M` bound: the heap's PriorityQueue must NOT
+    // eagerly allocate a 50M-slot array per 3-row group (r19 review
+    // finding — initial capacity is min(k, 16), PQ grows on demand)
+    val huge = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50000000)
+    assert(huge.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(huge.count() === 4L)
+    // the TIGHTEST bounding conjunct wins: k = 3, not 1M (the looser
+    // bound survives as a vacuous residual)
+    val both = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1000000 && col("rn") <= 2)
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains(", 2, rn"),
+      s"expected the k=2 bound in the operator args:\n$plan")
+    assert(both.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("a", 2L), ("a", 3L), ("b", 4L)))
+    // rank < Int.MinValue is always false — the `v - 1` rewrite must
+    // not underflow into keep-everything (r19 review finding); the
+    // filter simply stays unrewritten and yields zero rows
+    val none = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") < Int.MinValue)
+    assert(none.count() === 0L)
+  }
+
+  test("partial-phase flush past the group budget preserves results") {
+    import ext.implicits._
+    // flushGroups = max(1024, FlushRowBudget/k): with k = 8192 the
+    // budget term gives 512 → the 1024 floor applies, and 3000 distinct
+    // groups force at least two flush cycles in each partial partition.
+    // Every row must still arrive ranked — a flushed group emits ≤ k
+    // rows per flush and the final phase merges them.
+    val rows = (0 until 9000).map(i => (s"g${i % 3000}", i.toLong))
+    val df = rows.toDF("g", "id").repartition(2)
+    val w = Window.partitionBy("g").orderBy(col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8192)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.map(_._2).sorted.zipWithIndex.map { case (id, i) => (g, id, i + 1) }
+    }.toSet
+    assert(got === expected)
+  }
 }

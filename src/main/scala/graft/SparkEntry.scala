@@ -1577,7 +1577,7 @@ object SparkEntry {
       """WITH tok AS (SELECT unnest(list_filter(
         |    string_split(coalesce(text,''),' '), t->t<>'')) AS w FROM documents),
         |wf AS (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY 1),
-        |v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym, freq FROM wf),
+        |v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'gs') AS sym, freq FROM wf),
         |a1 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
         |  FROM v0 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
         |p1 AS (SELECT unnest(list_transform(range(1, len(a)),
@@ -1617,7 +1617,7 @@ object SparkEntry {
       """WITH tok AS (SELECT unnest(list_filter(
         |    string_split(coalesce(text,''),' '), t->t<>'')) AS w FROM documents),
         |wf AS (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY 1),
-        |v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym, freq FROM wf),
+        |v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'gs') AS sym, freq FROM wf),
         |a1 AS (SELECT list_filter(string_split(sym,' '), x->x<>'') AS a, freq
         |  FROM v0 WHERE len(list_filter(string_split(sym,' '), x->x<>'')) >= 2),
         |p1 AS (SELECT unnest(list_transform(range(1, len(a)),
@@ -1647,7 +1647,7 @@ object SparkEntry {
         |dw AS (SELECT doc_id, unnest(list_filter(
         |    string_split(coalesce(text,''),' '), t->t<>'')) AS w FROM documents),
         |e0 AS (SELECT doc_id, w,
-        |    ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym FROM dw),
+        |    ' ' || regexp_replace(w, '(.)', '\1 ', 'gs') AS sym FROM dw),
         |e1 AS (SELECT doc_id, w, regexp_replace(replace(replace(sym, ' ', '  '),
         |    ' ' || replace((SELECT pair FROM b1),' ','  ') || ' ',
         |    ' ' || replace((SELECT pair FROM b1),' ','') || ' '),
@@ -2315,24 +2315,26 @@ object SparkEntry {
         |    AS naive_strays
         |FROM a GROUP BY split ORDER BY split""".stripMargin,
     "corpus_drift" ->
+      // empty-slice guard mirrors the engine: ta/tb = 0 means the zero
+      // distribution (p = 0), never 0/0 = NaN
       """WITH c AS (SELECT lang,
         |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
         |    sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_b
         |  FROM documents GROUP BY lang),
-        |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM c)
+        |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM c),
+        |p AS (SELECT lang, n_a, n_b,
+        |    CASE WHEN ta > 0 THEN n_a::DOUBLE / ta ELSE 0.0 END AS pa,
+        |    CASE WHEN tb > 0 THEN n_b::DOUBLE / tb ELSE 0.0 END AS pb
+        |  FROM c, t)
         |SELECT lang, n_a, n_b,
-        |  round(n_a::DOUBLE / ta, 4) AS p_a,
-        |  round(n_b::DOUBLE / tb, 4) AS p_b,
+        |  round(pa, 4) AS p_a,
+        |  round(pb, 4) AS p_b,
         |  round(
-        |    (CASE WHEN n_a > 0 THEN (n_a::DOUBLE / ta)
-        |       * ln((n_a::DOUBLE / ta)
-        |            / ((n_a::DOUBLE / ta + n_b::DOUBLE / tb) / 2)) * 0.5
+        |    (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) * 0.5
         |      ELSE 0.0 END) +
-        |    (CASE WHEN n_b > 0 THEN (n_b::DOUBLE / tb)
-        |       * ln((n_b::DOUBLE / tb)
-        |            / ((n_a::DOUBLE / ta + n_b::DOUBLE / tb) / 2)) * 0.5
+        |    (CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) * 0.5
         |      ELSE 0.0 END), 4) AS js_term
-        |FROM c, t ORDER BY lang""".stripMargin,
+        |FROM p ORDER BY lang""".stripMargin,
     "quantile_filter" ->
       """WITH t AS (SELECT doc_id,
         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
@@ -2355,16 +2357,22 @@ object SparkEntry {
         |  quantile_cont(n, 0.5) AS p50_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "mixture_weights" ->
+      // zero-token guards mirror the engine: an all-empty lang gets
+      // upsample 0 (not 0/0 = NaN), an all-empty corpus weight 0
       """WITH s AS (SELECT lang,
-        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::DOUBLE
-        |      AS tokens
+        |    coalesce(sum(len(list_filter(
+        |      string_split(coalesce(text, ''), ' '), x -> x <> ''))),
+        |      0)::DOUBLE AS tokens
         |  FROM documents GROUP BY lang),
         |p AS (SELECT lang, tokens, pow(tokens, 0.5) AS pt FROM s),
         |t AS (SELECT sum(pt) AS tot FROM p)
         |SELECT lang, tokens::BIGINT AS total_tokens,
-        |  round(pt / tot, 4) AS weight,
-        |  floor(100000.0 * pt / tot)::BIGINT AS target_tokens,
-        |  round(100000.0 * (pt / tot) / tokens, 4) AS upsample_factor
+        |  round(CASE WHEN tot > 0 THEN pt / tot ELSE 0.0 END, 4) AS weight,
+        |  floor(CASE WHEN tot > 0 THEN 100000.0 * pt / tot
+        |    ELSE 0.0 END)::BIGINT AS target_tokens,
+        |  round(CASE WHEN tokens > 0 AND tot > 0
+        |      THEN 100000.0 * (pt / tot) / tokens
+        |    ELSE 0.0 END, 4) AS upsample_factor
         |FROM p, t ORDER BY lang""".stripMargin,
     // corpus_domain_caps: per-source rollup + the per-domain cap policy
     // (no source over 1/4 of corpus tokens). The keep machinery is exact
@@ -2393,7 +2401,8 @@ object SparkEntry {
         |  FROM t JOIN c USING (h) GROUP BY source),
         |w AS (SELECT *, sum(n_tokens) OVER () AS total_tokens FROM p),
         |k AS (SELECT *, CASE WHEN n_tokens > 0 THEN least(65536,
-        |    (65536 * total_tokens) // (4 * n_tokens)) ELSE 65536
+        |    CAST((CAST(65536 AS HUGEINT) * total_tokens)
+        |      // (4 * n_tokens) AS BIGINT)) ELSE 65536
         |  END AS keep_threshold
         |  FROM w)
         |SELECT source, n_docs, n_dup_docs,
@@ -2422,7 +2431,8 @@ object SparkEntry {
         |  JOIN (SELECT h, min(doc_id) AS doc_id FROM d GROUP BY h) m
         |    USING (h, doc_id)),
         |thr AS (SELECT source, CASE WHEN st > 0 THEN least(65536,
-        |    (65536 * (sum(st) OVER ())) // (4 * st)) ELSE 65536
+        |    CAST((CAST(65536 AS HUGEINT) * (sum(st) OVER ()))
+        |      // (4 * st) AS BIGINT)) ELSE 65536
         |  END AS keep_threshold
         |  FROM (SELECT source,
         |      sum(len(list_filter(string_split(coalesce(text, ''), ' '),

@@ -78,9 +78,13 @@ object Bpe {
       .select(explode(filter(split(coalesce(col("text"), lit("")), " "),
         t => t =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      // ' a b c ' — every symbol space-flanked
+      // ' a b c ' — every symbol space-flanked. (?s): Java's dot skips
+      // \r and the Unicode line separators while RE2's skips only \n,
+      // so a CRLF word would symbolize as a glued "\rb" on one engine
+      // and "\r","b" on the other; DOTALL here + the 's' regex flag in
+      // the oracle pin single-CHARACTER symbols on both engines.
       .withColumn("sym",
-        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+        concat(lit(" "), regexp_replace(col("w"), "(?s)(.)", "$1 ")))
       .select("sym", "freq")
       // vocabulary-sized; each round rewrites it. LAZY pin: round 1's
       // aggregate materializes it — no separate checkpoint job
@@ -89,6 +93,26 @@ object Bpe {
     val picks = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var exhausted = false
+    // Checkpoint-block bookkeeping: each round's aggregate materializes
+    // the PREVIOUS round's lazy localCheckpoint, and round N's vocab is
+    // read for the last time by round N+2's collect — so the blocks
+    // from two rounds back are dead and can be dropped. Without this,
+    // a 32k-round run parks every superseded vocabulary copy in the
+    // block manager until driver GC gets around to it (r19 review
+    // finding). Tracked by persisted-RDD id delta per round; live
+    // copies are bounded at ~3.
+    val sc = spark.sparkContext
+    var knownIds: scala.collection.Set[Int] = sc.getPersistentRDDs.keySet
+    var prevIds: scala.collection.Set[Int] = Set.empty[Int]
+    var prevPrevIds: scala.collection.Set[Int] = Set.empty[Int]
+    def reapSuperseded(): Unit = {
+      val now = sc.getPersistentRDDs
+      val newIds = now.keySet -- knownIds
+      knownIds ++= newIds
+      prevPrevIds.foreach(id => now.get(id).foreach(_.unpersist(false)))
+      prevPrevIds = prevIds
+      prevIds = newIds
+    }
     for (step <- 1 to steps if !exhausted) {
       val syms = filter(split(col("sym"), " "), x => x =!= "")
       val bestRows = vocab
@@ -101,6 +125,7 @@ object Bpe {
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1).collect()
+      reapSuperseded()
       if (bestRows.isEmpty) {
         // empty corpus, or every word already one symbol: nothing left
         // to merge — a shorter merge list, not an error
@@ -117,6 +142,12 @@ object Bpe {
         .withColumn("sym", applyMerge(col("sym"), pair, merged))
         .localCheckpoint(false)
       }
+    }
+    // the final vocab copies are dead once the picks are collected
+    locally {
+      val now = sc.getPersistentRDDs
+      (prevPrevIds ++ prevIds)
+        .foreach(id => now.get(id).foreach(_.unpersist(false)))
     }
     import spark.implicits._
     picks.toSeq.toDF("step", "pair", "merged", "n_occurrences")
@@ -145,17 +176,44 @@ object Bpe {
     * (the repo-wide explode convention; mirrored by the oracle's
     * unnest). Shares [[applyMerge]] with the trainer, so encoder and
     * trainer semantics cannot drift. */
-  def bpeEncode(docs: DataFrame, steps: Int = 3): DataFrame = {
+  /** Merges composed into one column expression per chunk of this many
+    * rounds, with a lineage-pinning localCheckpoint between chunks:
+    * each [[applyMerge]] nests 3 regexp_replace levels, so an UNBOUNDED
+    * fold at the trainer's own documented 32k-round envelope builds a
+    * ~100k-deep Catalyst tree and overflows analysis before a single
+    * task runs (r19 review finding). 256 rounds ≈ 800 deep — far under
+    * any JVM stack — and a ≤-256-merge call (every registered fixture)
+    * composes exactly one chunk, i.e. the identical single-expression
+    * plan as before. */
+  private val EncodeChunkRounds = 256
+
+  def bpeEncode(docs: DataFrame, steps: Int = 3): DataFrame =
+    bpeEncode(docs, steps, EncodeChunkRounds)
+
+  /** `chunkRounds` is test-visible so the multi-chunk path can be
+    * exercised by a spec without training 256+ real merges. */
+  private[graft] def bpeEncode(docs: DataFrame, steps: Int,
+      chunkRounds: Int): DataFrame = {
+    require(chunkRounds > 0, s"chunkRounds must be positive: $chunkRounds")
     val merges = bpeMerges(docs, steps).collect() // ≤ steps rows
     val words = docs.select(col("doc_id"), explode(
       filter(split(coalesce(col("text"), lit("")), " "),
         t => t =!= "")).as("w"))
-    val sym0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
-    val sym = merges.foldLeft(sym0)((c, m) =>
-      applyMerge(c, m.getString(1), m.getString(2)))
-    words
+    val sym0 = concat(lit(" "), regexp_replace(col("w"), "(?s)(.)", "$1 "))
+    val chunks = merges.grouped(chunkRounds).toSeq
+    var cur = words.withColumn("symc", sym0)
+    chunks.zipWithIndex.foreach { case (chunk, ci) =>
+      val expr = chunk.foldLeft(col("symc"))((c, m) =>
+        applyMerge(c, m.getString(1), m.getString(2)))
+      cur = cur.withColumn("symc", expr)
+      // pin between chunks only — a single-chunk call (≤ 256 merges)
+      // keeps the original one-expression, zero-materialization plan
+      if (ci < chunks.length - 1) cur = cur.localCheckpoint(false)
+    }
+    cur
       .select(col("doc_id"), length(col("w")).cast("long").as("nc"),
-        size(filter(split(sym, " "), x => x =!= "")).cast("long").as("nb"))
+        size(filter(split(col("symc"), " "), x => x =!= ""))
+          .cast("long").as("nb"))
       .groupBy("doc_id")
       .agg(sum("nc").as("n_char_tokens"), sum("nb").as("n_bpe_tokens"))
       .orderBy("doc_id")

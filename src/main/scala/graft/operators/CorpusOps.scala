@@ -120,8 +120,15 @@ object CorpusOps {
       sum(when(inA, 1L).otherwise(0L)).as("n_a"),
       sum(when(inA, 0L).otherwise(1L)).as("n_b"))
     val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
-    val pa = col("n_a").cast("double") / col("ta")
-    val pb = col("n_b").cast("double") / col("tb")
+    // an EMPTY slice is the zero distribution, not NaN: without the
+    // guard, ta = 0 (e.g. drift against a not-yet-landed snapshot)
+    // makes every p_a and js_term row 0/0 = NaN, and NaN semantics
+    // are the one place the two engines are not pinned (r19 review
+    // finding; oracle mirrors with CASE WHEN ta > 0)
+    val pa = when(col("ta") > 0,
+      col("n_a").cast("double") / col("ta")).otherwise(0.0)
+    val pb = when(col("tb") > 0,
+      col("n_b").cast("double") / col("tb")).otherwise(0.0)
     val m = (pa + pb) / 2
     val term = (c: Column) =>
       when(c > 0, c * log(c / m) * 0.5).otherwise(0.0)
@@ -205,11 +212,18 @@ object CorpusOps {
       .withColumn("tot_pt", sum("pt").over(wAll))
       .select(col("lang"),
         col("tokens").cast("long").as("total_tokens"),
-        round(col("pt") / col("tot_pt"), 4).as("weight"),
-        floor(lit(budgetTokens.toDouble) * col("pt") / col("tot_pt"))
-          .cast("long").as("target_tokens"),
-        round(lit(budgetTokens.toDouble) * (col("pt") / col("tot_pt"))
-          / col("tokens"), 4).as("upsample_factor"))
+        // zero-token guards (r19 review finding): a lang whose docs are
+        // all empty text has pt = 0 and upsample 0 — not 0/0 = NaN —
+        // and an all-empty corpus has weight 0 everywhere (tot_pt = 0);
+        // the oracle mirrors both CASEs
+        round(when(col("tot_pt") > 0, col("pt") / col("tot_pt"))
+          .otherwise(0.0), 4).as("weight"),
+        floor(when(col("tot_pt") > 0,
+          lit(budgetTokens.toDouble) * col("pt") / col("tot_pt"))
+          .otherwise(0.0)).cast("long").as("target_tokens"),
+        round(when(col("tokens") > 0 && col("tot_pt") > 0,
+          lit(budgetTokens.toDouble) * (col("pt") / col("tot_pt"))
+            / col("tokens")).otherwise(0.0), 4).as("upsample_factor"))
       .orderBy("lang")
   }
 
@@ -311,7 +325,7 @@ object CorpusOps {
     // onto the 190-row result. Codes are assigned in source order, so
     // code_a < code_b IS source_a < source_b.
     val codes = docs.select(col("source")).distinct()
-      .orderBy("source")
+      // no pre-orderBy: the window's own sort fixes code assignment
       .withColumn("sc",
         row_number().over(Window.orderBy("source")).cast("int"))
     val sh = Dedup
@@ -433,9 +447,7 @@ object CorpusOps {
       // full keep, and the guard keeps ANSI mode from throwing on the
       // division (EmptyInputSpec's null-text sweep)
       .withColumn("keep_threshold",
-        when(col("n_tokens") > 0, least(lit(65536L),
-          expr(s"(65536 * total_tokens) div ($maxShareDen * n_tokens)")))
-          .otherwise(lit(65536L)))
+        keepThreshold("n_tokens", "total_tokens", maxShareDen))
       .select(col("source"), col("n_docs"), col("n_dup_docs"),
         round(col("n_dup_docs").cast("double") / col("n_docs"), 4)
           .as("dup_rate"),
@@ -454,6 +466,23 @@ object CorpusOps {
   def capKeepPredicate(idCol: String, thresholdCol: String): Column =
     conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long") < col(thresholdCol)
+
+  /** Exact fixed-point keep threshold:
+    * `min(65536, (65536·total) div (den·src))`, zero-token sources keep
+    * everything. The 65536·total product runs in DECIMAL(38,0): as a
+    * Long it overflowed at ~1.4e14 corpus tokens (~half a PB of text —
+    * inside the family's own design envelope; r19 review finding), and
+    * the oracle mirrors with a HUGEINT product. ONE definition shared
+    * by [[domainCaps]] (the audit table) and the funnel's applied
+    * policy, so the two can never silently disagree about which
+    * documents survive. Column args are NAMES because the exact-div
+    * runs through `expr`. */
+  private[graft] def keepThreshold(srcTokensCol: String,
+      totalTokensCol: String, maxShareDen: Int): Column =
+    when(col(srcTokensCol) > 0, least(lit(65536L),
+      expr(s"(CAST(65536 AS DECIMAL(38,0)) * $totalTokensCol) div " +
+        s"(${maxShareDen}L * $srcTokensCol)")))
+      .otherwise(lit(65536L))
 
   /** The planted corpus both governance queries run on: the balanced sf
     * documents table (every source ~5% of tokens — nothing to govern)
@@ -509,9 +538,8 @@ object CorpusOps {
       .withColumn("total_tokens",
         sum("src_tokens").over(Window.partitionBy()))
       .select(col("source"),
-        when(col("src_tokens") > 0, least(lit(65536L),
-          expr("(65536 * total_tokens) div (4 * src_tokens)")))
-          .otherwise(lit(65536L)).as("keep_threshold"))
+        keepThreshold("src_tokens", "total_tokens", maxShareDen = 4)
+          .as("keep_threshold"))
     val s2 = s1.join(broadcast(thr), "source")
       .filter(capKeepPredicate("doc_id", "keep_threshold"))
     def stat(df: DataFrame, stage: Int, name: String): DataFrame = df

@@ -185,8 +185,12 @@ object Packing {
     keyed
       .withColumn("rn", row_number().over(wIn).cast("long"))
       .join(broadcast(offsets), "n_tokens")
+      // integer `div`, not floor(`/`): Spark's Divide casts the longs
+      // to double, which goes inexact past 2^53 global positions while
+      // the oracle's `//` stays exact — the quantileFilter div
+      // discipline (r19 review finding)
       .withColumn("batch_id",
-        floor((col("boff") + col("rn") - 1) / lit(batchSize.toLong)))
+        expr(s"(boff + rn - 1) div ${batchSize.toLong}"))
       .groupBy("batch_id")
       .agg(count(lit(1)).as("n_docs"),
         max("n_tokens").as("max_tokens"),

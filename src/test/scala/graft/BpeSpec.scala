@@ -76,6 +76,33 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(Bpe.bpeEncode(withNull).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("carriage returns symbolize as single characters (Java dot vs RE2 dot)") {
+    // Java's `.` skips \r (and U+0085/U+2028/U+2029) while RE2's skips
+    // only \n: without DOTALL a CRLF word symbolized as a glued "\rb"
+    // on the Spark side and "\r","b" in the DuckDB oracle — diverging
+    // pair tables and token counts (r19 review finding). "a\rb" must be
+    // 3 initial symbols: one merge leaves 2 BPE tokens, not 1.
+    val docs = Seq((1L, "a\rb")).toDF("doc_id", "text")
+    val got = Bpe.bpeEncode(docs, steps = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array((1L, 3L, 2L)))
+  }
+
+  test("encode chunks long merge lists without changing results") {
+    // Hundreds of merges folded into ONE column expression nest a
+    // Catalyst tree 3 levels per merge — a stack overflow at the
+    // trainer's own 32k-round envelope (r19 review finding). The
+    // chunked fold pins lineage between chunks; chunkRounds = 1 forces
+    // a checkpoint between EVERY merge, and the output must be
+    // bit-identical to the single-expression plan.
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val single = Bpe.bpeEncode(docs, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val chunked = Bpe.bpeEncode(docs, steps = 3, chunkRounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(chunked === single)
+  }
+
   test("ties break by pair string ascending (deterministic across engines)") {
     // "xy" ×2 and "zw" ×2: both pairs count 2 — "x y" < "z w"
     val docs = Seq((1L, "xy zw xy zw")).toDF("doc_id", "text")

@@ -51,6 +51,46 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("corpusDrift: an empty slice is the zero distribution, never NaN") {
+    // drift against a not-yet-landed snapshot: slice A matches nothing.
+    // Unguarded this was p_a = 0/0 = NaN in every row (r19 review
+    // finding); the zero distribution is the defined answer.
+    val docs = Seq((0L, "x", "en"), (1L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.corpusDrift(docs, lit(false)).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("p_a") === 0.0)
+      assert(!r.getAs[Double]("p_b").isNaN)
+      assert(!r.getAs[Double]("js_term").isNaN)
+    }
+  }
+
+  test("mixtureWeights: a zero-token lang upsamples by 0, never NaN") {
+    val docs = Seq((0L, "a b c", "en"), (1L, "", "xx"), (2L, null, "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("upsample_factor")).toMap
+    assert(out("xx") === 0.0)
+    assert(!out("en").isNaN && out("en") > 0.0)
+  }
+
+  test("keepThreshold: exact past the former Long-overflow ceiling (~1.4e14 tokens)") {
+    // 65536·total as a Long wraps negative at total >= 2^47, silently
+    // dropping every document (r19 review finding); the DECIMAL(38,0)
+    // product stays exact. Capped and uncapped points both pinned.
+    val df = Seq(
+      (1L << 48, 1L << 46),  // share 1/4 = at the cap -> 65536
+      (1L << 48, 1L << 47),  // share 1/2 -> 65536*2^48/(4*2^47) = 32768
+      (1L << 48, 0L))        // zero-token source -> full keep
+      .toDF("total_tokens", "n_tokens")
+    val got = df.select(CorpusOps
+        .keepThreshold("n_tokens", "total_tokens", maxShareDen = 4)
+        .as("t"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(65536L, 32768L, 65536L))
+  }
+
   test("corpusDrift: disjoint languages give the maximal ln(2)/2 term each side") {
     val docs = Seq((0L, "x", "en"), (1L, "x", "de"))
       .toDF("doc_id", "text", "lang")

@@ -5,16 +5,25 @@ Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`:
 reads each <outDir>/<name> parquet dump, runs the matching oracle SQL
 from <outDir>/oracle_sql.json in DuckDB over the same sf tables, and
 compares row count, column names/types, and values (rows sorted, doubles
-rounded to 4 decimals).
+rounded to 4 decimals, timestamps at integer epoch MICROS — never
+lossier than the driver's pandas canonicalization).
 
 This script is tooling for the build loop only — the shipped Scala
 library has no Python dependency.
 """
+import datetime
 import json
 import math
 import sys
 
 import duckdb
+
+# Epoch anchors for integer timestamp canonicalization (no float math:
+# `v.timestamp() * 1000` loses sub-milli precision through the double,
+# which is how the r18/r19 fmgws micros divergence hid from this gate).
+_EPOCH_NAIVE = datetime.datetime(1970, 1, 1)
+_EPOCH_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+_MICRO = datetime.timedelta(microseconds=1)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -50,8 +59,15 @@ def canon(rows):
                     r.append("NaN")
                 else:
                     r.append(round(v, 4))
-            elif hasattr(v, "timestamp"):  # datetime -> epoch millis
-                r.append(int(v.timestamp() * 1000))
+            elif hasattr(v, "timestamp"):  # datetime -> epoch MICROS
+                # Integer arithmetic ONLY: timedelta floor-division is
+                # exact at micros (datetime's full resolution), whereas
+                # the old `int(v.timestamp() * 1000)` truncated to epoch
+                # millis — strictly lossier than the driver's pandas
+                # canonicalization, which is how stream_sessions_fmgws
+                # greened here while red at the driver for two rounds.
+                epoch = _EPOCH_UTC if v.tzinfo is not None else _EPOCH_NAIVE
+                r.append((v - epoch) // _MICRO)
             else:
                 r.append(v)
         out.append(tuple(r))
@@ -144,6 +160,26 @@ def selftest():
     passed = non_atomic_cols(con.sql(atomic))
     if passed:
         print(f"SELFTEST FAIL: atomic columns rejected: {passed}")
+        bad += 1
+    # Planted sub-millisecond regression (VERDICT r19 ask #2): two
+    # timestamps that differ ONLY at the microsecond must canonicalize
+    # to different values. Under the old epoch-millis canon() both
+    # collapsed to …729000 and this gate waved fmgws through twice.
+    t_trunc = datetime.datetime(2026, 1, 1, 0, 0, 4, 729000)
+    t_full = datetime.datetime(2026, 1, 1, 0, 0, 4, 729045)
+    ct, cf = canon([(t_trunc,)])[0][0], canon([(t_full,)])[0][0]
+    if ct == cf:
+        print("SELFTEST FAIL: sub-milli timestamp difference collapsed"
+              f" by canon(): both -> {ct}")
+        bad += 1
+    if cf % 1000 != 45:
+        print(f"SELFTEST FAIL: canon() lost the micros remainder: {cf}")
+        bad += 1
+    # And the tz-aware path must agree with the naive path on the same
+    # instant (DuckDB TIMESTAMPTZ vs TIMESTAMP of the same UTC wall time).
+    t_aware = t_full.replace(tzinfo=datetime.timezone.utc)
+    if canon([(t_aware,)])[0][0] != cf:
+        print("SELFTEST FAIL: tz-aware canon() disagrees with naive")
         bad += 1
     print("SELFTEST " + ("PASS" if bad == 0 else f"{bad} FAILURES"))
     return 1 if bad else 0

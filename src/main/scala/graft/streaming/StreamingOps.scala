@@ -372,7 +372,10 @@ object StreamingOps {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+  /** `start`/`lastTs` are epoch MICROS (not millis — see
+    * [[statefulSessionize]]'s precision note). */
   case class SessionState(start: Long, lastTs: Long, n: Long, sumCents: Long)
+  /** `session_start` is epoch MICROS; reconstruct with `timestamp_micros`. */
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Long,
       sum_cents: Long, closed: Boolean)
 
@@ -399,10 +402,24 @@ object StreamingOps {
     * an event AT lastTs + gap starts a new session), so this form shares
     * the registered gaps-and-islands oracle with the `session_window`
     * queries (`stream_sessions_fmgws` — driver-gated round 18, closing
-    * the one spec-only §2B surface). */
+    * the one spec-only §2B surface).
+    *
+    * Event time is carried as epoch MICROS end to end. `Timestamp
+    * .getTime` is epoch millis — folding on it truncated the emitted
+    * `session_start` to `…729000` where the oracle's `min(ts)` kept the
+    * fixture's full microseconds (`…729045`): CORRECTNESS_r18/_r19
+    * hash-red every one of the 9858 rows on exactly this column. The
+    * same truncation also moved the strict gap compare onto lossy
+    * values, so an event pair straddling the boundary by <1 ms could
+    * session-split differently from the oracle. [[tsMicros]] is the
+    * lossless extraction; the gap compare runs in micros; only the
+    * timeout registration (a watermark heuristic, not an output value)
+    * rounds back down to millis because `setTimeoutTimestamp` takes
+    * millis. */
   def statefulSessionize(events: Dataset[Event], gapMs: Long = 600000L)
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    val gapMicros = gapMs * 1000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
@@ -416,10 +433,10 @@ object StreamingOps {
           } else {
             var closed = List.empty[SessionUpdate]
             var cur = state.getOption
-            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            it.toSeq.sortBy(e => tsMicros(e.ts)).foreach { e =>
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs < gapMs =>
+                case Some(s) if t - s.lastTs < gapMicros =>
                   cur = Some(s.copy(lastTs = t, n = s.n + 1,
                     sumCents = s.sumCents + cents(e.value)))
                 case Some(s) =>
@@ -432,12 +449,24 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // Timeout fires once the watermark passes lastTs + gap; the
+              // floor-to-millis here can only make the timeout fire up to
+              // 1ms-of-event-time early, which is harmless: a successor
+              // event that would have merged arrives with t - lastTs <
+              // gapMicros and is handled in the data batch BEFORE the
+              // timeout batch for the same watermark advance.
+              state.setTimeoutTimestamp(s.lastTs / 1000L + gapMs)
             }
             closed.reverseIterator
           }
       }
   }
+
+  /** Lossless epoch-micros extraction from `java.sql.Timestamp`:
+    * `getTime` already includes the integral millis of the nano field,
+    * so only the sub-milli remainder of `getNanos` is added. */
+  private[graft] def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
   /** Shared APPEND-mode replay harness — the actual scale path, where
     * the watermark prunes state and each window/session is emitted
@@ -797,12 +826,16 @@ object StreamingOps {
     * no-data batch (which is also what trips the harness's flush
     * latch). The custom-state money sum is integerized to cents BEFORE
     * accumulation ([[cents]], the q28 discipline) so the fold is exact
-    * long addition — order-independent, immune to the 4dp
-    * double-rounding boundary that hash-red this row in
-    * CORRECTNESS_r18 (the state fold and the oracle's SQL SUM
-    * accumulate in different orders; with doubles, one session sum
-    * landed across a 0.00005 boundary). The oracle integerizes
-    * identically: `sum(CAST(round(value*100) AS BIGINT)) / 100.0`. The
+    * long addition — order-independent (the state fold and the oracle's
+    * SQL SUM accumulate in different orders). The oracle integerizes
+    * identically: `sum(CAST(round(value*100) AS BIGINT)) / 100.0`.
+    * NOTE the cents fold was NOT what hash-red this row in
+    * CORRECTNESS_r18/_r19 — the actual root cause (diagnosed by the
+    * r19 judge) was millisecond truncation of `session_start`:
+    * `Timestamp.getTime` drops the fixture's microseconds, so every
+    * emitted start read `…729000` vs the oracle `min(ts)`'s `…729045`.
+    * Fixed by carrying epoch micros through [[SessionState]] and
+    * emitting `timestamp_micros` here. The
     * sentinel user (−1) times out 30 days late and never emits;
     * filtered defensively anyway. State per user is ONE fixed-size
     * SessionState row, dropped on close — bounded by live users, never
@@ -818,7 +851,7 @@ object StreamingOps {
     out
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),
-        timestamp_millis(col("session_start")).as("session_start"),
+        timestamp_micros(col("session_start")).as("session_start"),
         col("n_events"), (col("sum_cents") / 100.0).as("sum_value"))
       .orderBy("user_id", "session_start")
   }

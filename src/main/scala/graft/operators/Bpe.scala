@@ -99,19 +99,23 @@ object Bpe {
     // from two rounds back are dead and can be dropped. Without this,
     // a 32k-round run parks every superseded vocabulary copy in the
     // block manager until driver GC gets around to it (r19 review
-    // finding). Tracked by persisted-RDD id delta per round; live
-    // copies are bounded at ~3.
-    val sc = spark.sparkContext
-    var knownIds: scala.collection.Set[Int] = sc.getPersistentRDDs.keySet
-    var prevIds: scala.collection.Set[Int] = Set.empty[Int]
-    var prevPrevIds: scala.collection.Set[Int] = Set.empty[Int]
-    def reapSuperseded(): Unit = {
-      val now = sc.getPersistentRDDs
-      val newIds = now.keySet -- knownIds
-      knownIds ++= newIds
-      prevPrevIds.foreach(id => now.get(id).foreach(_.unpersist(false)))
-      prevPrevIds = prevIds
-      prevIds = newIds
+    // finding). Tracked by each checkpointed frame's OWN LogicalRDD
+    // handle — never by diffing the SparkContext-global persistent-RDD
+    // registry, which would capture (and two rounds later force-
+    // unpersist) RDDs persisted by concurrent jobs sharing the context;
+    // for a concurrent localCheckpoint that destroys the only copy
+    // (r19 ADVICE). This also covers the initial `words` checkpoint,
+    // which the registry-delta scheme baselined away and leaked.
+    def checkpointRdd(ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      ds.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    var prevPrev: Option[org.apache.spark.rdd.RDD[_]] = None
+    var prev: Option[org.apache.spark.rdd.RDD[_]] = checkpointRdd(words)
+    def reapSuperseded(latest: DataFrame): Unit = {
+      prevPrev.foreach(_.unpersist(false))
+      prevPrev = prev
+      prev = checkpointRdd(latest)
     }
     for (step <- 1 to steps if !exhausted) {
       val syms = filter(split(col("sym"), " "), x => x =!= "")
@@ -125,7 +129,6 @@ object Bpe {
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1).collect()
-      reapSuperseded()
       if (bestRows.isEmpty) {
         // empty corpus, or every word already one symbol: nothing left
         // to merge — a shorter merge list, not an error
@@ -141,14 +144,14 @@ object Bpe {
       vocab = vocab
         .withColumn("sym", applyMerge(col("sym"), pair, merged))
         .localCheckpoint(false)
+      // this round's collect was the last read of the two-rounds-back
+      // copy; shift the window onto the checkpoint just created
+      reapSuperseded(vocab)
       }
     }
     // the final vocab copies are dead once the picks are collected
-    locally {
-      val now = sc.getPersistentRDDs
-      (prevPrevIds ++ prevIds)
-        .foreach(id => now.get(id).foreach(_.unpersist(false)))
-    }
+    prevPrev.foreach(_.unpersist(false))
+    prev.foreach(_.unpersist(false))
     import spark.implicits._
     picks.toSeq.toDF("step", "pair", "merged", "n_occurrences")
       .select(col("step").cast("long").as("step"), col("pair"),

@@ -43,8 +43,11 @@ object CopyOnWrite {
     // VersionedTable.upsert — same rationale: a duplicate key survives
     // the anti-join and commits duplicated keys silently; a null key
     // matches nothing and accumulates as a ghost insert).
-    val badKey = updates.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1 || col(keyCol).isNull)
+    // collision-proof alias — a key column named "count" would make the
+    // bare groupBy().count() filter ambiguous (see VersionedTable.upsert)
+    val badKey = updates.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_graft_cnt"))
+      .filter(col("_graft_cnt") > 1 || col(keyCol).isNull)
       .limit(1).collect()
     require(badKey.isEmpty,
       s"upsert batch violates the unique-key contract on '$keyCol': " +

@@ -153,8 +153,32 @@ object VersionedTable {
     fs.mkdirs(manifestDir(table))
     val target = manifestPath(table, v)
     val claim = new Path(manifestDir(table), f"v$v%08d.claim")
+    // The claim carries this writer's identity so ownership is
+    // RE-VERIFIABLE at the commit point: if a vacuum whose grace window
+    // undershot this writer's lifetime deleted the claim and a second
+    // writer re-claimed the slot, the content check below fails LOUDLY
+    // instead of the target rename silently replacing the other
+    // writer's manifest (local-FS rename overwrites; r19 ADVICE).
+    val writerId = java.util.UUID.randomUUID.toString
+    def ownsClaim(): Boolean =
+      try {
+        val in = fs.open(claim)
+        try {
+          val buf = new Array[Byte](writerId.length + 1)
+          val n = in.read(buf)
+          n == writerId.length &&
+            new String(buf, 0, n,
+              java.nio.charset.StandardCharsets.UTF_8) == writerId
+        } finally in.close()
+      } catch { case _: java.io.IOException => false }
     val claimed =
-      try { fs.create(claim, false).close(); true }
+      try {
+        val out = fs.create(claim, false)
+        try out.write(writerId.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      }
       catch { case _: java.io.IOException => false }
     require(claimed,
       s"version $v already committed or mid-commit (claim $claim exists) — " +
@@ -172,9 +196,21 @@ object VersionedTable {
       try out.write(s"""{"version":$v,"merge":$merge,"files":$fileArr}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      if (!ownsClaim()) {
+        fs.delete(tmp, false)
+        sys.error(s"claim for version $v was lost mid-commit (vacuumed " +
+          "with too small a grace window, or taken by another writer) — " +
+          "aborting instead of overwriting a possibly-committed manifest; " +
+          "re-read and retry with vacuum graceMs above the max write time")
+      }
       require(fs.rename(tmp, target), s"commit: rename $tmp -> $target failed")
       writeHint(fs, table, v)
-    } finally fs.delete(claim, false)
+    } finally {
+      // ownership-guarded: if our claim was vacuumed and the slot
+      // re-claimed, deleting here would destroy the OTHER writer's claim
+      // and re-open the duplicate-commit race for a third
+      if (ownsClaim()) fs.delete(claim, false)
+    }
   }
 
   /** Move every staged part-file into the table directory under a fresh
@@ -273,8 +309,12 @@ object VersionedTable {
     // classification and every reader depend on; a null key matches
     // nothing and accumulates as a ghost insert on every batch. One
     // aggregate over the (batch-sized, not table-sized) update side.
-    val badKey = updates.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1 || col(keyCol).isNull)
+    // collision-proof alias: groupBy(key).count() on a key column
+    // itself named "count" yields two "count" columns and the filter
+    // throws AMBIGUOUS_REFERENCE, rejecting a valid batch (r19 ADVICE)
+    val badKey = updates.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_graft_cnt"))
+      .filter(col("_graft_cnt") > 1 || col(keyCol).isNull)
       .limit(1).collect()
     require(badKey.isEmpty,
       s"upsert batch violates the unique-key contract on '$keyCol': " +
@@ -449,7 +489,18 @@ object VersionedTable {
     * BEFORE its manifest commits; with no grace window a concurrent
     * vacuum would see them as orphans and delete them out from under
     * the commit (the same reason production table formats gate physical
-    * deletion on file age). Pass 0 only when no writer can be active. */
+    * deletion on file age). Pass 0 only when no writer can be active.
+    *
+    * SIZE graceMs ABOVE THE MAXIMUM EXPECTED WRITE DURATION — it also
+    * age-gates `_stage_` dirs and `.claim` files (below), whose mtimes
+    * stop advancing once their last entry lands: a snapshot rewrite or
+    * commit that outlives the window loses its staging/claim mid-flight.
+    * The commit path degrades SAFELY if that happens (each writer
+    * re-verifies claim ownership by content before the manifest rename
+    * and aborts loudly rather than overwrite — see commitManifest), but
+    * the aborted writer's work is lost and must be retried, so an
+    * undersized window costs availability even though it can no longer
+    * cost correctness. */
   def vacuum(spark: SparkSession, tablePath: String, keepFrom: Long,
       graceMs: Long = 3600000L): Int = {
     val table = new Path(tablePath)

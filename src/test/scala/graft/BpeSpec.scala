@@ -103,6 +103,28 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(chunked === single)
   }
 
+  test("bpeMerges reaps every one of its own checkpoint blocks and spares bystander persisted RDDs") {
+    // r19 ADVICE pair: (a) the registry-delta reaper baselined the
+    // initial `words` checkpoint into knownIds and leaked one
+    // materialized vocabulary copy per bpeMerges call; (b) diffing the
+    // global persistent-RDD registry would force-unpersist RDDs some
+    // CONCURRENT job persisted mid-run. The rewrite tracks the trainer's
+    // own LogicalRDD handles, so after the call the registry must be
+    // exactly what it was, bystanders untouched.
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet
+    val bystander = sc.parallelize(1 to 10).persist()
+    bystander.count()
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab aaab")).toDF("doc_id", "text")
+    assert(Bpe.bpeMerges(docs, steps = 3).collect().nonEmpty)
+    val post = sc.getPersistentRDDs.keySet
+    assert((post -- pre) === Set(bystander.id),
+      s"trainer checkpoints leaked: ${(post -- pre) - bystander.id}")
+    assert(bystander.getStorageLevel.useMemory,
+      "bystander RDD was force-unpersisted by the trainer's reaper")
+    bystander.unpersist(false)
+  }
+
   test("ties break by pair string ascending (deterministic across engines)") {
     // "xy" ×2 and "zw" ×2: both pairs count 2 — "x y" < "z w"
     val docs = Seq((1L, "xy zw xy zw")).toDF("doc_id", "text")

@@ -52,6 +52,23 @@ class CopyOnWriteSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  test("a key column named 'count' upserts cleanly (unique-key check must not self-collide)") {
+    // same r19 ADVICE class as VersionedTable.upsert: the bare
+    // groupBy(key).count() filter was ambiguous for a key named "count"
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft_cow_spec")
+      .resolve("tbl").toString
+    Seq((1L, "a"), (2L, "b")).toDF("count", "v").write.parquet(tbl)
+    CopyOnWrite.upsert(spark, tbl,
+      Seq((2L, "b2"), (3L, "c")).toDF("count", "v"), "count")
+    assert(spark.read.parquet(tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    val e = intercept[IllegalArgumentException](CopyOnWrite.upsert(
+      spark, tbl, Seq((4L, "x"), (4L, "y")).toDF("count", "v"), "count"))
+    assert(e.getMessage.contains("unique-key"))
+  }
+
   test("insert-only batch appends without rewriting any file") {
     val tbl = java.nio.file.Files.createTempDirectory("graft_cow_ins")
       .resolve("tbl").toString

@@ -247,6 +247,26 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     assert(VersionedTable.read(spark, tbl).count() === 50L)
   }
 
+  test("a key column named 'count' upserts cleanly (unique-key check must not self-collide)") {
+    // r19 ADVICE: groupBy(key).count() on a key literally named "count"
+    // produces two "count" columns, and the contract filter threw
+    // AMBIGUOUS_REFERENCE on a perfectly valid batch.
+    import spark.implicits._
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl,
+      Seq((1L, "a"), (2L, "b")).toDF("count", "v"))
+    val v = VersionedTable.upsert(spark, tbl,
+      Seq((2L, "b2"), (3L, "c")).toDF("count", "v"), "count")
+    assert(v === 1L)
+    assert(VersionedTable.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // and the contract itself still fires on a genuine duplicate
+    val e = intercept[IllegalArgumentException](VersionedTable.upsert(
+      spark, tbl, Seq((4L, "x"), (4L, "y")).toDF("count", "v"), "count"))
+    assert(e.getMessage.contains("unique-key"))
+  }
+
   test("vacuum clears aged crashed-writer debris and unblocks the claimed slot") {
     val tbl = freshTable()
     VersionedTable.init(spark, tbl, docs.limit(50))

@@ -1,12 +1,11 @@
 #!/bin/bash
-# Round-19 artifact capture chain: SCALE_SMOKE_r20.json (distinct 10x,
+# Round-20 artifact capture chain: SCALE_SMOKE_r20.json (distinct 10x,
 # neardup 10x, stream 10x on sf0.1) then SCALE_STRESS_r20.json
 # (distinct 100x on sf0.01, the 512-d wide-vector ANN line, the
 # binary-ANN (corpus, pool, recall) surface, the past-kCeiling-bind
-# semantic probe line — re-captured this round as the DONE criterion of
-# the budget-derived cluster cap (VERDICT r18 ask #3: no >3x wall spike
-# in the bind window) — and the graph_triangles attribution line), then
-# the clean bench (bench_clean_r20.json).
+# semantic probe line, and the graph_triangles attribution line), then
+# the clean bench (bench_clean_r20.json) — the final-HEAD re-capture
+# VERDICT r19 ask #7 requires on the last round.
 # Runs sequentially to keep each line's load marker honest.
 set -euo pipefail
 cd "$(dirname "$0")/.."

@@ -44,10 +44,13 @@ object CopyOnWrite {
     // the anti-join and commits duplicated keys silently; a null key
     // matches nothing and accumulates as a ghost insert).
     // collision-proof alias — a key column named "count" would make the
-    // bare groupBy().count() filter ambiguous (see VersionedTable.upsert)
+    // bare groupBy().count() filter ambiguous (see VersionedTable.upsert);
+    // derived from keyCol so no fixed name can re-introduce the class
+    val cntAlias = Iterator.iterate("_graft_cnt")(_ + "_")
+      .dropWhile(_ == keyCol).next()
     val badKey = updates.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("_graft_cnt"))
-      .filter(col("_graft_cnt") > 1 || col(keyCol).isNull)
+      .agg(count(lit(1)).as(cntAlias))
+      .filter(col(cntAlias) > 1 || col(keyCol).isNull)
       .limit(1).collect()
     require(badKey.isEmpty,
       s"upsert batch violates the unique-key contract on '$keyCol': " +

@@ -159,24 +159,41 @@ object VersionedTable {
     // writer re-claimed the slot, the content check below fails LOUDLY
     // instead of the target rename silently replacing the other
     // writer's manifest (local-FS rename overwrites; r19 ADVICE).
+    // Defense in depth, not a closure: a check-then-rename window
+    // remains (a writer stalled between its ownsClaim() and its rename
+    // can still collide) — the vacuum grace window is the primary
+    // protection; see vacuum's scaladoc.
     val writerId = java.util.UUID.randomUUID.toString
     def ownsClaim(): Boolean =
       try {
         val in = fs.open(claim)
-        try {
-          val buf = new Array[Byte](writerId.length + 1)
-          val n = in.read(buf)
-          n == writerId.length &&
-            new String(buf, 0, n,
-              java.nio.charset.StandardCharsets.UTF_8) == writerId
-        } finally in.close()
+        // readAllBytes, not a single read(): the InputStream contract
+        // allows short reads, which would make a writer falsely conclude
+        // it lost its claim — aborting a healthy commit AND skipping the
+        // ownership-guarded cleanup, wedging the slot until vacuum
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == writerId
+        finally in.close()
       } catch { case _: java.io.IOException => false }
     val claimed =
       try {
         val out = fs.create(claim, false)
-        try out.write(writerId.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        // a failure between create and close would leave OUR zero-byte
+        // claim blocking the slot with a misleading "concurrent writer
+        // won" on every retry — best-effort delete it before rethrowing
+        try {
+          try out.write(writerId.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch { case e: java.io.IOException =>
+          try fs.delete(claim, false)
+          catch { case _: java.io.IOException => () }
+          // NOT the concurrent-writer case: surface the real I/O failure
+          // (disk full, transient fault) instead of letting the outer
+          // catch relabel it "concurrent writer won"
+          throw new java.io.UncheckedIOException(
+            s"failed writing claim for version $v (slot released)", e)
+        }
         true
       }
       catch { case _: java.io.IOException => false }
@@ -311,10 +328,14 @@ object VersionedTable {
     // aggregate over the (batch-sized, not table-sized) update side.
     // collision-proof alias: groupBy(key).count() on a key column
     // itself named "count" yields two "count" columns and the filter
-    // throws AMBIGUOUS_REFERENCE, rejecting a valid batch (r19 ADVICE)
+    // throws AMBIGUOUS_REFERENCE, rejecting a valid batch (r19 ADVICE).
+    // DERIVED from keyCol, not a fixed name — a fixed "_graft_cnt"
+    // would just move the same collision to a table keyed by that name
+    val cntAlias = Iterator.iterate("_graft_cnt")(_ + "_")
+      .dropWhile(_ == keyCol).next()
     val badKey = updates.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("_graft_cnt"))
-      .filter(col("_graft_cnt") > 1 || col(keyCol).isNull)
+      .agg(count(lit(1)).as(cntAlias))
+      .filter(col(cntAlias) > 1 || col(keyCol).isNull)
       .limit(1).collect()
     require(badKey.isEmpty,
       s"upsert batch violates the unique-key contract on '$keyCol': " +
@@ -495,12 +516,15 @@ object VersionedTable {
     * age-gates `_stage_` dirs and `.claim` files (below), whose mtimes
     * stop advancing once their last entry lands: a snapshot rewrite or
     * commit that outlives the window loses its staging/claim mid-flight.
-    * The commit path degrades SAFELY if that happens (each writer
-    * re-verifies claim ownership by content before the manifest rename
-    * and aborts loudly rather than overwrite — see commitManifest), but
-    * the aborted writer's work is lost and must be retried, so an
-    * undersized window costs availability even though it can no longer
-    * cost correctness. */
+    * The commit path NARROWS the resulting hazard (each writer
+    * re-verifies claim ownership by content immediately before the
+    * manifest rename and aborts loudly rather than overwrite — see
+    * commitManifest), but a check-then-rename window remains on
+    * filesystems without atomic no-replace rename, so an undersized
+    * window still risks a lost manifest under a writer stall in exactly
+    * that window, on top of the guaranteed availability cost of the
+    * aborted writer's retried work. The grace window is the real
+    * protection; the ownership check is defense in depth. */
   def vacuum(spark: SparkSession, tablePath: String, keepFrom: Long,
       graceMs: Long = 3600000L): Int = {
     val table = new Path(tablePath)

@@ -373,8 +373,17 @@ object StreamingOps {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   /** `start`/`lastTs` are epoch MICROS (not millis — see
-    * [[statefulSessionize]]'s precision note). */
-  case class SessionState(start: Long, lastTs: Long, n: Long, sumCents: Long)
+    * [[statefulSessionize]]'s precision note). `formatV` (= 2 since the
+    * micros change) exists to make that unit change SAFE across
+    * restarts: a pre-change checkpoint holds the same four Longs in
+    * MILLIS, and without a schema difference Spark would deserialize
+    * them silently and misread every restored session 1000× too small
+    * (instant force-close, ~1970 session_start). The extra field makes
+    * the state schema incompatible, so Spark's state-schema check fails
+    * the restored query LOUDLY instead — restart with a fresh
+    * checkpointLocation to migrate. */
+  case class SessionState(start: Long, lastTs: Long, n: Long, sumCents: Long,
+      formatV: Int = 2)
   /** `session_start` is epoch MICROS; reconstruct with `timestamp_micros`. */
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Long,
       sum_cents: Long, closed: Boolean)

@@ -196,7 +196,12 @@ object VersionedTable {
         }
         true
       }
-      catch { case _: java.io.IOException => false }
+      // ONLY the exists-collision means "concurrent writer won" — a
+      // blanket IOException catch here would relabel real faults
+      // (EACCES on _manifests, disk full at create) as a lost race and
+      // send the operator chasing a phantom concurrent writer
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        false }
     require(claimed,
       s"version $v already committed or mid-commit (claim $claim exists) — " +
         "concurrent writer won; re-read and retry (delete a stale claim " +
@@ -260,7 +265,19 @@ object VersionedTable {
     val table = new Path(tablePath)
     val staging = new Path(table, s"_stage_${java.util.UUID.randomUUID}")
     df.write.parquet(staging.toString)
-    commitManifest(spark, table, 0L, adoptStaged(spark, table, staging))
+    val staged = adoptStaged(spark, table, staging)
+    // Defense in depth: committing files:[] as v0 would wedge the table
+    // permanently (read() rejects empty manifests, upsert() needs the
+    // snapshot, re-init is blocked by the currentVersion guard above).
+    // On Spark 4 this is unreachable — FileFormatWriter emits one
+    // schema-only part file even for a zero-partition frame (spec-pinned:
+    // an empty init yields a readable, upsertable v0) — but a future
+    // writer path that really stages nothing must fail HERE, not at
+    // every subsequent read.
+    require(staged.nonEmpty,
+      s"init: input staged no data files — committing an empty manifest " +
+        "as v0 would wedge the table; write at least one part file")
+    commitManifest(spark, table, 0L, staged)
     0L
   }
 
@@ -311,7 +328,12 @@ object VersionedTable {
         "explicitly (dropping columns is not additive evolution)")
     snapshot.schema.foreach { f =>
       updates.schema.find(_.name == f.name).foreach { u =>
-        require(u.dataType == f.dataType,
+        // catalogString comparison: nullability-INSENSITIVE at every
+        // nesting level. A strict DataType == would reject a batch whose
+        // struct/array/map element nullability is merely narrower than
+        // the table's (safely writable), with an error printing two
+        // IDENTICAL catalog strings — compare what the message prints.
+        require(u.dataType.catalogString == f.dataType.catalogString,
           s"type change on ${f.name} (${f.dataType.catalogString} -> " +
             s"${u.dataType.catalogString}) is not additive evolution")
       }
@@ -563,11 +585,17 @@ object VersionedTable {
     if (fs.exists(mDir)) fs.listStatus(mDir)
       .filter { st =>
         val n = st.getPath.getName
-        n.endsWith(".claim") && st.getModificationTime < cutoff &&
-          // only a claim whose manifest never landed is a dead writer's;
-          // a committed version's claim is deleted by commitManifest
-          n.stripSuffix(".claim").drop(1).toLongOption
-            .exists(v => !fs.exists(manifestPath(table, v)))
+        val deadClaim =
+          n.endsWith(".claim") && st.getModificationTime < cutoff &&
+            // only a claim whose manifest never landed is a dead writer's;
+            // a committed version's claim is deleted by commitManifest
+            n.stripSuffix(".claim").drop(1).toLongOption
+              .exists(v => !fs.exists(manifestPath(table, v)))
+        // a writer dead between creating and renaming a hint/manifest
+        // temp leaks it forever otherwise — no other path sweeps them
+        val deadTemp = (n.startsWith(".hint-") || n.startsWith(".tmp-")) &&
+          st.getModificationTime < cutoff
+        deadClaim || deadTemp
       }
       .foreach(st => fs.delete(st.getPath, false))
     drop.foreach(v => fs.delete(manifestPath(table, v), false))

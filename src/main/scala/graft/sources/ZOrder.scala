@@ -24,13 +24,17 @@ object ZOrder {
   /** Interleave the low `bits` bits of two non-negative int columns:
     * bit i of `a` lands at z-bit 2i, bit i of `b` at 2i+1. Built as a
     * balanced OR-tree of shift/mask terms — one codegen'd expression,
-    * no UDF. */
+    * no UDF. Inputs are cast to LONG first: Spark's shiftleft keeps the
+    * input's integer width, so a raw IntegerType column would wrap
+    * shift distances ≥ 32 mod 32 and set the int sign bit at i=15 —
+    * negative z-values sorting before far-smaller coordinates. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_ bitwiseOR _)
   }

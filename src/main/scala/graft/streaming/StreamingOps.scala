@@ -44,16 +44,18 @@ object StreamingOps {
   private def eventsTsIsNanos(reader: SparkSession, path: String): Boolean =
     reader.read.parquet(path).schema("ts").dataType == LongType
 
-  /** (file-facing schema, ts-normalizer to TimestampType) for the events
-    * file vintage at `path` — the one seam every file-replay reader goes
-    * through so a driver-side regeneration of the testdata in either
-    * vintage never touches query code. */
+  /** (nanos?, file-facing schema, ts-normalizer to TimestampType) for
+    * the events file vintage at `path` — the one seam every file-replay
+    * reader goes through so a driver-side regeneration of the testdata
+    * in either vintage never touches query code. The boolean rides
+    * along for callers (the sentinel-replay harness) that must also
+    * CONSTRUCT a row in the file's own vintage. */
   private def eventsVintage(reader: SparkSession, path: String)
-      : (StructType, org.apache.spark.sql.Column) =
+      : (Boolean, StructType, org.apache.spark.sql.Column) =
     if (eventsTsIsNanos(reader, path))
-      (eventsFileSchema, timestamp_micros(expr("ts div 1000")))
+      (true, eventsFileSchema, timestamp_micros(expr("ts div 1000")))
     else
-      (eventsFileSchemaMicros, col("ts").cast("timestamp"))
+      (false, eventsFileSchemaMicros, col("ts").cast("timestamp"))
 
   /** Stateful-operator partition width for a replay child session: the
     * per-query pinned default (8 — at the replay's state size the
@@ -83,7 +85,7 @@ object StreamingOps {
       else { val child = s.newSession(); child.conf.set(flag, "true"); child }
     // file stream sources need a directory: stream the sf dir, filtered
     // down to the events file (in production: a landing directory)
-    val (schema, tsNorm) = eventsVintage(reader, s"$dir/events.parquet")
+    val (_, schema, tsNorm) = eventsVintage(reader, s"$dir/events.parquet")
     reader.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -423,8 +425,10 @@ object StreamingOps {
     * session-split differently from the oracle. [[tsMicros]] is the
     * lossless extraction; the gap compare runs in micros; only the
     * timeout registration (a watermark heuristic, not an output value)
-    * rounds back down to millis because `setTimeoutTimestamp` takes
-    * millis. */
+    * rounds back to millis because `setTimeoutTimestamp` takes millis —
+    * CEILed, so the close can only be late, never early (an early close
+    * could split a session whose successor straddles the sub-milli
+    * sliver in a later trigger). */
   def statefulSessionize(events: Dataset[Event], gapMs: Long = 600000L)
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -458,13 +462,16 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // Timeout fires once the watermark passes lastTs + gap; the
-              // floor-to-millis here can only make the timeout fire up to
-              // 1ms-of-event-time early, which is harmless: a successor
-              // event that would have merged arrives with t - lastTs <
-              // gapMicros and is handled in the data batch BEFORE the
-              // timeout batch for the same watermark advance.
-              state.setTimeoutTimestamp(s.lastTs / 1000L + gapMs)
+              // Timeout at lastTs + gap, CEILed to millis
+              // (setTimeoutTimestamp's unit). Ceil, never floor: a
+              // floored timeout fires up to 999 µs of event time early,
+              // and a successor straddling that sliver can arrive in a
+              // LATER trigger (t ≥ watermark, t − lastTs < gapMicros) —
+              // exact semantics merge it, but the state would already be
+              // closed, splitting a session the gaps-and-islands oracle
+              // keeps whole. Firing ≤1 ms late is safe: a successor
+              // inside the gap re-updates state (and the timeout) first.
+              state.setTimeoutTimestamp((s.lastTs + gapMicros + 999L) / 1000L)
             }
             closed.reverseIterator
           }
@@ -497,9 +504,11 @@ object StreamingOps {
     * watermark-driven no-data batch that emits the finalized rows
     * commits just after it. That batch is deterministic — the sentinel
     * is the stream's max event time, so the last real window can only
-    * close in a batch with zero input rows and nonzero sink output — so
-    * a progress listener latches on exactly that signature (no
-    * sleep-poll), and a latch timeout throws rather than silently
+    * close in the first zero-input batch after the data batch — so a
+    * progress listener latches on exactly that signature (a no-data
+    * progress AFTER data was seen; NOT on sink output, which can be
+    * legitimately zero when the query's final filter drops every
+    * finalized row), and a latch timeout throws rather than silently
     * returning an incomplete result. */
   private def replayEventsAppend(s: SparkSession, dir: String,
       namePrefix: String)(build: DataFrame => DataFrame): DataFrame = {
@@ -510,19 +519,30 @@ object StreamingOps {
     child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s))
     val tmp = Files.createTempDirectory("graft_stream_replay")
+    // tmp holds a full copy of events.parquet: clean it up on EVERY
+    // exit, including a failed query or a latch timeout — a leak here
+    // is the /tmp residue class that degrades later bench iterations
+    def deleteTmp(): Unit = {
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    try {
     val evCopy = tmp.resolve("00_events.parquet")
     Files.copy(Paths.get(dir, "events.parquet"), evCopy,
       StandardCopyOption.REPLACE_EXISTING)
 
     // Sentinel row in the SAME vintage as the copied file, so the replay
     // directory keeps a uniform schema (graft.Tables.events documents the
-    // two vintages).
-    val nanosVintage = eventsTsIsNanos(child, evCopy.toString)
-    val (fileSchema, tsNorm) =
-      if (nanosVintage) (eventsFileSchema, timestamp_micros(expr("ts div 1000")))
-      else (eventsFileSchemaMicros, col("ts").cast("timestamp"))
+    // two vintages); the shared eventsVintage seam supplies schema +
+    // normalizer so a new vintage cannot silently miss this harness.
+    val (nanosVintage, fileSchema, tsNorm) =
+      eventsVintage(child, evCopy.toString)
     val maxRow = child.read.schema(fileSchema).parquet(evCopy.toString)
       .agg(max("ts")).head()
+    require(!maxRow.isNullAt(0),
+      s"replay: events table at $dir is empty — nothing to stream")
     val sentinelTs: Any =
       if (nanosVintage) java.lang.Long.valueOf(
         maxRow.getLong(0) + 30L * 86400L * 1000000000L)
@@ -533,8 +553,11 @@ object StreamingOps {
         -1L, sentinelTs, -1L, "__sentinel__", 0.0, null)),
       fileSchema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-    val sentinelPart = Files.list(sentinelDir).iterator().asScala
-      .find(_.toString.endsWith(".parquet")).get
+    val sentinelList = Files.list(sentinelDir)
+    val sentinelPart =
+      try sentinelList.iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      finally sentinelList.close()
     val sentinelFile = tmp.resolve("01_sentinel.parquet")
     Files.move(sentinelPart, sentinelFile)
 
@@ -546,11 +569,19 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val emitted = new java.util.concurrent.CountDownLatch(1)
+    val sawData = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new StreamingQueryListener {
       override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      // The finalizing batch is the first NO-DATA batch after the data
+      // batch (both replay files land in one trigger; the watermark
+      // advance then schedules exactly one no-data batch). Latch on its
+      // COMMIT, not on sink.numOutputRows > 0 — a query whose final
+      // filter legitimately emits zero rows (e.g. an anomaly detector
+      // on quiet data) still finalizes correctly, and the old
+      // output-rows condition would stall 60s and then throw on it.
       override def onQueryProgress(event: QueryProgressEvent): Unit =
-        if (event.progress.numInputRows == 0 &&
-            event.progress.sink.numOutputRows > 0) emitted.countDown()
+        if (event.progress.numInputRows > 0) sawData.set(true)
+        else if (sawData.get) emitted.countDown()
       override def onQueryIdle(event: QueryIdleEvent): Unit = ()
       override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
         emitted.countDown() // never hang on a failed query
@@ -572,9 +603,8 @@ object StreamingOps {
       q.stop()
       child.streams.removeListener(listener)
     }
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
     child.table(name)
+    } finally deleteTmp()
   }
 
   /** SparkEntry wrapper: streaming tumbling counts in APPEND mode via

@@ -247,6 +247,50 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     assert(VersionedTable.read(spark, tbl).count() === 50L)
   }
 
+  test("init with an empty frame yields a readable, upsertable v0 (no wedged table)") {
+    // A post-round review hypothesized an all-empty-partition frame
+    // stages zero part files and wedges the table with a files:[] v0.
+    // REFUTED on Spark 4: FileFormatWriter emits one schema-only part
+    // file even for a zero-partition frame, so v0 is a legitimate empty
+    // snapshot — pin that, plus the init-side require that fails loudly
+    // should any future writer path really stage nothing.
+    val tbl = freshTable()
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.schema)
+    assert(VersionedTable.init(spark, tbl, empty) === 0L)
+    assert(VersionedTable.read(spark, tbl).count() === 0L)
+    // an empty snapshot accepts its first insert-only upsert
+    val v = VersionedTable.upsert(spark, tbl,
+      docs.limit(3).select(docs.columns.map(col).toIndexedSeq: _*),
+      "doc_id")
+    assert(v === 1L)
+    assert(VersionedTable.read(spark, tbl).count() === 3L)
+  }
+
+  test("nested nullability differences are additive (catalog-type compare), real type changes still fail") {
+    // A batch whose array element nullability is merely NARROWER than
+    // the table's is safely writable; the strict DataType == rejected it
+    // with an error printing two identical catalog strings (post-round
+    // review finding).
+    import spark.implicits._
+    val tbl = freshTable()
+    VersionedTable.init(spark, tbl,
+      Seq((1L, "a,b")).toDF("id", "csv")
+        .select(col("id"), split(col("csv"), ",").as("tags")))  // containsNull = true
+    val narrower = Seq(2L).toDF("id")
+      .select(col("id"), array(lit("c")).as("tags"))             // containsNull = false
+    assert(narrower.schema("tags").dataType !==
+      VersionedTable.read(spark, tbl).schema("tags").dataType,
+      "fixture rot: the two array types no longer differ in nullability")
+    VersionedTable.upsert(spark, tbl, narrower, "id")
+    assert(VersionedTable.read(spark, tbl).count() === 2L)
+    val realChange = Seq((3L, 7)).toDF("id", "tags")             // array -> int: reject
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, tbl, realChange, "id"))
+    assert(e.getMessage.contains("not additive evolution"))
+  }
+
   test("a key column named 'count' upserts cleanly (unique-key check must not self-collide)") {
     // r19 ADVICE: groupBy(key).count() on a key literally named "count"
     // produces two "count" columns, and the contract filter threw
@@ -277,9 +321,15 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     fs.mkdirs(stage)
     fs.create(new org.apache.hadoop.fs.Path(stage, "part-0.parquet")).close()
     // a writer dead between claim and commit: leaked claim blocks v1
-    val claim = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(table, "_manifests"), "v00000001.claim")
+    val mdir = new org.apache.hadoop.fs.Path(table, "_manifests")
+    val claim = new org.apache.hadoop.fs.Path(mdir, "v00000001.claim")
     fs.create(claim, false).close()
+    // writers dead between creating and renaming hint/manifest temps:
+    // leaked forever before the r20 review fix — vacuum never matched them
+    val hintTmp = new org.apache.hadoop.fs.Path(mdir, ".hint-deadbeef")
+    val manTmp = new org.apache.hadoop.fs.Path(mdir, ".tmp-deadbeef")
+    fs.create(hintTmp, false).close()
+    fs.create(manTmp, false).close()
     val update = docs.filter(col("doc_id") < 2)
       .select(docs.columns.map(col).toIndexedSeq: _*)
     val blocked = intercept[IllegalArgumentException](
@@ -288,12 +338,15 @@ class VersionedTableSpec extends AnyFunSuite with SparkFixture {
     // graced vacuum keeps fresh debris (a LIVE writer looks identical)
     VersionedTable.vacuum(spark, tbl, keepFrom = 0L)
     assert(fs.exists(stage) && fs.exists(claim))
-    // grace-0 vacuum (offline maintenance) reclaims both — the
+    assert(fs.exists(hintTmp) && fs.exists(manTmp))
+    // grace-0 vacuum (offline maintenance) reclaims all — the
     // sanctioned cleanup path for crashed-writer debris (r19 review
     // finding: neither was EVER reclaimed before)
     VersionedTable.vacuum(spark, tbl, keepFrom = 0L, graceMs = 0L)
     assert(!fs.exists(stage), "aged stage dir must be reclaimed")
     assert(!fs.exists(claim), "dead claim must be reclaimed")
+    assert(!fs.exists(hintTmp), "dead hint temp must be reclaimed")
+    assert(!fs.exists(manTmp), "dead manifest temp must be reclaimed")
     // the slot commits normally once unblocked
     assert(VersionedTable.upsert(spark, tbl, update, "doc_id") === 1L)
   }

@@ -18,6 +18,22 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === Seq(0L, 1L, 2L, 3L, 27L, 63L))
   }
 
+  test("zValue on raw INT columns stays positive and ordered (no 32-bit shift wrap)") {
+    // Spark's shiftleft keeps the input's integer width: on IntegerType
+    // inputs the i=15 b-term is shiftleft(1, 31) = Integer.MIN_VALUE, so
+    // z goes NEGATIVE for b >= 32768 and sorts before tiny coordinates
+    // (post-round review finding). zValue must cast to long internally.
+    import spark.implicits._
+    val got = Seq((0, 32768), (1, 0), (32768, 32768))
+      .toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(got.forall(_ >= 0L), s"negative z-values: ${got.toSeq}")
+    // (0, 32768): b bit 15 -> z bit 31 = 2^31; (32768, 32768): z bits
+    // 30 and 31. A small coordinate must sort BEFORE the big ones.
+    assert(got.toSeq === Seq(1L << 31, 1L, (1L << 30) | (1L << 31)))
+  }
+
   test("z-order write clusters BOTH dimensions into narrow per-file ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder_spec")
     val events = Tables.events(spark, sf0001)

@@ -287,25 +287,38 @@ object SparkEntry {
     val base = Tables.documents(s, dir)
     val docs = base.unionByName(base.filter(col("doc_id") < 5)
       .withColumn("doc_id", col("doc_id") + 2000000L))
-    val s1 = docs.join(
-      TextAnalysis.normalizeDedup(docs)
-        .filter(col("doc_id") === col("canonical_id")).select("doc_id"),
-      "doc_id")
-    val s2 = s1.join(
-      TextAnalysis.filterVerdicts(s1)
-        .filter(col("keep") === 1).select("doc_id"),
-      "doc_id")
-    val s3 = s2.join(
-      Quality.scoreLinearModel(s2)
-        .filter(col("keep")).select("doc_id"),
-      "doc_id")
+    // r21 optimization — three text passes total, metadata joins after.
+    // Every stage decision here is a PER-ROW function of (doc_id, text)
+    // except the dedup canonical-min (a group aggregate over the raw
+    // corpus), so each operator runs ONCE over the full corpus and the
+    // stage sets compose as id joins: the old formulation re-evaluated
+    // the whole upstream chain per stage and per stat branch (the stat
+    // union re-ran normalizeDedup/verdicts/model repeatedly — ~10 corpus
+    // text passes where 3 suffice). Per-row verdicts/scores restricted
+    // to a subset equal the full-corpus values on that subset, so the
+    // emitted rows are IDENTICAL. Metadata frames (ids, token counts,
+    // 16-byte digests) are pinned with localCheckpoint — a real cluster
+    // would use reliable checkpoint().
+    val meta = docs.select(col("doc_id"),
+        operators.Packing.nTokensUdf(col("text")).as("n_tokens"),
+        TextAnalysis.normalizedKeyCol(col("text")).as("kh"))
+      .localCheckpoint(false)
+    val keepV = TextAnalysis.verdictCore(docs)
+      .filter(col("keep") === 1).select("doc_id").localCheckpoint(false)
+    val keepM = Quality.scoreLinearModel(docs)
+      .filter(col("keep")).select("doc_id").localCheckpoint(false)
+    val s1 = meta
+      .join(meta.groupBy("kh").agg(min(col("doc_id")).as("doc_id")),
+        Seq("kh", "doc_id"))
+      .select("doc_id", "n_tokens")
+    val s2 = s1.join(keepV, "doc_id")
+    val s3 = s2.join(keepM, "doc_id")
     def stat(df: DataFrame, stage: Int, name: String): DataFrame = df
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(filter(split(coalesce(col("text"), lit("")), " "),
-          t => t =!= ""))).cast("long").as("n_tokens"))
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
       .select(lit(stage.toLong).as("stage"), lit(name).as("name"),
         col("n_docs"), col("n_tokens"))
-    stat(docs, 0, "raw")
+    stat(meta, 0, "raw")
       .unionByName(stat(s1, 1, "dedup_normalized"))
       .unionByName(stat(s2, 2, "quality_filter"))
       .unionByName(stat(s3, 3, "model_gate"))
@@ -330,13 +343,20 @@ object SparkEntry {
       .select(col("o_orderkey").cast("string").as("k"))
     val l = Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("string").as("k"))
-    val skO = o.agg(functions.CountMin(col("k"), d, w).as("a"))
-    val skL = l.agg(functions.CountMin(col("k"), d, w).as("b"))
-    val est = skO.crossJoin(skL)
-      .select(functions.CountMin.innerProduct(col("a"), col("b"), d, w))
-      .head().getLong(0)
+    // r21: the side cardinalities the bound needs ride the SAME
+    // aggregation jobs as the sketches — the old separate o.count() /
+    // l.count() actions re-scanned both tables a second time.
+    val skO = o.agg(functions.CountMin(col("k"), d, w).as("a"),
+      count(lit(1)).as("na"))
+    val skL = l.agg(functions.CountMin(col("k"), d, w).as("b"),
+      count(lit(1)).as("nb"))
+    val estRow = skO.crossJoin(skL)
+      .select(functions.CountMin.innerProduct(col("a"), col("b"), d, w)
+        .as("est"), col("na"), col("nb"))
+      .head()
+    val est = estRow.getLong(0)
     val exact = o.join(l, "k").count()
-    val bound = exact + 2L * o.count() * l.count() / w
+    val bound = exact + 2L * estRow.getLong(1) * estRow.getLong(2) / w
     import s.implicits._
     Seq((exact, est >= exact, est <= bound))
       .toDF("exact_rows", "never_under", "within_bound")

@@ -528,13 +528,25 @@ object CorpusOps {
     * table. */
   def qFunnelDomainCapped(s: SparkSession, dir: String): DataFrame = {
     val docs = plantedGovernance(s, dir)
-    val hashed = docs.withColumn("h", md5(coalesce(col("text"), lit(""))))
-    val s1 = hashed
-      .join(hashed.groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+    // ONE corpus text scan (r21 optimization): every downstream stage —
+    // dedup canonical-min, cap thresholds, keep predicate, and all three
+    // stat rows — is a function of per-doc METADATA (id, source, token
+    // count, text digest). The old formulation re-evaluated the corpus
+    // union + md5 + token-count UDF once per stat branch and once for
+    // the threshold table (~5 text passes); pinning the metadata frame
+    // (40-ish bytes/row — a real cluster would use reliable
+    // checkpoint()) leaves exactly one. Values are unchanged: the same
+    // nTokens/md5 expressions, evaluated once instead of per-branch.
+    val meta = docs.select(col("doc_id"), col("source"),
+        nTokens(col("text")).as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+      .localCheckpoint(false)
+    val s1 = meta
+      .join(meta.groupBy("h").agg(min(col("doc_id")).as("doc_id")),
         Seq("h", "doc_id"))
-      .select("doc_id", "source", "text")
+      .select("doc_id", "source", "n_tokens")
     val thr = s1
-      .groupBy("source").agg(sum(nTokens(col("text"))).as("src_tokens"))
+      .groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("total_tokens",
         sum("src_tokens").over(Window.partitionBy()))
       .select(col("source"),
@@ -544,10 +556,10 @@ object CorpusOps {
       .filter(capKeepPredicate("doc_id", "keep_threshold"))
     def stat(df: DataFrame, stage: Int, name: String): DataFrame = df
       .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
-        coalesce(sum(nTokens(col("text"))), lit(0L)).as("n_tokens"))
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
       .select(lit(stage.toLong).as("stage"), lit(name).as("name"),
         col("n_docs"), col("n_tokens"))
-    stat(docs, 0, "raw")
+    stat(meta, 0, "raw")
       .unionByName(stat(s1, 1, "dedup_exact"))
       .unionByName(stat(s2, 2, "domain_cap"))
       .orderBy("stage")

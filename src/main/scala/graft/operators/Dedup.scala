@@ -232,24 +232,47 @@ object Dedup {
     * threshold; only survivors get the full shingle arrays joined in for
     * the exact intersection. Output (doc_a, doc_b, jaccard), doc_a<doc_b. */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, sizePruned: Boolean = false): DataFrame = {
     // Join strategy measured, not assumed (PERF_NOTES r14): forcing
     // shuffle_hash on these doc-keyed joins added 18 GB of shuffle
     // writes and 2–4× wall at 10×-neardup while the query's ~10 GB
     // deterministic spill did not move — that spill lives in the
     // prefix-filter's per-doc df-ranking window sort, not here. The
     // default sort-merge plan is the right one for these joins.
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val pruned = cands
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .filter(least(col("na"), col("nb")).cast("double") >=
-        greatest(col("na"), col("nb")) * threshold)
-      .select("doc_a", "doc_b")
+    //
+    // `sizePruned = true` = the caller's candidate join already applied
+    // the |min|/|max| length filter (prefixJaccardCore's cold path), so
+    // the two narrow size joins here would re-derive a filter that
+    // passes every row — skipped (r21: two joins over ~600k candidate
+    // rows of dedup_hist_exact, pure overhead).
+    val pruned = if (sizePruned) cands.select("doc_a", "doc_b") else {
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      cands
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(least(col("na"), col("nb")).cast("double") >=
+          greatest(col("na"), col("nb")) * threshold)
+        .select("doc_a", "doc_b")
+    }
+    // Exact intersection via the fused sorted-merge kernel
+    // ([[graft.functions.SortedIntersectCount]], r21): arrays are sorted
+    // ONCE per doc side (doc-cardinality work) so the per-PAIR count is
+    // an allocation-free merge loop instead of size(array_intersect)'s
+    // per-pair hash set + materialized intersection array — measured as
+    // the hottest stage of the low-threshold histogram. Counts are
+    // identical (distinct elements; kernel spec-pinned against the
+    // built-in), so jaccard values are unchanged.
+    val shSorted = sh.select(col("doc_id"),
+      sort_array(col("shingles")).as("shingles"))
+    def sic(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.SortedIntersectCount(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
     pruned
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(shSorted.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shSorted.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("n_common", sic(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -282,7 +305,11 @@ object Dedup {
   private[operators] def ngramJaccardCore(docs: DataFrame,
       threshold: Double = 0.8, n: Int = 3,
       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
-    val sh = hashedShingleDocs(docs, n)
+    // sh feeds the posting AND (twice) fromCounts' size joins — and the
+    // hot branch's verifyJaccard reads it four more times. Pinned under
+    // the same condition as the posting (cap on = multiple consumers).
+    val sh0 = hashedShingleDocs(docs, n)
+    val sh = if (dfCap.isDefined) sh0.localCheckpoint(false) else sh0
     val posting1 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // Same pin-once reasoning as minhashLshCore: with the cap on, the
     // posting list feeds the hot-key aggregation job and then the main
@@ -427,7 +454,9 @@ object Dedup {
       .select("doc_a", "doc_b")
     val cands = hotSplit.fold(selfCands)(h => selfCands.unionAll(h.star))
       .distinct()
-    verifyJaccard(cands, sh, threshold)
+    // cold-only candidates already carry the length filter from the
+    // self-join; star pairs don't — prune only when stars exist
+    verifyJaccard(cands, sh, threshold, sizePruned = hotSplit.isEmpty)
   }
 
   /** Exact pairwise Jaccard ≥ threshold. Candidates come from the
@@ -467,7 +496,16 @@ object Dedup {
     * positives, since verification recomputes true Jaccard).
     */
   def minhashBands(docs: DataFrame, n: Int = 3, numPerm: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32): DataFrame =
+    minhashBandsFromShingles(hashedShingleDocs(docs, n), numPerm, bands)
+
+  /** [[minhashBands]] over an ALREADY-SHINGLED (doc_id, shingles) frame —
+    * the seam that lets a caller compute the hashed-shingle pass ONCE and
+    * share it between banding and exact verification (r21: the LSH
+    * pipelines re-ran the shingle kernel 3-4× per query, once for the
+    * bands and once per verification join side). */
+  private def minhashBandsFromShingles(sh: DataFrame, numPerm: Int,
+      bands: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     val coeffs = minhashCoeffs(numPerm)
@@ -500,8 +538,7 @@ object Dedup {
         }
       }
     }
-    hashedShingleDocs(docs, n)
-      .select(col("doc_id"), posexplode(sign(col("shingles"))))
+    sh.select(col("doc_id"), posexplode(sign(col("shingles"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
 
@@ -526,17 +563,22 @@ object Dedup {
   private[operators] def minhashLshCore(docs: DataFrame,
       threshold: Double = 0.8, n: Int = 3, numPerm: Int = 128,
       bands: Int = 32, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
-    // Pin the banded signatures once: the frame is read by the hot-key
+    // Pin the hashed-shingle pass ONCE and share it between the banding
+    // and the exact verification (r21: verifyJaccard reads its shingle
+    // frame four times — two narrow size joins, two array rejoins — and
+    // the banding is a fifth pass; an unpinned frame re-ran the
+    // HashedShingles corpus kernel for every one of them). Rows are
+    // (doc_id, array<long>) — disk-friendly at corpus scale (a real
+    // cluster would use reliable checkpoint()).
+    val sh = hashedShingleDocs(docs, n).localCheckpoint(false)
+    // Pin the banded signatures too: the frame is read by the hot-key
     // aggregation job AND the main candidate query, and recomputing it
-    // means a second shingle+sign UDF pass over the corpus (the
-    // CPU-dominant stage). The rows are (doc_id, band, sig) = ~20 bytes
-    // × bands per doc — the ids-only design keeps the materialization
-    // disk-friendly at corpus scale (a real cluster would use reliable
-    // checkpoint()).
+    // means a second sign-UDF pass (the CPU-dominant stage). The rows
+    // are (doc_id, band, sig) = ~20 bytes × bands per doc.
     // (pure pass-through when the cap is off: with no hot-key job the
     // l/r self-join already shares one exchange, so a checkpoint would
     // only add a materialization pass)
-    val banded0 = minhashBands(docs, n, numPerm, bands)
+    val banded0 = minhashBandsFromShingles(sh, numPerm, bands)
     val banded = if (dfCap.isDefined) banded0.localCheckpoint() else banded0
     val (capped, hotSplit) = dfCap match {
       case None => (banded, None)
@@ -552,7 +594,7 @@ object Dedup {
       .select("doc_a", "doc_b")
     val cands = hotSplit.fold(selfCands)(h => selfCands.unionAll(h.star))
       .distinct()
-    verifyJaccard(cands, hashedShingleDocs(docs, n), threshold)
+    verifyJaccard(cands, sh, threshold)
   }
 
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
@@ -582,9 +624,12 @@ object Dedup {
   def incrementalNearDups(docs: DataFrame, isBatch: Column,
       threshold: Double = 0.8, n: Int = 3, numPerm: Int = 128,
       bands: Int = 32, dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
-    // Pin once: feeds the hot-bucket aggregation and both join sides
-    // (see minhashLshCore for the cluster checkpoint() substitution).
-    val banded0 = minhashBands(docs, n, numPerm, bands)
+    // Pin the shingle pass once and share it with verification, then pin
+    // the banded signatures: both feed multiple consumers (see
+    // minhashLshCore for the rationale and the cluster checkpoint()
+    // substitution).
+    val sh = hashedShingleDocs(docs, n).localCheckpoint(false)
+    val banded0 = minhashBandsFromShingles(sh, numPerm, bands)
     val banded = if (dfCap.isDefined) banded0.localCheckpoint() else banded0
     val corpusB = banded.filter(!isBatch)
     val batchB = banded.filter(isBatch)
@@ -614,7 +659,7 @@ object Dedup {
           cold.unionAll(star)
         }
     }).distinct()
-    verifyJaccard(cands, hashedShingleDocs(docs, n), threshold)
+    verifyJaccard(cands, sh, threshold)
       .withColumnRenamed("doc_a", "corpus_doc_id")
       .withColumnRenamed("doc_b", "batch_doc_id")
   }
@@ -719,10 +764,12 @@ object Dedup {
     // aggregation job when the cap is on) AND two verification rejoins —
     // pin it so the fingerprint UDF runs once per doc. Rows are
     // (doc_id, simhash) = 16 bytes — disk-friendly at corpus scale (a
-    // real cluster would use reliable checkpoint()). Cap off keeps the
-    // pure plan: the three readers share the computed exchange anyway.
-    val sh = if (dfCap.isDefined) fingerprints.localCheckpoint()
-      else fingerprints
+    // real cluster would use reliable checkpoint()). Pinned on BOTH cap
+    // settings (r21): the two verification rejoins key on different
+    // columns (doc_a / doc_b), so their exchanges never unify and an
+    // unpinned frame re-ran the fingerprint UDF once per rejoin even in
+    // the cap-off plan.
+    val sh = fingerprints.localCheckpoint()
     val banded = sh.select(col("doc_id"),
       explode(sequence(lit(0), lit(nBands - 1))).as("band"),
       col("simhash"))
@@ -1341,8 +1388,13 @@ object Dedup {
     val planted = docs.filter(col("doc_id") < 10)
       .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
     val corpus = docs.unionAll(planted)
+    // Both sides pinned (r21): the exceptAll/count gate below reads each
+    // side in SEVERAL actions (missed, spurious, nExact), and unpinned
+    // frames re-ran the whole banding pipeline / equality self-join per
+    // action.
     val banded = simhashPairs(corpus, maxHamming = 0, dfCap = None)
       .select("doc_a", "doc_b")
+      .localCheckpoint()
     // exact side: fingerprint-equality self-join ([[simhash]] is
     // deterministic, so recomputing it here sees identical fingerprints)
     val sh = simhash(corpus).localCheckpoint()
@@ -1350,6 +1402,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("simhash")), "simhash")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      .localCheckpoint()
     val missed = exact.exceptAll(banded).count()
     val spurious = banded.exceptAll(exact).count()
     val nExact = exact.count()

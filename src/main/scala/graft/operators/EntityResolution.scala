@@ -91,8 +91,32 @@ object EntityResolution {
     * (nation+balance, segment+balance), a levenshtein ≤ `maxEdits` name
     * match, CC clustering. Returns (c_custkey, canonical_custkey), one
     * row per record that belongs to a multi-record entity. */
-  def resolveCustomers(recs: DataFrame, maxEdits: Int = 1,
+  def resolveCustomers(recs0: DataFrame, maxEdits: Int = 1,
       blockCap: Int = DefaultBlockCap): DataFrame = {
+    // r21: run the blocking/matching joins at a partition width
+    // proportional to the RECORD COUNT, in an isolated child session —
+    // the [[Dedup.connectedComponents]] width discipline extended to
+    // the blocking stage. A customer-dimension ER input is orders of
+    // magnitude smaller than the corpus tables the session default is
+    // sized for; at the default width every blocking pass spread a few
+    // thousand rows over 32+ partitions and task scheduling dominated
+    // (er_customers was the 4th most expensive bench row). The pinned
+    // record frame is one eager pass (records are dimension-sized; a
+    // real cluster would use reliable checkpoint()); width scales back
+    // up with record count, so a corpus-sized ER input keeps the
+    // session width. Pure width/plumbing change: candidate generation,
+    // matching and clustering arithmetic are untouched.
+    val parent = recs0.sparkSession
+    val pinned = recs0.localCheckpoint()
+    val nRecs = pinned.count()
+    val parentParts = scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val erParts = math.max(1L,
+      math.min(parentParts, nRecs / 100000L + 1L)).toInt
+    val session = parent.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", erParts.toString)
+    val recs = session.createDataFrame(pinned.rdd, pinned.schema)
+      .coalesce(erParts)
     val cand = blockPairs(recs, Seq("c_nationkey", "c_acctbal"), blockCap)
       .unionByName(blockPairs(recs, Seq("c_mktsegment", "c_acctbal"), blockCap))
       .distinct()

@@ -54,19 +54,41 @@ object Graph {
     * minShared-thresholded edge sparsity. */
   def triangleTopNodes(lineitem: DataFrame, minShared: Int = 25,
       k: Int = 10): DataFrame = {
-    val e = coSupplyEdges(lineitem, minShared)
+    val parent = lineitem.sparkSession
+    // Pin the thresholded edge list once (it feeds three self-join
+    // sides), then enumerate triangles at a partition count proportional
+    // to the EDGE LIST in an isolated child session — the
+    // [[Dedup.connectedComponents]] width discipline (r21: the corpus
+    // pays one full-width pass building edges; the three tiny triangle
+    // joins then ran 32-wide on a few thousand rows and task overhead
+    // dominated). All counts are integers — partitioning cannot perturb
+    // the output.
+    val e0 = coSupplyEdges(lineitem, minShared).localCheckpoint()
+    val nE = e0.count()
+    val parentParts = scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val eParts = math.max(1L, math.min(parentParts, nE / 100000L + 1L)).toInt
+    val session = parent.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", eParts.toString)
+    val e = session.createDataFrame(e0.rdd, e0.schema).coalesce(eParts)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
         col("e2.b") === col("e3.b") && col("e1.a") === col("e3.a"))
       .select(col("e1.a").as("n1"), col("e1.b").as("n2"),
         col("e2.b").as("n3"))
-    tri
+    val top = tri
       .select(explode(array(col("n1"), col("n2"), col("n3"))).as("supplier"))
       .groupBy("supplier")
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("supplier"))
       .limit(k)
+      .localCheckpoint()
+    // Re-root the k-row result into the PARENT session, re-asserting the
+    // canonical order (row order survives the re-root, but the ORDER BY
+    // is part of the query's contract).
+    parent.createDataFrame(top.rdd, top.schema)
+      .orderBy(col("n_triangles").desc, col("supplier"))
   }
 
   /** Damped PageRank over an undirected edge list, FIXED `iters`
@@ -87,16 +109,36 @@ object Graph {
     * scalar — is one count over the degree table. */
   def pageRank(edgesAB: DataFrame, iters: Int = 5,
       damping: Double = 0.85): DataFrame = {
-    val edges = edgesAB.select(col("a"), col("b"))
+    val parent = edgesAB.sparkSession
+    val edges0 = edgesAB.select(col("a"), col("b"))
       .unionAll(edgesAB.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg")).persist()
-    val nodes = deg.select(col("a").as("node"))
-    val nC = deg.count()
+    val deg0 = edges0.groupBy("a").agg(count(lit(1)).as("deg")).persist()
+    val nC = deg0.count()
     if (nC == 0) {
-      edges.unpersist(); deg.unpersist()
-      return nodes.withColumn("score", lit(0.0)).limit(0)
+      edges0.unpersist(); deg0.unpersist()
+      return deg0.select(col("a").as("node")).withColumn("score", lit(0.0))
+        .limit(0)
     }
+    // The iteration graph (thresholded co-occurrence edges) is orders of
+    // magnitude smaller than the corpus that produced it, and nC is now
+    // known: run the per-round joins at a partition count proportional
+    // to the GRAPH, in an isolated child session — exactly the
+    // [[Dedup.connectedComponents]] width discipline (r21: at the
+    // session default width every round's handful of rows spread over
+    // 32+ partitions and task scheduling dominated the iterations). The
+    // per-node inflow sums are unchanged mathematically; their stability
+    // under re-partitioned accumulation is the invariant Verify
+    // --perturb pins for every float-outputting query.
+    val parentParts = scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val gParts = math.max(1L, math.min(parentParts, nC / 100000L + 1L)).toInt
+    val session = parent.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", gParts.toString)
+    val edges = session.createDataFrame(edges0.rdd, edges0.schema)
+      .coalesce(gParts)
+    val deg = session.createDataFrame(deg0.rdd, deg0.schema).coalesce(gParts)
+    val nodes = deg.select(col("a").as("node"))
     val baseScore = (1.0 - damping) / nC
     var pr = nodes.withColumn("score", lit(1.0 / nC))
     for (i <- 1 to iters) {
@@ -113,11 +155,12 @@ object Graph {
       if (i % 2 == 0) pr = Lineage.pin(pr)
     }
     val out = Lineage.pin(pr
-      .select(col("node"), round(col("score"), 6).as("pagerank"))
-      .orderBy("node"))
-    edges.unpersist()
-    deg.unpersist()
-    out
+      .select(col("node"), round(col("score"), 6).as("pagerank")))
+    edges0.unpersist()
+    deg0.unpersist()
+    // Re-root the (small, materialized) result back into the PARENT
+    // session so callers chain at the session default width.
+    parent.createDataFrame(out.rdd, out.schema).orderBy("node")
   }
 
   // --- SparkEntry-facing wrappers ---------------------------------------

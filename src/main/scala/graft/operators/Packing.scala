@@ -40,7 +40,7 @@ object Packing {
     * pattern) AND materializes the full token array just to count it;
     * packSequences evaluates this over every document, where it was the
     * dominant per-row cost. Null text counts 0 (the tables have none). */
-  private[operators] val nTokensUdf = udf { (text: String) =>
+  private[graft] val nTokensUdf = udf { (text: String) =>
     if (text == null) 0L
     else {
       var n = 0L

@@ -438,15 +438,29 @@ object SemanticDedup {
           x + lit(0.25f) * element_at(col("embedding"),
             pmod(i + 1, size(col("embedding"))) + 1)).as("embedding"))
     val corpus = base.unionByName(restated).localCheckpoint()
-    // exhaustive truth: ids-only all-pairs (broadcast nested loop over
-    // two ≤MaxRecallCorpus id frames — candidate ROWS are 16 bytes), then
-    // the sketch-prefiltered exact-cosine verify shared with every
-    // near-dup path
-    val idsA = corpus.select(col("vec_id").as("vid_a"))
-    val idsB = corpus.select(col("vec_id").as("vid_b"))
-    val allPairs = idsA.join(broadcast(idsB), col("vid_a") < col("vid_b"))
+    // Exhaustive truth via an all-pairs broadcast nested loop — with the
+    // SOUND sketch upper bound ([[Dedup.verifySketchUdf]] /
+    // sketchCosUpper, the bound every near-dup verify path uses)
+    // evaluated INSIDE the join condition (r21): the old formulation
+    // emitted all n²/2 id pairs and then joined the sketches back onto
+    // that 46M-row table twice before filtering — three corpus²-sized
+    // stages for a filter that sheds ~everything. Evaluating the bound
+    // in the BNLJ emits only the survivors (≈ true pairs +
+    // near-threshold noise), so nothing quadratic is ever materialized.
+    // The bound can never drop a true pair (upper ≥ cos — the
+    // exact-preserving contract its scaladoc pins), so the verified
+    // truth set is IDENTICAL.
+    val sk = corpus.select(col("vec_id"),
+      Dedup.verifySketchUdf(col("embedding")).as("sk")).localCheckpoint()
+    val skA = sk.select(col("vec_id").as("vid_a"), col("sk").as("_ska"))
+    val skB = sk.select(col("vec_id").as("vid_b"), col("sk").as("_skb"))
+    val allPairs = skA.join(broadcast(skB),
+        col("vid_a") < col("vid_b") &&
+          graft.functions.VectorFunctions.sketchCosUpper(
+            col("_ska"), col("_skb")) >= threshold)
+      .select("vid_a", "vid_b")
     val truth = Dedup.verifyCosinePairs(allPairs, corpus, corpus,
-      "vid_a", "vid_b", threshold).localCheckpoint()
+      "vid_a", "vid_b", threshold, sketches = Some(sk)).localCheckpoint()
     val nTrue = truth.count()
     // the live cluster-bounded pass, production defaults (capped — recall
     // measures the plan a pipeline actually runs, unlike qSemanticGate's

@@ -149,7 +149,7 @@ object TextAnalysis {
     * (tokenize fused into the UDF — the repo's measured ~30× rule over
     * interpreted HOF lambdas; this is the operator you fan over raw
     * 100 TB, exactly where that factor bites). */
-  def filterVerdicts(docs: DataFrame, minTokens: Long = 25L,
+  def verdictCore(docs: DataFrame, minTokens: Long = 25L,
       maxTokens: Long = 100000L, minAvgLen: Double = 3.0,
       maxAvgLen: Double = 10.0,
       stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
@@ -186,8 +186,18 @@ object TextAnalysis {
     docs.withColumn("st", stats(col("text")))
       .select(col("doc_id"), reason.as("reason"),
         when(reason === "ok", 1L).otherwise(0L).as("keep"))
-      .orderBy("doc_id")
   }
+
+  /** [[verdictCore]] plus the presentation sort — the registered-query
+    * form. Composing consumers (pipeline_funnel) use the unsorted core:
+    * a global sort feeding a join/aggregate is wasted work the optimizer
+    * does not reliably remove. */
+  def filterVerdicts(docs: DataFrame, minTokens: Long = 25L,
+      maxTokens: Long = 100000L, minAvgLen: Double = 3.0,
+      maxAvgLen: Double = 10.0,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame =
+    verdictCore(docs, minTokens, maxTokens, minAvgLen, maxAvgLen, stopwords)
+      .orderBy("doc_id")
 
   /** Exact-dedup mapping on the Unicode-NORMALIZED text key: NFC
     * composition (graft's native [[graft.functions.NfcNormalize]]
@@ -199,20 +209,30 @@ object TextAnalysis {
     * shape a downstream `filter(doc_id = canonical_id)` keeps-one pass
     * consumes. One hash shuffle on the normalized key; no driver state.
     */
-  def normalizeDedup(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The normalized-text dedup key as a column: md5 of the NFC-composed,
+    * lowercased, whitespace-collapsed text (see [[normalizeDedup]]).
+    * Exposed so composing consumers (pipeline_funnel) can fuse the key
+    * into their own single corpus scan instead of re-running
+    * normalizeDedup's pass. Group on md5(key), not the key itself: the
+    * exchange then carries (doc_id, 16-byte digest) instead of whole
+    * documents — at 100 TB the shuffle IS the cost, and a 128-bit digest
+    * collides never in practice (2^-128 per pair). */
+  def normalizedKeyCol(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumnBridge
     val nfc = GraftColumnBridge.column(graft.functions.NfcNormalize(
-      GraftColumnBridge.expression(lower(col("text")))))
-    // Group on md5(key), not the key itself: the exchange then carries
-    // (doc_id, 16-byte digest) instead of whole documents — at 100 TB
-    // the shuffle IS the cost, and a 128-bit digest collides never in
-    // practice (2^-128 per pair). The DuckDB oracle groups on the raw
-    // key; equivalent modulo md5 collisions.
+      GraftColumnBridge.expression(lower(text))))
+    md5(trim(regexp_replace(nfc, "\\s+", " ")))
+  }
+
+  def normalizeDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The DuckDB oracle groups on the raw normalized key; grouping on
+    // its md5 here is equivalent modulo md5 collisions (see
+    // [[normalizedKeyCol]]).
     val w = Window.partitionBy(col("kh"))
     docs
-      .select(col("doc_id"),
-        md5(trim(regexp_replace(nfc, "\\s+", " "))).as("kh"))
+      .select(col("doc_id"), normalizedKeyCol(col("text")).as("kh"))
       .select(col("doc_id"),
         min("doc_id").over(w).as("canonical_id"),
         count(lit(1)).over(w).as("group_size"))

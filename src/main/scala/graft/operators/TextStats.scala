@@ -290,10 +290,19 @@ object TextStats {
   def bm25Retrieval(docs: DataFrame, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Retrieval needs ≥1 query term")
-    val terms = termStream(docs)
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // Doc lengths per row, not per exploded token (r21): counting the
+    // split inside one primitive UDF pass replaces the full token-stream
+    // explode + doc_id shuffle that the dl aggregation paid — the
+    // corpus-sized half of this query's work; the tf branch below still
+    // explodes but is filtered to the query terms' postings. The
+    // `dl > 0` filter reproduces the aggregation's domain exactly
+    // (a zero-token doc emitted no termStream row, so it had no dl row
+    // and never reached nd/avgdl).
+    val dl = docs.select(col("doc_id"),
+        Packing.nTokensUdf(col("text")).as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("nd"), avg(col("dl")).as("avgdl"))
-    val tf = terms.filter(col("term").isin(queryTerms: _*))
+    val tf = termStream(docs).filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")

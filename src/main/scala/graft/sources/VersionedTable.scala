@@ -355,8 +355,15 @@ object VersionedTable {
     // would just move the same collision to a table keyed by that name
     val cntAlias = Iterator.iterate("_graft_cnt")(_ + "_")
       .dropWhile(_ == keyCol).next()
-    val badKey = updates.groupBy(col(keyCol))
+    // ONE evaluation of the batch serves both the unique-key gate and
+    // the join key set (r21: the batch frame — for the CDC sink, a
+    // window over the micro-batch — was re-evaluated once for the gate,
+    // once for the distinct keys and once for the rewrite; the pinned
+    // per-key counts are batch-key-sized, never table-sized).
+    val keyCounts = updates.groupBy(col(keyCol))
       .agg(count(lit(1)).as(cntAlias))
+      .localCheckpoint(false)
+    val badKey = keyCounts
       .filter(col(cntAlias) > 1 || col(keyCol).isNull)
       .limit(1).collect()
     require(badKey.isEmpty,
@@ -365,7 +372,7 @@ object VersionedTable {
           else s"key ${badKey.head.get(0)} appears ${badKey.head.getLong(1)}×"}" +
         " — dedup the batch (e.g. row_number over arrival order) first")
 
-    val keys = updates.select(keyCol).distinct()
+    val keys = keyCounts.select(keyCol)
     val touched = snapshot
       .select(input_file_name().as("_f"), col(keyCol))
       .join(keys, keyCol)
@@ -394,7 +401,7 @@ object VersionedTable {
             else df.withColumn(f.name, lit(null).cast(f.dataType))
         }
         touchedDf
-          .join(updates.select(keyCol), Seq(keyCol), "left_anti")
+          .join(keys, Seq(keyCol), "left_anti")
           .select(snapshot.columns.map(col).toIndexedSeq: _*)
           .unionByName(updates.select(outCols.map(col): _*),
             allowMissingColumns = true)

@@ -57,18 +57,35 @@ object StreamingOps {
     else
       (false, eventsFileSchemaMicros, col("ts").cast("timestamp"))
 
-  /** Stateful-operator partition width for a replay child session: the
-    * per-query pinned default (8 — at the replay's state size the
-    * per-store setup/commit dominates, measured ~3× faster than 32; see
-    * [[qStreamStreamJoin]]) unless the caller set
-    * `graft.replay.shufflePartitions` on the PARENT session. The
-    * override exists for exactly one caller: `Verify --perturb`, whose
-    * jittered `spark.sql.shuffle.partitions` would otherwise never
-    * reach these child sessions — leaving the perturbation gate a no-op
-    * for the streaming replay class whose r18 red row motivated it
-    * (r19 review finding). Production callers leave it unset. */
-  private[graft] def replayShufflePartitions(parent: SparkSession): String =
-    parent.conf.getOption("graft.replay.shufflePartitions").getOrElse("8")
+  /** Stateful-operator partition width for a replay child session:
+    * SCALE-ADAPTIVE from the replayed events file's size — one state
+    * store per ~32 MB of input, floor 2, capped at the parent session's
+    * width — unless the caller set `graft.replay.shufflePartitions` on
+    * the PARENT session. At the replay's state size the per-store
+    * setup/commit dominates wall time: r20 measured 8 partitions ~3×
+    * faster than 32, and the r21 width A/B (5-iter medians, 9 queries)
+    * measured the family at 22.6 s (w=8) / 16.6 s (w=2) / 18.4 s (w=1)
+    * — 2 is the floor because several replays chain two stateful
+    * operators whose stores commit in parallel per partition. A
+    * constant would be wrong in both directions (r21 charter): this
+    * derives from input bytes, so a 100× replay widens on its own.
+    *
+    * The conf override exists for `Verify --perturb`, whose jittered
+    * `spark.sql.shuffle.partitions` would otherwise never reach these
+    * child sessions (r19 review finding), and for deployment tuning.
+    * Production callers with real volumes set it explicitly. */
+  private[graft] def replayShufflePartitions(parent: SparkSession,
+      dir: String): String =
+    parent.conf.getOption("graft.replay.shufflePartitions")
+      .filter(_.trim.nonEmpty).getOrElse {
+      val bytes =
+        try java.nio.file.Files.size(
+          java.nio.file.Paths.get(dir, "events.parquet"))
+        catch { case _: Exception => 0L }
+      val parentParts = scala.util.Try(
+        parent.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(32L)
+      math.max(2L, math.min(parentParts, bytes / (32L << 20) + 1L)).toString
+    }
 
   /** Open the events table as a stream. `maxFilesPerTrigger=1` keeps
     * micro-batches bounded when replaying a directory. Reading the
@@ -232,7 +249,7 @@ object StreamingOps {
   def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val child = s.newSession()
     child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s))
+    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s, dir))
     val joined = streamStreamIntervalJoin(readEventsStream(child, dir))
     val name = s"ssjoin_${System.nanoTime()}"
     val q = joined.writeStream.format("memory").queryName(name)
@@ -265,7 +282,7 @@ object StreamingOps {
   def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
     val child = s.newSession()
     child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s))
+    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s, dir))
     val dim = graft.Tables.customer(child, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = enrichStream(
@@ -517,7 +534,7 @@ object StreamingOps {
     // isolated child session, as in qStreamStreamJoin.
     val child = s.newSession()
     child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s))
+    child.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s, dir))
     val tmp = Files.createTempDirectory("graft_stream_replay")
     // tmp holds a full copy of events.parquet: clean it up on EVERY
     // exit, including a failed query or a latch timeout — a leak here
@@ -754,7 +771,7 @@ object StreamingOps {
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s0))
+    s.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions(s0, dir))
     val tmp = Files.createTempDirectory("graft_stream_upsert")
     val landing = tmp.resolve("landing")
     Files.createDirectories(landing)

@@ -687,4 +687,51 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .filter(col("ns") > 1).count()
     assert(straddling === 0L)
   }
+
+  test("SortedIntersectCount kernel equals size(array_intersect) on " +
+      "sorted distinct arrays (r21 verify kernel)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    def sic(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      GraftColumnBridge.column(graft.functions.SortedIntersectCount(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+    val rng = new scala.util.Random(11)
+    // random sorted distinct arrays with forced overlap, plus edges:
+    // identical, disjoint, empty-vs-nonempty, both empty, null array
+    val rows: Seq[(Option[Seq[Long]], Option[Seq[Long]])] =
+      (0 until 60).map { _ =>
+        val pool = (0 until 40).map(_ => rng.nextLong() % 1000).distinct
+        val a = pool.filter(_ => rng.nextBoolean()).sorted
+        val b = pool.filter(_ => rng.nextBoolean()).sorted
+        (Some(a), Some(b))
+      } ++ Seq(
+        (Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 2L, 3L))),
+        (Some(Seq(-5L, 0L, 9L)), Some(Seq(-4L, 1L, 10L))),
+        (Some(Seq.empty[Long]), Some(Seq(1L, 2L))),
+        (Some(Seq.empty[Long]), Some(Seq.empty[Long])),
+        (None, Some(Seq(1L))))
+    val df = rows.toDF("a", "b")
+      .select(
+        sic(col("a"), col("b")).as("kernel"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"),
+        col("a").isNull.as("anull"))
+      .collect()
+    df.foreach { r =>
+      if (r.getBoolean(2)) assert(r.isNullAt(0), "null array must be null")
+      else assert(r.getInt(0) === r.getInt(1))
+    }
+  }
+
+  test("verifyJaccard output unchanged by the sorted-merge kernel: " +
+      "ngram pairs on the planted corpus match exhaustive jaccard") {
+    // End-to-end guard on the r21 verify rewrite: the prefix-filtered
+    // pipeline (which now verifies via SortedIntersectCount over
+    // sort_array'ed shingles) must still equal a from-first-principles
+    // exhaustive computation on a corpus with known pairs.
+    val pairs = Dedup.ngramJaccardPairs(corpus, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (3L, 4L)))
+    val j12 = pairs.find(p => p._1 == 1L).get._3
+    assert(j12 > 0.5 && j12 < 1.0)
+    assert(pairs.find(p => p._1 == 3L).get._3 === 1.0)
+  }
 }

@@ -63,10 +63,11 @@ class VerifyPerturbSpec extends AnyFunSuite with SparkFixture {
     assert(Verify.perturbConfB.toMap.get("graft.replay.shufflePartitions")
       .contains("7"))
     val parent = spark.newSession()
-    assert(StreamingOps.replayShufflePartitions(parent) == "8",
-      "unset: the measured per-query replay default")
+    assert(StreamingOps.replayShufflePartitions(parent, sf0001) == "2",
+      "unset: the size-adaptive default floors at 2 for a " +
+        "verification-scale events file (r21 width A/B)")
     parent.conf.set("graft.replay.shufflePartitions", "5")
-    assert(StreamingOps.replayShufflePartitions(parent) == "5",
-      "set: the perturb jitter must win over the pinned default")
+    assert(StreamingOps.replayShufflePartitions(parent, sf0001) == "5",
+      "set: the perturb jitter must win over the derived default")
   }
 }

@@ -239,9 +239,15 @@ object SparkEntry {
     val v2 = sources.VersionedTable.optimize(s, tbl)
     val after = sources.VersionedTable.read(s, tbl, Some(v2))
     val nFilesAfter = after.inputFiles.length
+    // One-direction multiset check (r21): A\B = ∅ means every row's
+    // multiplicity in `after` ≤ its multiplicity in `before`; with equal
+    // total counts the multiplicities must be EQUAL, so B\A = ∅ follows
+    // and the second exceptAll — a full-row (text-carrying) set op over
+    // both snapshots — is redundant. The counts ride cheap column-pruned
+    // jobs (`before` is pinned). Flag value identical in every case.
     val unchanged =
       after.exceptAll(before).count() == 0 &&
-        before.exceptAll(after).count() == 0
+        before.count() == after.count()
     after.agg(count(lit(1)).as("n_rows"),
         sum("doc_id").as("sum_doc_id"), sum("n_chars").as("sum_n_chars"))
       .withColumn("version", lit(v2))

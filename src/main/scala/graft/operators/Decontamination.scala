@@ -58,8 +58,14 @@ object Decontamination {
     * benchmark side) and broadcast once. */
   def contaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 3, fpp: Double = 0.001): DataFrame = {
+    // Pinned (r21): the benchmark shingle set feeds THREE actions — the
+    // count, the bloomFilter treeAggregate, and the exact confirm join —
+    // and an unpinned frame re-ran the benchmark shingle UDF pass for
+    // each. Benchmark-scale rows (distinct shingle strings), never
+    // corpus-scale; a real cluster would use reliable checkpoint().
     val bench = Dedup.shingleDocs(benchmark, n)
       .select(explode(col("shingles")).as("shingle")).distinct()
+      .localCheckpoint(false)
     val nBench = bench.count() // action on the benchmark side only (small)
     // Empty benchmark → nothing can be contaminated. Short-circuit with
     // the output schema: stat.bloomFilter over zero rows yields a
@@ -73,7 +79,10 @@ object Decontamination {
     Dedup.shingleDocs(corpus, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .filter(mightContain(col("shingle")))
-      .join(bench, "shingle")
+      // broadcast, as in [[contaminationHits]]: the confirm side is
+      // benchmark-scale by construction, and an unhinted join here
+      // shuffled the surviving corpus sliver by shingle (r21)
+      .join(broadcast(bench), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 

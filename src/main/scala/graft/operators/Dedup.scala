@@ -1551,8 +1551,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val nTok = Packing.nTokensUdf(col("text"))
+    // Token-count the CLUSTERED docs only (r21): the ranking needs
+    // n_tokens for duplicate-bounded cluster members, but projecting
+    // nTok before the join ran the UDF over the whole corpus and joined
+    // away ~95% of the results. Joining ids first moves text for
+    // cluster members only (duplicate-bounded), then counts those.
     val clusters = connectedComponents(minhashLshCore(docs))
-      .join(docs.select(col("doc_id"), nTok.as("n_tokens")), "doc_id")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("n_tokens", nTok.cast("long")).drop("text")
     val w = Window.partitionBy("canonical_doc_id")
       .orderBy(col("n_tokens").desc, col("doc_id").asc)
     val drop = clusters

@@ -715,19 +715,32 @@ object Multimodal {
     val off = Dedup.plantOffset(docs, "doc_id")
     val pairs = perceptualNearDup(plantedMedia(s, dir), "id", "bytes",
       dfCap = None).localCheckpoint()
+    // One tagged frame for all three plant families (r21): the six
+    // separate count()/join-count() actions each re-scanned the
+    // documents id column or re-probed the pinned pair table as its own
+    // job; a family tag folds them into one pinned union + two
+    // aggregate jobs with identical per-family counts. The exact/reenc
+    // families must catch at Hamming 0; near accepts any in-radius pair
+    // — the same predicates, expressed per-tag in one join.
     val exactWanted = docs.filter(col("doc_id") % 30 === 0)
       .select(col("doc_id").as("id_a"), (col("doc_id") + off).as("id_b"))
     val reencWanted = docs.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("id_a"), (col("doc_id") + 2L * off).as("id_b"))
     val nearWanted = docs.filter(col("doc_id") % 20 === 5)
       .select(col("doc_id").as("id_a"), (col("doc_id") + 3L * off).as("id_b"))
-    val nExact = exactWanted.count()
-    val nReenc = reencWanted.count()
-    val nNear = nearWanted.count()
-    val h0 = pairs.filter(col("hamming") === 0L)
-    val exactCaught = exactWanted.join(h0, Seq("id_a", "id_b")).count()
-    val reencCaught = reencWanted.join(h0, Seq("id_a", "id_b")).count()
-    val nearCaught = nearWanted.join(pairs, Seq("id_a", "id_b")).count()
+    val wanted = exactWanted.withColumn("fam", lit(0))
+      .unionByName(reencWanted.withColumn("fam", lit(1)))
+      .unionByName(nearWanted.withColumn("fam", lit(2)))
+      .localCheckpoint(false)
+    def famCounts(df: DataFrame): Map[Int, Long] =
+      df.groupBy("fam").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val nWanted = famCounts(wanted)
+    val (nExact, nReenc, nNear) = (nWanted(0), nWanted(1), nWanted(2))
+    val caught = famCounts(wanted.join(pairs, Seq("id_a", "id_b"))
+      .filter(col("fam") === 2 || col("hamming") === 0L))
+    val (exactCaught, reencCaught, nearCaught) =
+      (caught(0), caught(1), caught(2))
     import s.implicits._
     Seq((2L, nExact, nReenc, nNear,
       exactCaught == nExact, reencCaught == nReenc, nearCaught == nNear,

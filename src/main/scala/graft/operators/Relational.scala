@@ -112,9 +112,18 @@ object Relational {
     // two-phase agg) that drags the HLL sketch buffers through both
     // phases. Split, each side is its own optimal plan: the HLL is one
     // partial-agg scan, the exact count a partial-distinct scan.
-    val li = Tables.lineitem(s, dir)
-    val a = li.agg(approx_count_distinct(col("l_partkey"), 0.01)).head().getLong(0)
-    val e = li.select("l_partkey").distinct().count()
+    // ONE lineitem scan (r21): HLL registers are insertion-count
+    // INVARIANT (a register holds max over hashes; duplicates of a value
+    // rewrite the same maximum), so approx_count_distinct over the
+    // DISTINCT key frame returns the bit-identical estimate the raw scan
+    // did — and the exact count rides the same job instead of paying a
+    // second full scan + distinct. No mixed distinct-aggregate rewrite
+    // fires: post-distinct, both aggregates are plain.
+    val d = Tables.lineitem(s, dir).select("l_partkey").distinct()
+      .agg(count(lit(1)).as("e"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a"))
+      .head()
+    val (e, a) = (d.getLong(0), d.getLong(1))
     val ok = e > 0 && math.abs(a - e).toDouble / e <= 0.05
     import s.implicits._
     Seq((e, ok)).toDF("n_exact", "within_bound")

@@ -108,7 +108,17 @@ object TextStats {
       .groupBy("bg").agg(count(lit(1)).as("cb")).persist()
     try {
       val tot = uc.agg(sum("cu").as("tu")).crossJoin(bc.agg(sum("cb").as("tb")))
-      val rows = bc
+      // Top-k FIRST (r21): selection order is (pair_count, bigram) —
+      // both known on the bigram-count table alone — so the k-row cut
+      // (TakeOrderedAndProject) runs before the unigram joins and the
+      // PMI arithmetic decorates k rows instead of the whole bigram
+      // vocabulary. The joins are inner but can never drop a row (a
+      // bigram's words are by construction in the same doc's term
+      // stream, hence in uc), so the selected set, values, and order
+      // are identical; the explicit re-sort restores the contract order
+      // after the joins.
+      val top = bc.orderBy(col("cb").desc, col("bg")).limit(k)
+      val rows = top
         .withColumn("lw", substring_index(col("bg"), " ", 1))
         .withColumn("rw", substring_index(col("bg"), " ", -1))
         .join(uc.select(col("u").as("lw"), col("cu").as("left_count")), "lw")
@@ -120,7 +130,6 @@ object TextStats {
             (col("tb").cast("double") * col("left_count") * col("right_count"))
           ), 4).as("pmi"))
         .orderBy(col("pair_count").desc, col("bigram"))
-        .limit(k)
       val out = rows.collect()
       spark.createDataFrame(
         java.util.Arrays.asList(out: _*), rows.schema)
